@@ -79,7 +79,9 @@ object RelationalQueries {
     // A1-shape: time-bin grouped aggregation (uniform time averaging:
     // TIME=mean, INTERVAL=sum, per 2h bin per user).
     // Reference: xova/apps/xova/averaging.py:251-255.
-    // (ts is epoch-nanos Long under nanosAsLong — integer `div` is exact.)
+    // (ts is epoch-nanos Long under nanosAsLong — integer `div` is exact.
+    // `div` truncates toward zero, matching the oracle's floor only for
+    // nonnegative epochs; the events table is post-1970 by construction.)
     "a1_time_bin_agg" -> ((s, d) =>
       events(s, d)
         .withColumn("bin", expr("ts div 7200000000000"))
@@ -128,12 +130,14 @@ object RelationalQueries {
           .cast("bigint").as("baseline_id"))
     }),
 
-    // J1: FK lookup-join chain main ⋈ dim ⋈ dim (broadcast hash joins).
+    // J1: FK lookup-join chain main ⋈ dim ⋈ dim. orders/customer scale
+    // with SF, so no forced broadcast — AQE picks the join strategy
+    // (broadcast at test scale, shuffle-hash/sort-merge at 100 TB).
     // Reference: xova/apps/xova/averaging.py:306-308.
     "j1_lookup_join" -> ((s, d) =>
       lineitem(s, d)
-        .join(broadcast(orders(s, d)), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
           count(lit(1)).as("n_rows"),
@@ -170,14 +174,17 @@ object RelationalQueries {
     }),
 
     // W2: running-sum time-bin assignment (accumulate INTERVAL until the
-    // bin is full). Integer cents keep the running sum exact.
+    // bin is full). Integer cents keep the running sum exact; the bin is
+    // integer division of the running Long (Spark `div` and DuckDB `//`
+    // both truncate toward zero), exact at any scale — no double rounding.
     // Reference: xova/apps/xova/chunking.py:107-166.
     "w2_running_bin" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, d)
         .withColumn("cents", round(col("value") * 100).cast("bigint"))
-        .withColumn("bin", floor(sum(col("cents")).over(w) / 100000L))
+        .withColumn("run", sum(col("cents")).over(w))
+        .withColumn("bin", expr("run div 100000"))
         .groupBy("user_id", "bin")
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
     })
@@ -256,12 +263,13 @@ object RelationalQueries {
            AND epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts)) > 3600
          GROUP BY 1""",
     "w2_running_bin" ->
-      """SELECT user_id, bin, count(*) AS n_rows, sum(cents) AS sum_cents FROM (
+      """SELECT user_id, bin, count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents FROM (
            SELECT user_id,
                   CAST(round(value * 100) AS BIGINT) AS cents,
-                  CAST(floor(sum(CAST(round(value * 100) AS BIGINT))
+                  sum(CAST(round(value * 100) AS BIGINT))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100000.0) AS BIGINT) AS bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) // 100000 AS bin
            FROM events) t
          GROUP BY 1, 2"""
   )

@@ -15,10 +15,17 @@ import numpy as np
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
+        # Date/datetime columns arrive as datetime64 from DuckDB but as
+        # object(datetime.date) from Spark parquet — normalize BOTH to
+        # ISO strings so the local tool agrees with the driver.
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
+            df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            import datetime
+            if df[c].map(lambda v: isinstance(v, datetime.date)).all() and len(df[c]):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]").astype(str)
+            else:
+                df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 def main():
