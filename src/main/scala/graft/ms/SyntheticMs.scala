@@ -132,30 +132,34 @@ object SyntheticMs {
     main.repartition(8).write.mode("overwrite").parquet(s"$root/main")
 
     // --- subtables (driver-side: cardinality = O(#SPWs), always tiny) ----
-    val spw = ddidShape.map { case (_, nchan, _) =>
+    // casacore keys subtables by implicit row number; a columnar layout
+    // has no stable row order, so every subtable materializes its row id
+    // as an explicit *_ID key column.
+    val spw = ddidShape.map { case (d, nchan, _) =>
       val cw = totalBw / nchan
       val freqs = (0 until nchan).map(i => freq0 + cw * (i + 0.5))
-      (nchan, freqs, Seq.fill(nchan)(cw), Seq.fill(nchan)(cw),
+      (d, nchan, freqs, Seq.fill(nchan)(cw), Seq.fill(nchan)(cw),
         Seq.fill(nchan)(cw), freqs(nchan / 2), totalBw, 5)
-    }.toDF("NUM_CHAN", "CHAN_FREQ", "CHAN_WIDTH", "EFFECTIVE_BW",
-      "RESOLUTION", "REF_FREQUENCY", "TOTAL_BANDWIDTH", "MEAS_FREQ_REF")
+    }.toDF("SPECTRAL_WINDOW_ID", "NUM_CHAN", "CHAN_FREQ", "CHAN_WIDTH",
+      "EFFECTIVE_BW", "RESOLUTION", "REF_FREQUENCY", "TOTAL_BANDWIDTH",
+      "MEAS_FREQ_REF")
     spw.coalesce(1).write.mode("overwrite").parquet(s"$root/SPECTRAL_WINDOW")
 
     val pol = Seq(
-      (4, Seq(9, 10, 11, 12), Seq(Seq(0, 0), Seq(0, 1), Seq(1, 0), Seq(1, 1))),
-      (2, Seq(9, 12), Seq(Seq(0, 0), Seq(1, 1))))
-      .toDF("NUM_CORR", "CORR_TYPE", "CORR_PRODUCT")
+      (0, 4, Seq(9, 10, 11, 12), Seq(Seq(0, 0), Seq(0, 1), Seq(1, 0), Seq(1, 1))),
+      (1, 2, Seq(9, 12), Seq(Seq(0, 0), Seq(1, 1))))
+      .toDF("POLARIZATION_ID", "NUM_CORR", "CORR_TYPE", "CORR_PRODUCT")
     pol.coalesce(1).write.mode("overwrite").parquet(s"$root/POLARIZATION")
 
-    val ddid = ddidShape.map { case (d, _, _) => (d, d) }
-      .toDF("SPECTRAL_WINDOW_ID", "POLARIZATION_ID")
+    val ddid = ddidShape.map { case (d, _, _) => (d, d, d) }
+      .toDF("DATA_DESC_ID", "SPECTRAL_WINDOW_ID", "POLARIZATION_ID")
     ddid.coalesce(1).write.mode("overwrite").parquet(s"$root/DATA_DESCRIPTION")
 
     def rad(deg: Double) = deg * math.Pi / 180.0
     val field = Seq(
-      ("3C147", 0, Seq(Seq(rad(0.0), rad(60.0)))),
-      ("3C147", 0, Seq(Seq(rad(30.0), rad(45.0)))))
-      .toDF("NAME", "NUM_POLY", "PHASE_DIR")
+      (0, "3C147", 0, Seq(Seq(rad(0.0), rad(60.0)))),
+      (1, "3C147", 0, Seq(Seq(rad(30.0), rad(45.0)))))
+      .toDF("FIELD_ID", "NAME", "NUM_POLY", "PHASE_DIR")
       .withColumn("REFERENCE_DIR", col("PHASE_DIR"))
       .withColumn("DELAY_DIR", col("PHASE_DIR"))
     field.coalesce(1).write.mode("overwrite").parquet(s"$root/FIELD")
@@ -163,8 +167,8 @@ object SyntheticMs {
     val ant = (0 until nAnt).map { a =>
       def p(tag: String) =
         (math.abs((a * 2654435761L + tag.hashCode).toInt) % 10000) * 1.0
-      (s"ANT-$a", Seq(p("x"), p("y"), p("z")), Seq(0.0, 0.0, 0.0))
-    }.toDF("NAME", "POSITION", "OFFSET")
+      (a, s"ANT-$a", Seq(p("x"), p("y"), p("z")), Seq(0.0, 0.0, 0.0))
+    }.toDF("ANTENNA_ID", "NAME", "POSITION", "OFFSET")
     ant.coalesce(1).write.mode("overwrite").parquet(s"$root/ANTENNA")
   }
 }

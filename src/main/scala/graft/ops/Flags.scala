@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Flag and selection operators (SURVEY §2.2 P1–P4, P7).
+  *
+  * All are native Catalyst expressions (higher-order functions, no UDFs)
+  * so they stay inside whole-stage codegen and push down where possible.
+  */
+object Flags {
+
+  /** P1 — drop autocorrelations (reference default; TAQL
+    * `ANTENNA1 != ANTENNA2`, xova/apps/xova/arguments.py:219-220).
+    * A plain filter: Catalyst pushes it into the parquet scan.
+    */
+  def filterAutocorr(df: DataFrame): DataFrame =
+    df.filter(col("ANTENNA1") =!= col("ANTENNA2"))
+
+  /** P2 — field selection (xova/apps/xova/averaging.py:218-219). */
+  def selectFields(df: DataFrame, fields: Seq[Int]): DataFrame =
+    if (fields.isEmpty) df else df.filter(col("FIELD_ID").isin(fields: _*))
+
+  /** P3 — scan selection (xova/apps/xova/averaging.py:221-222). */
+  def selectScans(df: DataFrame, scans: Seq[Int]): DataFrame =
+    if (scans.isEmpty) df else df.filter(col("SCAN_NUMBER").isin(scans: _*))
+
+  /** P4 — FLAG_ROW := all(FLAG over chan,corr) unless the caller asked to
+    * respect the stored column (xova/apps/xova/averaging.py:224-225).
+    * `forall(flatten(...))` is a codegen'd higher-order expression — no
+    * explode, no shuffle.
+    */
+  def deriveFlagRow(df: DataFrame, respectFlagRow: Boolean = false): DataFrame =
+    if (respectFlagRow) df
+    else df.withColumn("FLAG_ROW", derivedFlagRow)
+
+  /** The P4 expression itself (usable in selects). */
+  def derivedFlagRow: Column = forall(flatten(col("FLAG")), x => x)
+
+  /** P7 — FLAG_CATEGORY = FLAG with a singleton leading category axis
+    * (xova/apps/xova/averaging.py:80-94).
+    */
+  def flagCategory(df: DataFrame): DataFrame =
+    df.withColumn("FLAG_CATEGORY", array(col("FLAG")))
+}

@@ -1,0 +1,384 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ms.MsTables
+import graft.ops.{Flags, TimeAvg}
+
+/** Real MS-domain operators over the deterministic parquet MS fixture
+  * (graft.ms.SyntheticMs), each with an exactly-matching DuckDB oracle.
+  *
+  * Exactness design: fixture values live on decimal grids (re/im = k/1000
+  * stored float32, weights/sigmas = m/100, uvw = k/100), so
+  * `CAST(round(v*grid) AS BIGINT)` recovers identical integers on both
+  * engines and every weighted sum below is **pure integer arithmetic** —
+  * the flag-aware dual-population averaging semantics get bit-exact
+  * hash checks with zero float-ordering risk. Quotients are emitted only
+  * where both engines provably divide identical operands (sums of exact
+  * binary doubles).
+  *
+  * These entries run the averaging at exploded (row,chan,corr) grain so
+  * DuckDB can mirror them; the production path (graft.ops.VisAggregator)
+  * keeps the nested arrays and aggregates in a single shuffle — the
+  * explode here is oracle scaffolding, not the scale architecture.
+  */
+object MsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MS = "/root/repo/fixtures/ms"
+  private def rp(t: String) = s"read_parquet('$MS/$t/*.parquet')"
+
+  private val keys =
+    Seq("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "ANTENNA1", "ANTENNA2", "BIN")
+
+  /** Shared input: P1 autocorr filter + P4 derived row flag (as FROW) +
+    * W2 grid time bins. Mirrored by [[prepSql]].
+    */
+  private def prepped(s: SparkSession, binSecs: Double): DataFrame =
+    TimeAvg.assignGrid(
+      Flags.filterAutocorr(MsTables.main(s))
+        .withColumn("FROW", Flags.derivedFlagRow),
+      binSecs)
+
+  private def prepSql(binSecs: String): String =
+    s"""WITH m AS (
+          SELECT *, list_aggregate(flatten(FLAG), 'bool_and') AS FROW
+          FROM ${rp("main")} WHERE ANTENNA1 <> ANTENNA2),
+        t0 AS (
+          SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, min(TIME) AS T0
+          FROM m GROUP BY ALL),
+        p AS (
+          SELECT m.*, CAST(floor((TIME - T0) / $binSecs) AS INTEGER) AS BIN
+          FROM m JOIN t0 USING (FIELD_ID, DATA_DESC_ID, SCAN_NUMBER))"""
+
+  /** Flat-grain flag-aware weighted visibility average (A1/A2 kernel),
+    * parameterized by data column (P5) and channel bin size (A2).
+    * Output grain: (group, baseline, time bin, channel bin, corr).
+    */
+  private def visFlat(s: SparkSession, dataCol: String, chanBin: Int): DataFrame = {
+    val p = prepped(s, 60000.0)
+    val cells = p
+      .select((keys :+ "FROW").map(col) ++ Seq(
+        col("FLAG"), col("WEIGHT_SPECTRUM"),
+        posexplode(col(dataCol)).as(Seq("CHAN", "CA"))): _*)
+      .select((keys :+ "FROW").map(col) ++ Seq(
+        col("FLAG"), col("WEIGHT_SPECTRUM"), col("CHAN"),
+        posexplode(col("CA")).as(Seq("CORR", "V"))): _*)
+      .withColumn("FL", expr("FLAG[CHAN][CORR]"))
+      .withColumn("WI", expr("CAST(round(WEIGHT_SPECTRUM[CHAN][CORR] * 100) AS BIGINT)"))
+      .withColumn("VR", expr("CAST(round(V.re * 1000) AS BIGINT)"))
+      .withColumn("VI", expr("CAST(round(V.im * 1000) AS BIGINT)"))
+      .withColumn("EFF", !col("FROW") && !col("FL"))
+      .withColumn("CHAN_BIN", expr(s"CAST(CHAN div $chanBin AS INT)"))
+    cells
+      .groupBy((keys :+ "CHAN_BIN" :+ "CORR").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_samp"),
+        sum(when(col("EFF"), 1L).otherwise(0L)).as("n_unflagged"),
+        sum(when(col("EFF"), col("VR") * col("WI"))).as("re_eff"),
+        sum(when(col("EFF"), col("VI") * col("WI"))).as("im_eff"),
+        sum(when(col("EFF"), col("WI"))).as("w_eff"),
+        sum(col("VR") * col("WI")).as("re_nom"),
+        sum(col("VI") * col("WI")).as("im_nom"),
+        sum(col("WI")).as("w_nom"))
+      .select((keys :+ "CHAN_BIN" :+ "CORR").map(col) ++ Seq(
+        col("n_samp"),
+        (col("n_unflagged") === 0L).as("flag_out"),
+        when(col("n_unflagged") > 0, col("re_eff")).otherwise(col("re_nom")).as("re_num"),
+        when(col("n_unflagged") > 0, col("im_eff")).otherwise(col("im_nom")).as("im_num"),
+        when(col("n_unflagged") > 0, col("w_eff")).otherwise(col("w_nom")).as("w_den")): _*)
+  }
+
+  private def visFlatSql(dataCol: String, chanBin: Int): String =
+    s"""${prepSql("60000.0")},
+        cells AS (
+          SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+                 CAST(c.chan // $chanBin AS INTEGER) AS CHAN_BIN,
+                 CAST(k.corr AS INTEGER) AS CORR,
+                 (NOT FROW AND NOT FLAG[c.chan+1][k.corr+1]) AS EFF,
+                 CAST(round($dataCol[c.chan+1][k.corr+1].re * 1000) AS BIGINT) AS VR,
+                 CAST(round($dataCol[c.chan+1][k.corr+1].im * 1000) AS BIGINT) AS VI,
+                 CAST(round(WEIGHT_SPECTRUM[c.chan+1][k.corr+1] * 100) AS BIGINT) AS WI
+          FROM p,
+               LATERAL (SELECT unnest(range(len($dataCol))) AS chan) c,
+               LATERAL (SELECT unnest(range(len($dataCol[1]))) AS corr) k)
+        SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+               CHAN_BIN, CORR,
+               count(*) AS n_samp,
+               (count(*) FILTER (EFF) = 0) AS flag_out,
+               CASE WHEN count(*) FILTER (EFF) > 0
+                    THEN sum(VR * WI) FILTER (EFF) ELSE sum(VR * WI) END AS re_num,
+               CASE WHEN count(*) FILTER (EFF) > 0
+                    THEN sum(VI * WI) FILTER (EFF) ELSE sum(VI * WI) END AS im_num,
+               CASE WHEN count(*) FILTER (EFF) > 0
+                    THEN sum(WI) FILTER (EFF) ELSE sum(WI) END AS w_den
+        FROM cells GROUP BY ALL"""
+
+  val queries: Map[String, Q] = Map(
+    // S3/S4: subtable scan — SPW metadata scalars (tiny, broadcastable).
+    // Reference: xova/apps/xova/app.py:185-193.
+    "ms_s3_spw_scan" -> ((s, _) =>
+      MsTables.spw(s).select(
+        col("SPECTRAL_WINDOW_ID"), col("NUM_CHAN"),
+        col("REF_FREQUENCY"), col("TOTAL_BANDWIDTH"),
+        element_at(col("CHAN_FREQ"), 1).as("first_freq"),
+        element_at(col("CHAN_FREQ"), col("NUM_CHAN")).as("last_freq"),
+        element_at(col("CHAN_WIDTH"), 1).as("chan_width"))),
+
+    // P1: autocorrelation filter on the real main table.
+    // Reference: xova/apps/xova/arguments.py:219-220.
+    "ms_p1_autocorr" -> ((s, _) =>
+      Flags.filterAutocorr(MsTables.main(s))
+        .groupBy("DATA_DESC_ID")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("ANTENNA1") * 64 + col("ANTENNA2")).as("n_baselines"))),
+
+    // P4: FLAG_ROW recompute vs the (deliberately inconsistent) stored
+    // column. Reference: xova/apps/xova/averaging.py:224-225.
+    "ms_p4_flag_row" -> ((s, _) =>
+      MsTables.main(s)
+        .withColumn("DERIVED", Flags.derivedFlagRow)
+        .groupBy("DATA_DESC_ID")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("FLAG_ROW"), 1L).otherwise(0L)).as("n_stored"),
+          sum(when(col("DERIVED"), 1L).otherwise(0L)).as("n_derived"),
+          sum(when(col("FLAG_ROW") =!= col("DERIVED"), 1L).otherwise(0L)).as("n_changed"))),
+
+    // W2-real: accumulate-until-full time binning per baseline (window
+    // cumsum). Reference: xova/apps/xova/chunking.py:107-166.
+    "ms_w2_bin_running" -> ((s, _) =>
+      TimeAvg.assignRunning(Flags.filterAutocorr(MsTables.main(s)), 30000.0)
+        .groupBy("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "BIN")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("TIME")).as("n_times"),
+          min(col("TIME")).as("bin_start"))),
+
+    // A1 row-stage: dual-population (nominal vs effective) row averages.
+    // TIME=mean(nom), INTERVAL=sum(nom), TIME_CENTROID=mean(eff),
+    // EXPOSURE=sum(eff), UVW=weighted mean(eff), all falling back to the
+    // nominal population when every row in the bin is flagged.
+    // Reference: xova/apps/xova/averaging.py:125-173,251-255.
+    "ms_a1_row_avg" -> ((s, _) => {
+      val p = prepped(s, 60000.0)
+        .withColumn("WROW",
+          aggregate(transform(col("WEIGHT"),
+            x => round(x * 100).cast("bigint")), lit(0L), (a, x) => a + x))
+        .withColumn("U", expr("CAST(round(UVW[0] * 100) AS BIGINT)"))
+        .withColumn("V", expr("CAST(round(UVW[1] * 100) AS BIGINT)"))
+        .withColumn("W", expr("CAST(round(UVW[2] * 100) AS BIGINT)"))
+      val eff = !col("FROW")
+      p.groupBy(keys.map(col): _*)
+        .agg(
+          count(lit(1)).as("n_nom"),
+          sum(when(eff, 1L).otherwise(0L)).as("n_eff"),
+          sum(col("TIME")).as("t_sum"),
+          sum(col("INTERVAL")).as("interval_sum"),
+          sum(when(eff, col("TIME_CENTROID"))).as("tc_eff"),
+          sum(col("TIME_CENTROID")).as("tc_nom"),
+          sum(when(eff, col("EXPOSURE"))).as("exp_eff"),
+          sum(col("EXPOSURE")).as("exp_nom"),
+          sum(when(eff, col("U") * col("WROW"))).as("u_eff"),
+          sum(col("U") * col("WROW")).as("u_nom"),
+          sum(when(eff, col("V") * col("WROW"))).as("v_eff"),
+          sum(col("V") * col("WROW")).as("v_nom"),
+          sum(when(eff, col("W") * col("WROW"))).as("w_eff"),
+          sum(col("W") * col("WROW")).as("w_nom"),
+          sum(when(eff, col("WROW"))).as("wd_eff"),
+          sum(col("WROW")).as("wd_nom"))
+        .select(keys.map(col) ++ Seq(
+          col("n_nom"), col("n_eff"),
+          (col("t_sum") / col("n_nom")).as("time_avg"),
+          col("interval_sum"),
+          when(col("n_eff") > 0, col("tc_eff") / col("n_eff"))
+            .otherwise(col("tc_nom") / col("n_nom")).as("centroid_avg"),
+          when(col("n_eff") > 0, col("exp_eff")).otherwise(col("exp_nom")).as("exposure_sum"),
+          (col("n_eff") === 0L).as("flag_row_out"),
+          when(col("n_eff") > 0, col("u_eff")).otherwise(col("u_nom")).as("u_num"),
+          when(col("n_eff") > 0, col("v_eff")).otherwise(col("v_nom")).as("v_num"),
+          when(col("n_eff") > 0, col("w_eff")).otherwise(col("w_nom")).as("w_num"),
+          when(col("n_eff") > 0, col("wd_eff")).otherwise(col("wd_nom")).as("w_den")): _*)
+    }),
+
+    // A1 vis-stage: the flag-aware weighted complex average itself,
+    // chan_bin_size=1 (pure time averaging).
+    // Reference: xova/apps/xova/averaging.py:251-255.
+    "ms_a1_vis_avg" -> ((s, _) => visFlat(s, "DATA", 1)),
+
+    // A1 weight/sigma-stage: WEIGHT = sum(eff), SIGMA via Σw²σ²
+    // (emitted as exact scaled-integer sums).
+    "ms_a1_weight_sigma" -> ((s, _) => {
+      val p = prepped(s, 60000.0)
+        .select((keys :+ "FROW").map(col) ++ Seq(
+          col("SIGMA"), posexplode(col("WEIGHT")).as(Seq("CORR", "WV"))): _*)
+        .withColumn("WM", round(col("WV") * 100).cast("bigint"))
+        .withColumn("SM", expr("CAST(round(SIGMA[CORR] * 100) AS BIGINT)"))
+      val eff = !col("FROW")
+      p.groupBy((keys :+ "CORR").map(col): _*)
+        .agg(
+          count(lit(1)).as("n_nom"),
+          sum(when(eff, 1L).otherwise(0L)).as("n_eff"),
+          sum(when(eff, col("WM"))).as("w_eff"),
+          sum(col("WM")).as("w_nom"),
+          sum(when(eff, col("WM") * col("WM") * col("SM") * col("SM"))).as("s_eff"),
+          sum(col("WM") * col("WM") * col("SM") * col("SM")).as("s_nom"))
+        .select((keys :+ "CORR").map(col) ++ Seq(
+          col("n_nom"), col("n_eff"),
+          when(col("n_eff") > 0, col("w_eff")).otherwise(col("w_nom")).as("weight_sum"),
+          when(col("n_eff") > 0, col("s_eff")).otherwise(col("s_nom")).as("sigma_num")): _*)
+    }),
+
+    // A2: joint time+channel averaging (chan_bin_size=4) — weighted sums
+    // stay associative so one pass covers both stages.
+    "ms_a2_chan_avg" -> ((s, _) => visFlat(s, "DATA", 4)),
+
+    // P5: --data-column FROM:TO rename-on-average (CORRECTED_DATA in).
+    // Reference: xova/apps/xova/arguments.py:231-245.
+    "ms_p5_rename_avg" -> ((s, _) => visFlat(s, "CORRECTED_DATA", 4)),
+
+    // A3: SPW channel-metadata rebin — CHAN_FREQ=mean, CHAN_WIDTH=sum
+    // per output channel. Reference: xova/apps/xova/averaging.py:357-406.
+    "ms_a3_spw_rewrite" -> ((s, _) =>
+      MsTables.spw(s)
+        .select(col("SPECTRAL_WINDOW_ID"), col("NUM_CHAN"), col("CHAN_WIDTH"),
+          posexplode(col("CHAN_FREQ")).as(Seq("C", "F")))
+        .withColumn("CB", expr("CAST(C div 4 AS INT)"))
+        .withColumn("CW", expr("CHAN_WIDTH[C]"))
+        .groupBy("SPECTRAL_WINDOW_ID", "CB")
+        .agg(
+          count(lit(1)).as("n_chan_in"),
+          (sum(col("F")) / count(lit(1))).as("freq_out"),
+          sum(col("CW")).as("width_out"))),
+
+    // J1: main ⋈ DATA_DESCRIPTION ⋈ SPECTRAL_WINDOW broadcast chain.
+    // Reference: xova/apps/xova/averaging.py:306-308.
+    "ms_j1_spw_join" -> ((s, _) =>
+      MsTables.main(s)
+        .join(broadcast(MsTables.ddid(s)), "DATA_DESC_ID")
+        .join(broadcast(MsTables.spw(s)), "SPECTRAL_WINDOW_ID")
+        .groupBy("DATA_DESC_ID", "SPECTRAL_WINDOW_ID", "NUM_CHAN", "TOTAL_BANDWIDTH")
+        .agg(count(lit(1)).as("n_rows"))),
+
+    // U2/J3: conformance check — DATA shape vs SPW/POL metadata.
+    // Reference: xova/apps/xova/check.py:22-76.
+    "ms_u2_check_shapes" -> ((s, _) =>
+      MsTables.main(s)
+        .join(broadcast(MsTables.ddid(s)), "DATA_DESC_ID")
+        .join(broadcast(MsTables.spw(s).select("SPECTRAL_WINDOW_ID", "NUM_CHAN")),
+          "SPECTRAL_WINDOW_ID")
+        .join(broadcast(MsTables.pol(s).select("POLARIZATION_ID", "NUM_CORR")),
+          "POLARIZATION_ID")
+        .groupBy("DATA_DESC_ID")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(size(col("DATA")) =!= col("NUM_CHAN") ||
+            size(element_at(col("DATA"), 1)) =!= col("NUM_CORR"), 1L)
+            .otherwise(0L)).as("n_violations")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ms_s3_spw_scan" ->
+      s"""SELECT SPECTRAL_WINDOW_ID, NUM_CHAN, REF_FREQUENCY, TOTAL_BANDWIDTH,
+                 CHAN_FREQ[1] AS first_freq, CHAN_FREQ[NUM_CHAN] AS last_freq,
+                 CHAN_WIDTH[1] AS chan_width
+          FROM ${rp("SPECTRAL_WINDOW")}""",
+    "ms_p1_autocorr" ->
+      s"""SELECT DATA_DESC_ID, count(*) AS n_rows,
+                 count(DISTINCT ANTENNA1 * 64 + ANTENNA2) AS n_baselines
+          FROM ${rp("main")} WHERE ANTENNA1 <> ANTENNA2 GROUP BY 1""",
+    "ms_p4_flag_row" ->
+      s"""SELECT DATA_DESC_ID, count(*) AS n_rows,
+                 sum(CASE WHEN FLAG_ROW THEN 1 ELSE 0 END) AS n_stored,
+                 sum(CASE WHEN list_aggregate(flatten(FLAG), 'bool_and') THEN 1 ELSE 0 END) AS n_derived,
+                 sum(CASE WHEN FLAG_ROW <> list_aggregate(flatten(FLAG), 'bool_and') THEN 1 ELSE 0 END) AS n_changed
+          FROM ${rp("main")} GROUP BY 1""",
+    "ms_w2_bin_running" ->
+      s"""SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, BIN,
+                 count(*) AS n_rows, count(DISTINCT TIME) AS n_times,
+                 min(TIME) AS bin_start
+          FROM (
+            SELECT *, CAST(floor((sum(INTERVAL) OVER (
+                     PARTITION BY FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2
+                     ORDER BY TIME
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - INTERVAL)
+                   / 30000.0) AS INTEGER) AS BIN
+            FROM ${rp("main")} WHERE ANTENNA1 <> ANTENNA2) t
+          GROUP BY 1, 2, 3, 4""",
+    "ms_a1_row_avg" ->
+      s"""${prepSql("60000.0")},
+          r AS (
+            SELECT p.*,
+                   list_sum(list_transform(WEIGHT, x -> CAST(round(x * 100) AS BIGINT))) AS WROW,
+                   CAST(round(UVW[1] * 100) AS BIGINT) AS U,
+                   CAST(round(UVW[2] * 100) AS BIGINT) AS V,
+                   CAST(round(UVW[3] * 100) AS BIGINT) AS W
+            FROM p)
+          SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+                 count(*) AS n_nom,
+                 count(*) FILTER (NOT FROW) AS n_eff,
+                 sum(TIME) / count(*) AS time_avg,
+                 sum(INTERVAL) AS interval_sum,
+                 CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(TIME_CENTROID) FILTER (NOT FROW) / (count(*) FILTER (NOT FROW))
+                      ELSE sum(TIME_CENTROID) / count(*) END AS centroid_avg,
+                 CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(EXPOSURE) FILTER (NOT FROW) ELSE sum(EXPOSURE) END AS exposure_sum,
+                 (count(*) FILTER (NOT FROW) = 0) AS flag_row_out,
+                 CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(U * WROW) FILTER (NOT FROW) ELSE sum(U * WROW) END AS u_num,
+                 CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(V * WROW) FILTER (NOT FROW) ELSE sum(V * WROW) END AS v_num,
+                 CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(W * WROW) FILTER (NOT FROW) ELSE sum(W * WROW) END AS w_num,
+                 CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(WROW) FILTER (NOT FROW) ELSE sum(WROW) END AS w_den
+          FROM r GROUP BY 1, 2, 3, 4, 5, 6""",
+    "ms_a1_vis_avg" -> visFlatSql("DATA", 1),
+    "ms_a1_weight_sigma" ->
+      s"""${prepSql("60000.0")},
+          cells AS (
+            SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN, FROW,
+                   CAST(k.corr AS INTEGER) AS CORR,
+                   CAST(round(WEIGHT[k.corr+1] * 100) AS BIGINT) AS WM,
+                   CAST(round(SIGMA[k.corr+1] * 100) AS BIGINT) AS SM
+            FROM p, LATERAL (SELECT unnest(range(len(WEIGHT))) AS corr) k)
+          SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN, CORR,
+                 count(*) AS n_nom,
+                 count(*) FILTER (NOT FROW) AS n_eff,
+                 CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(WM) FILTER (NOT FROW) ELSE sum(WM) END AS weight_sum,
+                 CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(WM * WM * SM * SM) FILTER (NOT FROW)
+                      ELSE sum(WM * WM * SM * SM) END AS sigma_num
+          FROM cells GROUP BY 1, 2, 3, 4, 5, 6, 7""",
+    "ms_a2_chan_avg" -> visFlatSql("DATA", 4),
+    "ms_p5_rename_avg" -> visFlatSql("CORRECTED_DATA", 4),
+    "ms_a3_spw_rewrite" ->
+      s"""SELECT SPECTRAL_WINDOW_ID, CAST(c.i // 4 AS INTEGER) AS CB,
+                 count(*) AS n_chan_in,
+                 sum(CHAN_FREQ[c.i+1]) / count(*) AS freq_out,
+                 sum(CHAN_WIDTH[c.i+1]) AS width_out
+          FROM ${rp("SPECTRAL_WINDOW")},
+               LATERAL (SELECT unnest(range(len(CHAN_FREQ))) AS i) c
+          GROUP BY 1, 2""",
+    "ms_j1_spw_join" ->
+      s"""SELECT DATA_DESC_ID, SPECTRAL_WINDOW_ID, NUM_CHAN, TOTAL_BANDWIDTH,
+                 count(*) AS n_rows
+          FROM ${rp("main")} m
+          JOIN ${rp("DATA_DESCRIPTION")} d USING (DATA_DESC_ID)
+          JOIN ${rp("SPECTRAL_WINDOW")} s USING (SPECTRAL_WINDOW_ID)
+          GROUP BY 1, 2, 3, 4""",
+    "ms_u2_check_shapes" ->
+      s"""SELECT DATA_DESC_ID, count(*) AS n_rows,
+                 sum(CASE WHEN len(DATA) <> NUM_CHAN OR len(DATA[1]) <> NUM_CORR
+                          THEN 1 ELSE 0 END) AS n_violations
+          FROM ${rp("main")} m
+          JOIN ${rp("DATA_DESCRIPTION")} d USING (DATA_DESC_ID)
+          JOIN (SELECT SPECTRAL_WINDOW_ID, NUM_CHAN FROM ${rp("SPECTRAL_WINDOW")}) s USING (SPECTRAL_WINDOW_ID)
+          JOIN (SELECT POLARIZATION_ID, NUM_CORR FROM ${rp("POLARIZATION")}) q USING (POLARIZATION_ID)
+          GROUP BY 1"""
+  )
+}
