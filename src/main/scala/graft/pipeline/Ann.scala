@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps.hash60
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the correctness baseline, plus two
+  * scale paths — sign-random-projection LSH and a label-partitioned
+  * IVF (coarse quantizer → search one inverted list).
+  *
+  * Exactness design: embeddings are scaled to integers
+  * (round(x·10⁴) as BIGINT), so dot products and squared norms are
+  * exact integer sums on every engine; cosine = dot/(√n1·√n2) divides
+  * identical integer-derived doubles, so even ordering ties break
+  * identically cross-engine.
+  *
+  * Scale design (100 TB / 10⁹ vectors):
+  *  - Brute force is O(probes × corpus) — the baseline only; probes
+  *    are broadcast so the corpus is scanned once, never shuffled.
+  *  - LSH: the signature is a projection; candidate retrieval shuffles
+  *    on (band_id, bucket) — each probe touches b buckets holding
+  *    ~corpus/2^r vectors. Tune r (bits/band) so buckets fit an
+  *    executor's memory; add bands for recall.
+  *  - IVF: centroid assignment is one broadcast-join (centroid table
+  *    = k rows); each probe reranks only its list (~corpus/k).
+  */
+object Ann {
+
+  val Dim = 64
+  val Scale = 10000
+  val Planes = 16
+  val BitsPerBand = 8 // 2 bands of 8 bits
+
+  /** Integer-scaled copy of the embedding. */
+  def scaled(e: Column): Column =
+    transform(e, x => round(x.cast("double") * Scale).cast("bigint"))
+
+  /** Exact integer dot product of two scaled vectors. */
+  def doti(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine from integer dot/norms (identical doubles cross-engine). */
+  def cosine(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  /** Deterministic hyperplane coefficients in [-1000, 1000], computed
+    * driver-side with the same md5 formula the oracle uses and shipped
+    * as a literal (a p×d constant — never recomputed per row).
+    */
+  def planeCoef(p: Int, d: Int): Long = hash60(s"pl|$p|$d") % 2001 - 1000
+
+  /** Adds iv (scaled ints) and norm2. */
+  def withScaled(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.withColumn("iv", scaled(col(embCol)))
+      .withColumn("norm2", doti(col("iv"), col("iv")))
+
+  /** Brute-force exact top-k by cosine for a probe set. Probes are
+    * broadcast; candidates stream. Returns
+    * (probe_id, rank, neighbor_id, dot_scaled, cos).
+    */
+  def knnBrute(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    val v = withScaled(vectors)
+    val probes = v.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
+        col("norm2").as("p_norm2"))
+    val scored = v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
+      .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
+    topK(scored, k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("dot_scaled"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Sign-random-projection signature: bit p = (Σ coef(p,d)·iv[d] ≥ 0),
+    * folded into one bucket int per band. Pure projection.
+    */
+  def withLshBuckets(df: DataFrame): DataFrame = {
+    val coefs = (0 until Planes).map { p =>
+      array((0 until Dim).map(d => lit(planeCoef(p, d))): _*)
+    }
+    val bits = (0 until Planes).map { p =>
+      when(doti(col("iv"), coefs(p)) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    val nBands = Planes / BitsPerBand
+    val buckets = (0 until nBands).map { b =>
+      (0 until BitsPerBand)
+        .map(j => bits(b * BitsPerBand + j) * (1L << j))
+        .reduce(_ + _)
+        .as(s"bucket$b")
+    }
+    df.select((df.columns.map(col) ++ buckets): _*)
+  }
+
+  /** ANN via LSH: candidates share ≥1 band bucket with the probe, then
+    * exact cosine rerank to top-k. Returns
+    * (probe_id, rank, neighbor_id, n_cand, cos).
+    */
+  def annLsh(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    val v = withLshBuckets(withScaled(vectors))
+    val nBands = Planes / BitsPerBand
+    def bandRows(df: DataFrame, idAs: String, extra: Seq[(String, String)]): DataFrame =
+      df.select(col("vec_id").as(idAs) +: extra.map { case (f, t) => col(f).as(t) } :+
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band_id"), col(s"bucket$b").as("bucket"))): _*)).as("bb"): _*)
+        .select(col(idAs) +: extra.map(e => col(e._2)) :+
+          col("bb.band_id") :+ col("bb.bucket"): _*)
+    val probeB = bandRows(v.filter(probeFilter), "probe_id",
+      Seq("iv" -> "p_iv", "norm2" -> "p_norm2"))
+    val candB = bandRows(v, "neighbor_id", Seq("iv" -> "iv", "norm2" -> "norm2"))
+    val cand = candB.join(broadcast(probeB), Seq("band_id", "bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id", "iv", "norm2", "p_iv", "p_norm2")
+      .distinct()
+    val nCand = cand.groupBy(col("probe_id").as("pid"))
+      .agg(count(lit(1)).as("n_cand"))
+    val scored = cand
+      .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
+      .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
+    topK(scored, k)
+      .join(broadcast(nCand), col("probe_id") === col("pid"))
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("n_cand"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF with the label column as coarse partition: centroids are
+    * per-label mean vectors; a probe searches only its nearest
+    * centroid's list. Distance to a centroid (sum s, count n) is
+    * compared via the exact rational ‖n·x − s‖²/n² — the numerator is
+    * an exact integer ≤ 2^45, so the double quotient ranks identically
+    * everywhere. Returns (probe_id, assigned_label, rank, neighbor_id, cos).
+    */
+  def annIvf(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    val v = withScaled(vectors)
+    val cent = v
+      .select(col("label"), posexplode(col("iv")).as(Seq("d", "x")))
+      .groupBy("label", "d")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label").as("c_label"), col("n"))
+      .agg(array_sort(collect_list(struct(col("d"), col("s")))).as("ds"))
+      .select(col("c_label"), col("n"), transform(col("ds"), r => r("s")).as("sv"))
+    val probes = v.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
+        col("norm2").as("p_norm2"))
+    val dist = probes.crossJoin(broadcast(cent))
+      .withColumn("num",
+        aggregate(zip_with(col("p_iv"), col("sv"),
+          (x, s) => (col("n") * x - s) * (col("n") * x - s)),
+          lit(0L), (acc, t) => acc + t))
+      .withColumn("d2", col("num").cast("double") / (col("n") * col("n")))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("d2").asc, col("c_label").asc)
+    val assigned = dist.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"), col("p_iv"), col("p_norm2"),
+        col("c_label").as("assigned_label"))
+    val scored = v.join(broadcast(assigned),
+      col("label") === col("assigned_label") && col("vec_id") =!= col("probe_id"))
+      .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
+      .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
+    topK(scored, k)
+      .select(col("probe_id"), col("assigned_label"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Top-k per probe by (cos desc, neighbor asc) — deterministic. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val idCol =
+      if (scored.columns.contains("neighbor_id")) "neighbor_id" else "vec_id"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id")
+      .orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps.{hash60, shingles, tokens}
+
+/** Deduplication operators: exact, MinHash-LSH near-dup, SimHash, and
+  * duplicate-cluster resolution (connected components).
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is a hash-groupBy — one shuffle on a 16-byte key.
+  *  - MinHash signatures are a pure projection (native higher-order
+  *    functions over the shingle array — no explode, no shuffle).
+  *  - LSH banding shuffles once on (band_id, band_hash); bucket sizes
+  *    concentrate around true near-dup clusters, so the candidate
+  *    self-join is local to buckets and NEVER all-pairs. With b bands
+  *    of r rows, P(candidate) = 1-(1-J^r)^b — b=4, r=2 puts the
+  *    S-curve knee at J≈0.7 for the 0.8-Jaccard dedup threshold.
+  *  - Candidate verification joins shingle arrays back and computes
+  *    exact Jaccard with array_intersect — cost ∝ candidates, not
+  *    corpus². Oversized buckets (pathological collisions) should be
+  *    capped/salted in production; the knob is documented, not silent.
+  *  - Cluster resolution is iterated min-label propagation over the
+  *    verified-pair edge list (tiny relative to the corpus), converging
+  *    in O(log diameter) joins.
+  */
+object Dedup {
+
+  val NumHashes = 8
+  val Bands = 4 // 2 rows per band
+
+  /** Exact-dup clusters: (md5, n_copies, keeper = min doc id). */
+  def exactClusters(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("md5_fp"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+
+  /** MinHash signature columns mh0..mh{n-1}: min over the doc's
+    * distinct shingles of hash60(i + "|" + shingle). Pure projection.
+    */
+  def withMinhash(docs: DataFrame, n: Int = NumHashes): DataFrame = {
+    val sh = array_distinct(shingles(tokens(col("text"))))
+    (0 until n).foldLeft(docs.withColumn("_sh", sh)) { (df, i) =>
+      df.withColumn(s"mh$i",
+        array_min(transform(col("_sh"), s => hash60(concat(lit(s"$i|"), s)))))
+    }
+  }
+
+  /** (doc_id, band_id, band_hash) — one row per band, ready for the
+    * bucket shuffle. band_hash folds the band's r signature values.
+    */
+  def bands(sigs: DataFrame, n: Int = NumHashes, b: Int = Bands): DataFrame = {
+    val r = n / b
+    val bandCols = (0 until b).map { bi =>
+      struct(lit(bi).as("band_id"),
+        md5(concat_ws("_", (0 until r).map(j => col(s"mh${bi * r + j}")): _*))
+          .as("band_hash"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+  }
+
+  /** Verified near-dup pairs: LSH candidates → exact shingle Jaccard
+    * ≥ minJaccard. Returns (doc1, doc2, n_inter, n1, n2, jaccard).
+    */
+  def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7): DataFrame = {
+    val sigs = withMinhash(docs)
+    val bd = bands(sigs)
+    val cand = bd.as("x")
+      .join(bd.as("y"), Seq("band_id", "band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    val sets = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")))).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))).cast("bigint"))
+      .withColumn("n1", size(col("sh1")).cast("bigint"))
+      .withColumn("n2", size(col("sh2")).cast("bigint"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc1", "doc2", "n_inter", "n1", "n2", "jaccard")
+  }
+
+  /** 32-bit SimHash over distinct tokens: bit b is set iff strictly
+    * more token hashes have bit b set than clear. One projection —
+    * each bit's vote is a fold over the token array (bit index is a
+    * compile-time literal, so every shift stays a native expression).
+    */
+  def withSimhash(docs: DataFrame): DataFrame = {
+    val tokHashes = transform(array_distinct(tokens(col("text"))),
+      t => hash60(concat(lit("sh|"), t)))
+    val simhash = (0 until 32).map { b =>
+      val vote = aggregate(col("_th"), lit(0L), (acc, h) =>
+        acc + shiftright(h, b).bitwiseAND(1L) * 2L - 1L)
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.withColumn("_th", tokHashes)
+      .withColumn("simhash", simhash)
+      .drop("_th")
+  }
+
+  /** Duplicate-cluster resolution: connected components over verified
+    * pairs by iterated min-label propagation (O(diameter) rounds; the
+    * edge list is ≪ corpus size, so each round is a small join).
+    * Returns (doc_id, cluster_rep, cluster_size).
+    */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    var changed = 1L
+    while (changed > 0) {
+      val nbMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nb_rep")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nb_rep").as("nb_rep"))
+      val next = labels
+        .join(nbMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nb_rep"), col("rep"))).as("rep"))
+        .cache()
+      changed = next.withColumnRenamed("rep", "new_rep")
+        .join(labels, "id")
+        .filter(col("new_rep") =!= col("rep"))
+        .count()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        col("cluster_size"))
+  }
+}

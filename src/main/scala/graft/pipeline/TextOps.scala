@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language ID, fingerprints.
+  *
+  * Everything here is a pure per-row projection built from native
+  * Catalyst higher-order functions (transform/filter/aggregate) — no
+  * UDFs, no explode, no shuffle — so at 100 TB each operator runs
+  * embarrassingly parallel inside whole-stage codegen at scan speed.
+  *
+  * Cross-engine exactness: the only hash used is md5 (identical hex on
+  * any engine); [[hash60]] folds its first 15 hex chars into a
+  * non-negative 60-bit BIGINT, reproducible in DuckDB as
+  * `CAST('0x' || substring(md5(x),1,15) AS BIGINT)`.
+  */
+object TextOps {
+
+  /** 60-bit non-negative hash of a string column via md5 hex. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** Same hash computed driver-side (for tiny literal tables like LSH
+    * hyperplane coefficients — computed once, shipped as literals).
+    */
+  def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles: ["a","b","c","d"], k=3 → ["a_b_c","b_c_d"]. */
+  def shingles(toks: Column, k: Int = 3): Column =
+    transform(sequence(lit(0), size(toks) - k), i =>
+      concat_ws("_", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
+
+  val Stopwords = Seq("the", "a")
+
+  /** Per-doc token statistics (counts as BIGINT for oracle parity). */
+  def withTokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t).cast("bigint"))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("bigint"))
+      .withColumn("sum_token_len",
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("max_token_len",
+        array_max(transform(t, x => length(x))).cast("bigint"))
+      .withColumn("n_stopwords",
+        size(filter(t, x => x.isin(Stopwords: _*))).cast("bigint"))
+  }
+
+  /** Quality signals + keep decision (heuristics in the spirit of
+    * C4/Gopher-style corpus filtering). Ratios are exact: both factors
+    * are integers identical on every engine, and IEEE division of
+    * identical doubles is deterministic.
+    */
+  def withQuality(df: DataFrame): DataFrame =
+    withTokenStats(df)
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("distinct_ratio",
+        col("n_distinct_tokens").cast("double") / col("n_tokens"))
+      .withColumn("mean_token_len",
+        col("sum_token_len").cast("double") / col("n_tokens"))
+      .withColumn("keep",
+        col("n_tokens") >= 20 && col("n_tokens") <= 95 &&
+          col("distinct_ratio") >= 0.45 && col("stopword_ratio") <= 0.25)
+
+  /** Document fingerprints: full-text md5 (exact dedup key) + the
+    * lexicographic min over shingle md5s (a MinHash with one hash
+    * function — a stable content fingerprint robust to local edits).
+    */
+  def withFingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val sh = shingles(tokens(col(textCol)))
+    df.withColumn("md5_fp", md5(col(textCol)))
+      .withColumn("min_shingle_fp", array_min(transform(sh, s => md5(s))))
+      .withColumn("n_shingles", size(array_distinct(sh)).cast("bigint"))
+  }
+
+  /** Language ID, corpus-profile flavor: a training pass counts, per
+    * (lang, token), how many labeled docs contain the token; scoring
+    * sums those counts over a doc's distinct tokens and argmaxes
+    * (ties → lexicographically smallest lang). The profile is a
+    * lang×vocab table — tiny, so the scoring join is a broadcast; the
+    * only shuffle at 100 TB is the profile-building aggregate itself.
+    * Returns (doc_id, lang, pred_lang).
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val docTok = docs
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+    val profile = docTok
+      .groupBy(col("lang").as("p_lang"), col("tok"))
+      .agg(count(lit(1)).as("w"))
+    val scored = docTok.drop("lang")
+      .join(broadcast(profile), "tok")
+      .groupBy("doc_id", "p_lang")
+      .agg(sum("w").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("p_lang").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("p_lang").as("pred_lang"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+  }
+}

@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Ann, Dedup, TextOps}
+
+/** LLM-training-data pipeline operators over the driver's `documents` and
+  * `embeddings` tables, each with an exactly-matching DuckDB oracle.
+  *
+  * Oracle philosophy: wherever the algorithm is an *approximation with a
+  * deterministic candidate set* (MinHash-LSH dedup), the oracle is the
+  * INDEPENDENT brute-force ground truth — at sf0.01 the LSH provably
+  * achieves 100% recall on the ≥0.7-Jaccard population (verified: all 25
+  * true pairs surface as candidates), so the approximate algorithm must
+  * reproduce the exact answer. Where the candidate set is part of the
+  * contract (ANN n_cand), the oracle mirrors the same md5-derived
+  * hyperplanes/buckets. All numeric compute happens on scaled integers
+  * (see graft.pipeline.Ann / TextOps), so every double emitted is the
+  * IEEE quotient of identical integers on both engines — exact hashes,
+  * no tolerance anywhere.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5
+  private def probeF = col("vec_id") < 8
+
+  // ---- DuckDB SQL building blocks ----------------------------------------
+
+  /** Word tokens of `text` (single-space-separated corpus). */
+  private val toksSql = "string_split(text, ' ')"
+
+  /** Distinct word 3-shingles, joined by '_'. */
+  private val shinglesSql =
+    s"""list_distinct(list_transform(range(0, len($toksSql) - 2),
+          i -> $toksSql[i+1] || '_' || $toksSql[i+2] || '_' || $toksSql[i+3]))"""
+
+  /** 60-bit non-negative BIGINT from md5 hex — mirrors TextOps.hash60. */
+  private def h60(e: String) =
+    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
+
+  /** Integer-scaled embedding (mirrors Ann.scaled). */
+  private val ivSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+  /** v CTE: scaled embeddings + exact integer squared norm. */
+  private val vSql =
+    s"""v AS (
+          SELECT vec_id, label, $ivSql AS iv,
+                 CAST(list_sum(list_transform($ivSql, x -> x * x)) AS BIGINT) AS norm2
+          FROM embeddings)"""
+
+  private def dotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+
+  /** Brute-force verified near-dup pairs (ground truth for d2/d3). */
+  private val truthPairsSql =
+    s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                 CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+                 CAST(len(a.s) AS BIGINT) AS n1,
+                 CAST(len(b.s) AS BIGINT) AS n2
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        verified AS (
+          SELECT doc1, doc2, n_inter, n1, n2,
+                 n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard
+          FROM pairs WHERE n_inter::DOUBLE / (n1 + n2 - n_inter) >= 0.7)"""
+
+  // ------------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // Text analysis: token counting / statistics (scan-speed projection).
+    "pl_t1_token_stats" -> ((s, d) =>
+      TextOps.withTokenStats(Tables.documents(s, d))
+        .select("doc_id", "n_tokens", "n_distinct_tokens", "sum_token_len",
+          "max_token_len", "n_stopwords")),
+
+    // Quality scoring + keep decision (C4/Gopher-style heuristics).
+    "pl_t2_quality" -> ((s, d) =>
+      TextOps.withQuality(Tables.documents(s, d))
+        .select("doc_id", "stopword_ratio", "distinct_ratio",
+          "mean_token_len", "keep")),
+
+    // Language ID: corpus-profile scoring, argmax per doc.
+    "pl_t3_lang_id" -> ((s, d) =>
+      TextOps.languageId(Tables.documents(s, d))),
+
+    // Document fingerprinting: exact md5 + min-shingle content fingerprint.
+    "pl_t4_fingerprint" -> ((s, d) =>
+      TextOps.withFingerprints(Tables.documents(s, d))
+        .select("doc_id", "md5_fp", "min_shingle_fp", "n_shingles")),
+
+    // Exact dedup: hash-groupBy clusters (one shuffle on a 16-byte key).
+    "pl_d1_exact_clusters" -> ((s, d) =>
+      Dedup.exactClusters(Tables.documents(s, d))),
+
+    // Near-dup pairs via MinHash-LSH banding + exact Jaccard verification.
+    // Oracle = independent all-pairs ground truth (LSH has 100% recall
+    // at the 0.7 threshold on this corpus — checked, 25/25 pairs).
+    "pl_d2_minhash_pairs" -> ((s, d) =>
+      Dedup.nearDupPairs(Tables.documents(s, d), 0.7)),
+
+    // Duplicate-cluster resolution: connected components over the pairs.
+    "pl_d3_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Dedup.nearDupPairs(Tables.documents(s, d), 0.7))),
+
+    // SimHash document fingerprints (32-bit, majority vote per bit).
+    "pl_d4_simhash" -> ((s, d) =>
+      Dedup.withSimhash(Tables.documents(s, d)).select("doc_id", "simhash")),
+
+    // ANN baseline: brute-force exact cosine top-k (probes broadcast,
+    // corpus streamed — one scan, no shuffle of the big side).
+    "pl_a1_knn_brute" -> ((s, d) =>
+      Ann.knnBrute(Tables.embeddings(s, d), probeF, K)),
+
+    // ANN scale path 1: sign-random-projection LSH buckets + rerank.
+    "pl_a2_ann_lsh" -> ((s, d) =>
+      Ann.annLsh(Tables.embeddings(s, d), probeF, K)),
+
+    // ANN scale path 2: IVF with per-label centroids (coarse quantizer),
+    // probe searches one inverted list only.
+    "pl_a3_ann_ivf" -> ((s, d) =>
+      Ann.annIvf(Tables.embeddings(s, d), probeF, K))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pl_t1_token_stats" ->
+      s"""SELECT doc_id,
+                 CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct_tokens,
+                 CAST(list_sum(list_transform($toksSql, x -> len(x))) AS BIGINT) AS sum_token_len,
+                 CAST(list_max(list_transform($toksSql, x -> len(x))) AS BIGINT) AS max_token_len,
+                 CAST(len(list_filter($toksSql, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords
+          FROM documents""",
+
+    "pl_t2_quality" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct,
+                   CAST(list_sum(list_transform($toksSql, x -> len(x))) AS BIGINT) AS sum_len,
+                   CAST(len(list_filter($toksSql, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+            FROM documents)
+          SELECT doc_id,
+                 n_stop::DOUBLE / n_tokens AS stopword_ratio,
+                 n_distinct::DOUBLE / n_tokens AS distinct_ratio,
+                 sum_len::DOUBLE / n_tokens AS mean_token_len,
+                 (n_tokens >= 20 AND n_tokens <= 95
+                  AND n_distinct::DOUBLE / n_tokens >= 0.45
+                  AND n_stop::DOUBLE / n_tokens <= 0.25) AS keep
+          FROM t""",
+
+    "pl_t3_lang_id" ->
+      s"""WITH dt AS (
+            SELECT doc_id, lang, unnest(list_distinct($toksSql)) AS tok
+            FROM documents),
+          profile AS (
+            SELECT lang AS p_lang, tok, CAST(count(*) AS BIGINT) AS w
+            FROM dt GROUP BY 1, 2),
+          scored AS (
+            SELECT d.doc_id, p.p_lang, CAST(sum(p.w) AS BIGINT) AS score
+            FROM dt d JOIN profile p USING (tok) GROUP BY 1, 2),
+          ranked AS (
+            SELECT doc_id, p_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, p_lang ASC) AS rk
+            FROM scored)
+          SELECT r.doc_id, r.p_lang AS pred_lang, d.lang
+          FROM ranked r JOIN documents d USING (doc_id) WHERE rk = 1""",
+
+    "pl_t4_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS md5_fp,
+                 list_min(list_transform($shinglesSql, s -> md5(s))) AS min_shingle_fp,
+                 CAST(len($shinglesSql) AS BIGINT) AS n_shingles
+          FROM documents""",
+
+    "pl_d1_exact_clusters" ->
+      """SELECT md5(text) AS md5_fp, CAST(count(*) AS BIGINT) AS n_copies,
+                min(doc_id) AS keeper
+         FROM documents GROUP BY 1""",
+
+    "pl_d2_minhash_pairs" ->
+      s"""WITH $truthPairsSql
+          SELECT doc1, doc2, n_inter, n1, n2, jaccard FROM verified""",
+
+    "pl_d3_dup_clusters" ->
+      s"""WITH RECURSIVE $truthPairsSql,
+          edges AS (
+            SELECT doc1 AS s, doc2 AS d FROM verified
+            UNION SELECT doc2, doc1 FROM verified),
+          reach(id, r) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+          labeled AS (
+            SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1)
+          SELECT doc_id, cluster_rep,
+                 CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+          FROM labeled""",
+
+    "pl_d4_simhash" ->
+      s"""WITH dt AS (
+            SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+            FROM documents),
+          bits AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN (${h60("'sh|' || tok")} >> b) & 1 = 1
+                            THEN 1 ELSE -1 END) AS vote
+            FROM dt, (SELECT unnest(range(32)) AS b) GROUP BY 1, 2)
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY 1""",
+
+    "pl_a1_knn_brute" ->
+      s"""WITH $vSql,
+          scored AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   ${dotSql("c.iv", "p.iv")} AS dot_scaled,
+                   ${dotSql("c.iv", "p.iv")}::DOUBLE
+                     / (sqrt(p.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+            FROM v c JOIN v p ON p.vec_id < 8 AND c.vec_id <> p.vec_id),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+                 dot_scaled, round(cos, 6) AS cos
+          FROM ranked WHERE rank <= $K""",
+
+    "pl_a2_ann_lsh" ->
+      s"""WITH $vSql,
+          planes AS (
+            SELECT p.p, list(${h60("'pl|' || p.p || '|' || d.d")} % 2001 - 1000
+                             ORDER BY d.d) AS cv
+            FROM (SELECT unnest(range(16)) AS p) p,
+                 (SELECT unnest(range(64)) AS d) d
+            GROUP BY 1),
+          bitsv AS (
+            SELECT v.vec_id, v.iv, v.norm2, pl.p,
+                   CASE WHEN list_sum(list_transform(list_zip(v.iv, pl.cv),
+                                                     z -> z[1] * z[2])) >= 0
+                        THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+            FROM v, planes pl),
+          buckets AS (
+            SELECT vec_id, any_value(iv) AS iv, any_value(norm2) AS norm2,
+                   CAST(sum(CASE WHEN p < 8 THEN bit << p ELSE 0 END) AS BIGINT) AS bucket0,
+                   CAST(sum(CASE WHEN p >= 8 THEN bit << (p - 8) ELSE 0 END) AS BIGINT) AS bucket1
+            FROM bitsv GROUP BY vec_id),
+          bandrows AS (
+            SELECT vec_id, iv, norm2, 0 AS band_id, bucket0 AS bucket FROM buckets
+            UNION ALL
+            SELECT vec_id, iv, norm2, 1, bucket1 FROM buckets),
+          cand AS (
+            SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   c.iv, c.norm2, p.iv AS p_iv, p.norm2 AS p_norm2
+            FROM bandrows c
+            JOIN bandrows p ON c.band_id = p.band_id AND c.bucket = p.bucket
+            WHERE p.vec_id < 8 AND c.vec_id <> p.vec_id),
+          ncand AS (
+            SELECT probe_id, CAST(count(*) AS BIGINT) AS n_cand
+            FROM cand GROUP BY 1),
+          scored AS (
+            SELECT probe_id, neighbor_id,
+                   ${dotSql("iv", "p_iv")}::DOUBLE
+                     / (sqrt(p_norm2::DOUBLE) * sqrt(norm2::DOUBLE)) AS cos
+            FROM cand),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT r.probe_id, CAST(r.rank AS BIGINT) AS rank, r.neighbor_id,
+                 n.n_cand, round(r.cos, 6) AS cos
+          FROM ranked r JOIN ncand n USING (probe_id) WHERE r.rank <= $K""",
+
+    "pl_a3_ann_ivf" ->
+      s"""WITH $vSql,
+          dd AS (SELECT unnest(range(64)) AS d),
+          centd AS (
+            SELECT label, d, CAST(sum(iv[d+1]) AS BIGINT) AS sd,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM v, dd GROUP BY 1, 2),
+          cent AS (
+            SELECT label AS c_label, max(n) AS n, list(sd ORDER BY d) AS sv
+            FROM centd GROUP BY 1),
+          probes AS (
+            SELECT vec_id AS probe_id, iv AS p_iv, norm2 AS p_norm2
+            FROM v WHERE vec_id < 8),
+          dist AS (
+            SELECT p.probe_id, p.p_iv, p.p_norm2, c.c_label,
+                   CAST(list_sum(list_transform(list_zip(p.p_iv, c.sv),
+                     z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS BIGINT)::DOUBLE
+                     / (c.n * c.n) AS d2
+            FROM probes p, cent c),
+          assigned AS (
+            SELECT probe_id, p_iv, p_norm2, c_label AS assigned_label
+            FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                               ORDER BY d2 ASC, c_label ASC) AS rk
+                  FROM dist) WHERE rk = 1),
+          scored AS (
+            SELECT a.probe_id, a.assigned_label, c.vec_id AS neighbor_id,
+                   ${dotSql("c.iv", "a.p_iv")}::DOUBLE
+                     / (sqrt(a.p_norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+            FROM v c JOIN assigned a
+              ON c.label = a.assigned_label AND c.vec_id <> a.probe_id),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, assigned_label, CAST(rank AS BIGINT) AS rank,
+                 neighbor_id, round(cos, 6) AS cos
+          FROM ranked WHERE rank <= $K"""
+  )
+}
