@@ -1,0 +1,54 @@
+package graft.ms
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Parquet MS sink (SURVEY §2.1 S7–S10).
+  *
+  * Mirrors the reference's output lifecycle:
+  *  - S10 overwrite guard — refuse an existing output unless forced, then
+  *    remove it first (/root/reference/xova/apps/xova/app.py:152-159).
+  *  - S7/S8 main + regenerated-subtable writes (app.py:107-118).
+  *  - S9 verbatim passthrough of every untouched subtable
+  *    (/root/reference/xova/apps/xova/subtables.py:9-37) — a parquet
+  *    re-write (not a filesystem copy) so it works on any Hadoop-visible
+  *    storage and keeps subtable data going through the same IO layer.
+  */
+object MsWriter {
+
+  /** Subtables the averaging pipeline regenerates itself. */
+  val Regenerated = Set("main", "SPECTRAL_WINDOW", "DATA_DESCRIPTION")
+
+  /** S10: returns normally iff writing may proceed. */
+  def guard(outRoot: String, force: Boolean): Unit = {
+    val p = Paths.get(outRoot)
+    if (Files.exists(p)) {
+      if (!force)
+        throw new IllegalStateException(
+          s"output $outRoot exists; pass force=true to overwrite")
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
+  /** S7/S8: one table of the output MS. */
+  def writeTable(df: DataFrame, outRoot: String, table: String): Unit =
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$outRoot/$table")
+
+  /** S9: copy through every subtable of the input MS that the pipeline
+    * did not regenerate.
+    */
+  def passthrough(spark: SparkSession, inRoot: String, outRoot: String): Seq[String] = {
+    val in = Paths.get(inRoot)
+    val tables = Files.list(in).toArray.toSeq.map(_.asInstanceOf[Path])
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(Regenerated)
+      .sorted
+    tables.foreach { t =>
+      writeTable(spark.read.parquet(s"$inRoot/$t"), outRoot, t)
+    }
+    tables
+  }
+}

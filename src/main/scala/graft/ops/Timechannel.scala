@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ms.MsWriter
+
+/** The `timechannel` pipeline end-to-end (SURVEY §3 E1, §7.2): read a
+  * parquet MS, select + flag (P1–P4), bin time (W2), run the averaging
+  * kernel (A1/A2 via graft.ops.VisAggregator), assemble the output main
+  * table (P5–P7), rewrite SPECTRAL_WINDOW (A3), and write the output MS
+  * (S7–S10 via graft.ms.MsWriter).
+  *
+  * Reference lifecycle: /root/reference/xova/apps/xova/app.py:59-159;
+  * output assembly averaging.py:97-181; SPW rewrite averaging.py:357-406.
+  *
+  * Scale notes: exactly one wide shuffle (the bin-key groupBy; map-side
+  * partial aggregation via the Aggregator's reduce). The t0-per-group
+  * frame and the SPW rewrite are tiny broadcast/driver-side work. Output
+  * partition hygiene (the reference's A3′ row_concatenate,
+  * averaging.py:39-77) falls out of AQE coalescing + the explicit
+  * repartition before the write.
+  */
+object Timechannel {
+
+  case class Args(
+      timeBinSecs: Double = 2.0,
+      chanBinSize: Int = 16,
+      dataCols: Seq[(String, String)] = Seq("CORRECTED_DATA" -> "DATA"),
+      fields: Seq[Int] = Nil,
+      scans: Seq[Int] = Nil,
+      respectFlagRow: Boolean = false,
+      includeAutoCorrs: Boolean = false,
+      force: Boolean = false)
+
+  /** The averaged main table as a DataFrame (no IO). */
+  def averagedMain(main: DataFrame, args: Args): DataFrame = {
+    var df = main
+    if (!args.includeAutoCorrs) df = Flags.filterAutocorr(df)
+    df = Flags.selectFields(df, args.fields)
+    df = Flags.selectScans(df, args.scans)
+    df = if (args.respectFlagRow) df.withColumn("FROW", col("FLAG_ROW"))
+         else df.withColumn("FROW", Flags.derivedFlagRow)
+    df = TimeAvg.assignGrid(df, args.timeBinSecs)
+
+    val rowAgg = VisAggregator.rowAvg(
+      col("TIME"), col("INTERVAL"), col("TIME_CENTROID"), col("EXPOSURE"),
+      col("FROW"), col("UVW"), col("WEIGHT"), col("SIGMA")).as("R")
+    val visAggs = args.dataCols.map { case (from, to) =>
+      VisAggregator.visAvg(args.chanBinSize)(
+        col("FROW"), col(from), col("FLAG"), col("WEIGHT_SPECTRUM"),
+        col("WEIGHT")).as(s"_V_$to")
+    }
+
+    val agged = df
+      .groupBy(TimeAvg.BinKey.map(col): _*)
+      .agg(rowAgg, visAggs: _*)
+
+    // Output FLAG comes from the first data column's aggregator (flags
+    // are shared across data columns — same FLAG input).
+    val firstTo = args.dataCols.head._2
+    val out = agged.select(
+      Seq(
+        col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"),
+        col("ANTENNA1"), col("ANTENNA2"),
+        col("R.TIME").as("TIME"), col("R.INTERVAL").as("INTERVAL"),
+        col("R.TIME_CENTROID").as("TIME_CENTROID"),
+        col("R.EXPOSURE").as("EXPOSURE"),
+        col("R.FLAG_ROW").as("FLAG_ROW"),
+        col("R.UVW").as("UVW"), col("R.WEIGHT").as("WEIGHT"),
+        col("R.SIGMA").as("SIGMA"),
+        // P6: constant ids (xova/apps/xova/utils.py:7-14)
+        lit(0).as("ARRAY_ID"), lit(0).as("OBSERVATION_ID"),
+        lit(0).as("PROCESSOR_ID"), lit(0).as("STATE_ID"),
+        col(s"_V_$firstTo.FLAG").as("FLAG")) ++
+      args.dataCols.map { case (_, to) => col(s"_V_$to.DATA").as(to) }: _*)
+
+    // P7: FLAG_CATEGORY = FLAG behind a singleton category axis.
+    Flags.flagCategory(out)
+  }
+
+  /** A3: rebin SPECTRAL_WINDOW channel metadata — CHAN_FREQ mean,
+    * CHAN_WIDTH/EFFECTIVE_BW/RESOLUTION sum per output channel, NUM_CHAN
+    * rewritten (xova/apps/xova/averaging.py:357-406). Pure projection
+    * over a #SPWs-row table.
+    */
+  def averagedSpw(spw: DataFrame, chanBinSize: Int): DataFrame = {
+    val k = chanBinSize
+    val nOut = ((col("NUM_CHAN") + k - 1) / k).cast("int")
+    def rebin(c: String, mean: Boolean): Column =
+      transform(sequence(lit(0), nOut - 1), i => {
+        val lo = i * k
+        val n = least(lit(k), col("NUM_CHAN") - lo).cast("double")
+        val s = aggregate(slice(col(c), lo + 1, lit(k)), lit(0.0), (a, x) => a + x)
+        if (mean) s / n else s
+      })
+    spw
+      .withColumn("CHAN_FREQ", rebin("CHAN_FREQ", mean = true))
+      .withColumn("CHAN_WIDTH", rebin("CHAN_WIDTH", mean = false))
+      .withColumn("EFFECTIVE_BW", rebin("EFFECTIVE_BW", mean = false))
+      .withColumn("RESOLUTION", rebin("RESOLUTION", mean = false))
+      .withColumn("NUM_CHAN", nOut)
+  }
+
+  /** Full E1 lifecycle: returns the list of tables written. */
+  def run(spark: SparkSession, inRoot: String, outRoot: String, args: Args): Seq[String] = {
+    MsWriter.guard(outRoot, args.force)
+    val main = spark.read.parquet(s"$inRoot/main")
+    val out = averagedMain(main, args)
+      // deterministic output order within files + A3′ output-size hygiene
+      .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))
+      .sortWithinPartitions("DATA_DESC_ID", "TIME", "ANTENNA1", "ANTENNA2")
+    MsWriter.writeTable(out, outRoot, "main")
+    MsWriter.writeTable(
+      averagedSpw(spark.read.parquet(s"$inRoot/SPECTRAL_WINDOW"), args.chanBinSize),
+      outRoot, "SPECTRAL_WINDOW")
+    MsWriter.writeTable(
+      spark.read.parquet(s"$inRoot/DATA_DESCRIPTION"), outRoot, "DATA_DESCRIPTION")
+    val passed = MsWriter.passthrough(spark, inRoot, outRoot)
+    Seq("main", "SPECTRAL_WINDOW", "DATA_DESCRIPTION") ++ passed
+  }
+}

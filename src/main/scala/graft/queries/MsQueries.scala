@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ms.MsTables
-import graft.ops.{Flags, TimeAvg}
+import graft.ms.{MsTables, MsWriter}
+import graft.ops.{Flags, TimeAvg, Timechannel}
 
 /** Real MS-domain operators over the deterministic parquet MS fixture
   * (graft.ms.SyntheticMs), each with an exactly-matching DuckDB oracle.
@@ -262,6 +262,65 @@ object MsQueries {
         .groupBy("DATA_DESC_ID", "SPECTRAL_WINDOW_ID", "NUM_CHAN", "TOTAL_BANDWIDTH")
         .agg(count(lit(1)).as("n_rows"))),
 
+    // S7 + E1: the PRODUCTION pipeline end-to-end — read fixture MS, run
+    // the real VisAggregator kernel (A1/A2, chan_bin=4), write a parquet
+    // MS (S7/S8/S9/S10), read it back, and emit per-DDID exact stats.
+    // The oracle recomputes the same stats from the INPUT tables alone,
+    // so this hash-checks the whole lifecycle: binning, dual-population
+    // row averaging, per-cell flag semantics, and the writer.
+    // Reference: xova/apps/xova/app.py:59-159.
+    "ms_s7_roundtrip" -> ((s, _) => {
+      val out = "/tmp/graft_out/tc_roundtrip"
+      Timechannel.run(s, MS, out, Timechannel.Args(
+        timeBinSecs = 60000.0, chanBinSize = 4,
+        dataCols = Seq("DATA" -> "DATA"), force = true))
+      s.read.parquet(s"$out/main")
+        .groupBy("DATA_DESC_ID")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("INTERVAL")).as("interval_total"),
+          sum(when(col("FLAG_ROW"), 1L).otherwise(0L)).as("n_flagged_rows"),
+          min(col("TIME")).as("min_time"),
+          max(col("TIME")).as("max_time"),
+          sum(size(flatten(col("FLAG"))).cast("long")).as("n_cells"),
+          sum(size(filter(flatten(col("FLAG")), x => x)).cast("long")).as("n_flag_cells"))
+    }),
+
+    // S9: subtable passthrough — the written copies must match the input
+    // subtables row-for-row. Reference: xova/apps/xova/subtables.py:9-37.
+    "ms_s9_passthrough" -> ((s, _) => {
+      val out = "/tmp/graft_out/tc_passthrough"
+      Timechannel.run(s, MS, out, Timechannel.Args(
+        timeBinSecs = 60000.0, chanBinSize = 4,
+        dataCols = Seq("DATA" -> "DATA"), force = true))
+      Seq("ANTENNA", "FIELD", "POLARIZATION").map { t =>
+        s.read.parquet(s"$out/$t")
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("tbl"), col("n_rows"))
+      }.reduce(_ union _)
+    }),
+
+    // S10: overwrite guard — write once, refuse unforced overwrite,
+    // allow forced. Reference: xova/apps/xova/app.py:152-159.
+    "ms_s10_guard" -> ((s, _) => {
+      import s.implicits._
+      val out = "/tmp/graft_out/tc_guard"
+      def run(force: Boolean): Boolean =
+        try {
+          Timechannel.run(s, MS, out, Timechannel.Args(
+            timeBinSecs = 60000.0, chanBinSize = 8,
+            dataCols = Seq("DATA" -> "DATA"), force = force))
+          true
+        } catch { case _: IllegalStateException => false }
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(out), true)
+      val first = run(force = false)
+      val second = run(force = false)
+      val forced = run(force = true)
+      Seq((first, !second, forced))
+        .toDF("first_write_ok", "guard_raised", "forced_ok")
+    }),
+
     // U2/J3: conformance check — DATA shape vs SPW/POL metadata.
     // Reference: xova/apps/xova/check.py:22-76.
     "ms_u2_check_shapes" -> ((s, _) =>
@@ -364,6 +423,46 @@ object MsQueries {
           FROM ${rp("SPECTRAL_WINDOW")},
                LATERAL (SELECT unnest(range(len(CHAN_FREQ))) AS i) c
           GROUP BY 1, 2""",
+    "ms_s7_roundtrip" ->
+      s"""${prepSql("60000.0")},
+          bins AS (
+            SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+                   count(*) FILTER (NOT FROW) AS n_eff,
+                   sum(INTERVAL) AS interval_sum,
+                   sum(TIME) / count(*) AS time_avg
+            FROM p GROUP BY 1, 2, 3, 4, 5, 6),
+          cells AS (
+            SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+                   CAST(c.chan // 4 AS INTEGER) AS cb, CAST(k.corr AS INTEGER) AS corr,
+                   (count(*) FILTER (NOT FROW AND NOT FLAG[c.chan+1][k.corr+1]) = 0) AS flag_out
+            FROM p,
+                 LATERAL (SELECT unnest(range(len(DATA))) AS chan) c,
+                 LATERAL (SELECT unnest(range(len(DATA[1]))) AS corr) k
+            GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+          flagcnt AS (
+            SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(count(*) FILTER (flag_out) AS BIGINT) AS n_flag_cells
+            FROM cells GROUP BY 1, 2, 3, 4, 5, 6)
+          SELECT DATA_DESC_ID,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 sum(interval_sum) AS interval_total,
+                 CAST(count(*) FILTER (n_eff = 0) AS BIGINT) AS n_flagged_rows,
+                 min(time_avg) AS min_time,
+                 max(time_avg) AS max_time,
+                 CAST(sum(n_cells) AS BIGINT) AS n_cells,
+                 CAST(sum(n_flag_cells) AS BIGINT) AS n_flag_cells
+          FROM bins
+          JOIN flagcnt USING (FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN)
+          GROUP BY 1""",
+    "ms_s9_passthrough" ->
+      s"""SELECT 'ANTENNA' AS tbl, CAST(count(*) AS BIGINT) AS n_rows FROM ${rp("ANTENNA")}
+          UNION ALL
+          SELECT 'FIELD', CAST(count(*) AS BIGINT) FROM ${rp("FIELD")}
+          UNION ALL
+          SELECT 'POLARIZATION', CAST(count(*) AS BIGINT) FROM ${rp("POLARIZATION")}""",
+    "ms_s10_guard" ->
+      "SELECT true AS first_write_ok, true AS guard_raised, true AS forced_ok",
     "ms_j1_spw_join" ->
       s"""SELECT DATA_DESC_ID, SPECTRAL_WINDOW_ID, NUM_CHAN, TOTAL_BANDWIDTH,
                  count(*) AS n_rows
