@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Value-level tests of the averaging kernel's semantics (SURVEY §5b):
+  * flag truth table, weighted-average arithmetic, dual-population
+  * fallback, channel re-binning, bin-size-1 identity.
+  *
+  * Mirrors what the reference delegates to its kernel dependency's test
+  * suite; here every expectation is hand-computed.
+  */
+class VisAggregatorSpec extends SparkSpec {
+  import VisAggregator.{Cpx, RowIn, VisIn}
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private val eps = 1e-12
+
+  /** One row: (frow, data(chan)(corr), flag, ws, weight). */
+  private def visDf(rows: Seq[VisIn]) = rows.toDF(
+    "FROW", "DATA", "FLAG", "WEIGHT_SPECTRUM", "WEIGHT")
+
+  private def runVis(rows: Seq[VisIn], chanBin: Int = 1,
+                     useWs: Boolean = true): (Seq[Seq[Row]], Seq[Seq[Boolean]]) = {
+    val out = visDf(rows)
+      .groupBy()
+      .agg(VisAggregator.visAvg(chanBin, useWs)(
+        col("FROW"), col("DATA"), col("FLAG"), col("WEIGHT_SPECTRUM"),
+        col("WEIGHT")).as("V"))
+      .select("V.DATA", "V.FLAG")
+      .collect()(0)
+    (out.getSeq[scala.collection.Seq[Row]](0).map(_.toSeq).toSeq,
+      out.getSeq[scala.collection.Seq[Boolean]](1).map(_.toSeq).toSeq)
+  }
+
+  private def in(frow: Boolean, re: Float, im: Float, fl: Boolean, w: Double) =
+    VisIn(frow, Seq(Seq(Cpx(re, im))), Seq(Seq(fl)), Seq(Seq(w)), Seq(w))
+
+  test("weighted complex average over unflagged samples") {
+    // (1+2i)*3 + (5-4i)*1 over w=4 → (8/4, 2/4) = (2, 0.5)
+    val (data, flag) = runVis(Seq(
+      in(frow = false, 1f, 2f, fl = false, 3.0),
+      in(frow = false, 5f, -4f, fl = false, 1.0)))
+    assert(math.abs(data(0)(0).getFloat(0) - 2.0f) < 1e-6)
+    assert(math.abs(data(0)(0).getFloat(1) - 0.5f) < 1e-6)
+    assert(flag == Seq(Seq(false)))
+  }
+
+  test("flagged sample excluded from effective average") {
+    val (data, flag) = runVis(Seq(
+      in(frow = false, 1f, 0f, fl = false, 2.0),
+      in(frow = false, 100f, 100f, fl = true, 50.0))) // excluded
+    assert(data(0)(0).getFloat(0) == 1f)
+    assert(data(0)(0).getFloat(1) == 0f)
+    assert(flag == Seq(Seq(false)))
+  }
+
+  test("all-flagged cell falls back to nominal population and is flagged") {
+    val (data, flag) = runVis(Seq(
+      in(frow = false, 2f, 2f, fl = true, 1.0),
+      in(frow = false, 4f, 4f, fl = true, 3.0)))
+    // nominal: (2*1 + 4*3)/4 = 3.5
+    assert(math.abs(data(0)(0).getFloat(0) - 3.5f) < 1e-6)
+    assert(flag == Seq(Seq(true)))
+  }
+
+  test("row flag (FROW) excludes every cell of the row") {
+    val (data, flag) = runVis(Seq(
+      in(frow = false, 1f, 1f, fl = false, 1.0),
+      in(frow = true, 9f, 9f, fl = false, 9.0))) // row-flagged
+    assert(data(0)(0).getFloat(0) == 1f)
+    assert(flag == Seq(Seq(false)))
+  }
+
+  test("channel re-binning averages k adjacent channels (weights from WS)") {
+    val row = VisIn(FROW = false,
+      DATA = Seq(Seq(Cpx(1f, 0f)), Seq(Cpx(3f, 0f)), Seq(Cpx(10f, 0f))),
+      FLAG = Seq(Seq(false), Seq(false), Seq(false)),
+      WEIGHT_SPECTRUM = Seq(Seq(1.0), Seq(3.0), Seq(2.0)),
+      WEIGHT = Seq(1.0))
+    val (data, flag) = runVis(Seq(row), chanBin = 2)
+    // bin0: (1*1 + 3*3)/4 = 2.5 ; bin1 (ragged tail): 10
+    assert(data.length == 2)
+    assert(math.abs(data(0)(0).getFloat(0) - 2.5f) < 1e-6)
+    assert(data(1)(0).getFloat(0) == 10f)
+    assert(flag == Seq(Seq(false), Seq(false)))
+  }
+
+  test("WEIGHT fallback when WEIGHT_SPECTRUM unused") {
+    val (data, _) = runVis(Seq(
+      in(frow = false, 2f, 0f, fl = false, 4.0),
+      in(frow = false, 6f, 0f, fl = false, 12.0)), useWs = false)
+    // weights come from WEIGHT (same values here): (8+72)/16 = 5
+    assert(math.abs(data(0)(0).getFloat(0) - 5f) < 1e-6)
+  }
+
+  test("bin size 1 is identity for the visibility average") {
+    val row = in(frow = false, 7.25f, -3.5f, fl = false, 13.0)
+    val (data, flag) = runVis(Seq(row))
+    assert(data(0)(0).getFloat(0) == 7.25f)
+    assert(data(0)(0).getFloat(1) == -3.5f)
+    assert(flag == Seq(Seq(false)))
+  }
+
+  // --- row-level aggregator ---------------------------------------------
+
+  private def runRow(rows: Seq[RowIn]): Row =
+    rows.toDF("TIME", "INTERVAL", "TIME_CENTROID", "EXPOSURE", "FROW",
+        "UVW", "WEIGHT", "SIGMA")
+      .groupBy()
+      .agg(VisAggregator.rowAvg(
+        col("TIME"), col("INTERVAL"), col("TIME_CENTROID"), col("EXPOSURE"),
+        col("FROW"), col("UVW"), col("WEIGHT"), col("SIGMA")).as("R"))
+      .select("R.*").collect()(0)
+
+  private def rowIn(t: Double, dt: Double, frow: Boolean,
+                    uvw: Seq[Double], w: Double, sig: Double) =
+    RowIn(t, dt, t + 0.25, dt * 0.9, frow, uvw, Seq(w), Seq(sig))
+
+  test("row averages: TIME mean(nom), INTERVAL sum(nom), centroid/exposure eff") {
+    val r = runRow(Seq(
+      rowIn(10.0, 2.0, frow = false, Seq(1, 2, 3), 2.0, 0.5),
+      rowIn(14.0, 2.0, frow = true, Seq(5, 6, 7), 6.0, 1.0)))
+    assert(r.getAs[Double]("TIME") == 12.0)          // mean over BOTH rows
+    assert(r.getAs[Double]("INTERVAL") == 4.0)       // sum over both
+    assert(r.getAs[Double]("TIME_CENTROID") == 10.25) // eff row only
+    assert(r.getAs[Double]("EXPOSURE") == 1.8)       // eff row only
+    assert(!r.getAs[Boolean]("FLAG_ROW"))
+    assert(r.getAs[Long]("N_NOM") == 2 && r.getAs[Long]("N_EFF") == 1)
+    // UVW weighted by row-weight over effective rows only → exactly row 1
+    assert(r.getSeq[Double](r.fieldIndex("UVW")) == Seq(1.0, 2.0, 3.0))
+    // WEIGHT = sum(eff) ; SIGMA = sqrt(w²σ²)/w = σ for a single row
+    assert(r.getSeq[Double](r.fieldIndex("WEIGHT")) == Seq(2.0))
+    assert(math.abs(r.getSeq[Double](r.fieldIndex("SIGMA")).head - 0.5) < eps)
+  }
+
+  test("all-flagged bin: effective falls back to nominal, FLAG_ROW out = true") {
+    val r = runRow(Seq(
+      rowIn(10.0, 2.0, frow = true, Seq(2, 0, 0), 1.0, 1.0),
+      rowIn(14.0, 2.0, frow = true, Seq(6, 0, 0), 3.0, 1.0)))
+    assert(r.getAs[Boolean]("FLAG_ROW"))
+    assert(r.getAs[Double]("TIME_CENTROID") == 12.25) // nominal mean
+    assert(r.getAs[Double]("EXPOSURE") == 3.6)        // nominal sum
+    // UVW: (2*1 + 6*3)/4 = 5
+    assert(math.abs(r.getSeq[Double](r.fieldIndex("UVW")).head - 5.0) < eps)
+  }
+
+  test("SIGMA combines as sqrt(Σ w²σ²)/Σw") {
+    val r = runRow(Seq(
+      rowIn(0.0, 1.0, frow = false, Seq(0, 0, 0), 3.0, 2.0),
+      rowIn(1.0, 1.0, frow = false, Seq(0, 0, 0), 4.0, 1.0)))
+    // sqrt(9*4 + 16*1)/7 = sqrt(52)/7
+    val expect = math.sqrt(52.0) / 7.0
+    assert(math.abs(r.getSeq[Double](r.fieldIndex("SIGMA")).head - expect) < eps)
+  }
+}

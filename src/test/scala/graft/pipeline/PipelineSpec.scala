@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator tests over the driver's sf0.001 tables plus
+  * hand-built cases with exact expectations.
+  */
+class PipelineSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("token stats: hand-computed exact values") {
+    val df = Seq((1L, "the cat sat on a mat the end")).toDF("doc_id", "text")
+    val r = TextOps.withTokenStats(df).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 8)
+    assert(r.getAs[Long]("n_distinct_tokens") == 7) // 'the' twice
+    assert(r.getAs[Long]("sum_token_len") == 21)
+    assert(r.getAs[Long]("max_token_len") == 3)
+    assert(r.getAs[Long]("n_stopwords") == 3) // the, a, the
+  }
+
+  test("shingles: k=3 over 5 tokens yields 3 ordered shingles") {
+    val df = Seq("a b c d e").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+    assert(df.as[Seq[String]].collect()(0) == Seq("a_b_c", "b_c_d", "c_d_e"))
+  }
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "x y z"), (2L, "x y z"), (3L, "other words here"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.exactClusters(df).orderBy("keeper").collect()
+    assert(clusters.length == 2)
+    assert(clusters(0).getAs[Long]("n_copies") == 2)
+    assert(clusters(0).getAs[Long]("keeper") == 1)
+  }
+
+  test("minhash signature identical for identical docs, and LSH pairs them") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((10L, base), (20L, base),
+      (30L, "completely different tokens with no shared shingles at all ok"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, 0.7).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc1") == 10L)
+    assert(pairs(0).getAs[Long]("doc2") == 20L)
+    assert(pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("near-dup pairs on sf0.001 equal brute-force ground truth") {
+    // independent brute-force Jaccard over distinct 3-shingles
+    val sets = docs.select(col("doc_id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
+    val truth = sets.as("a").join(sets.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ni", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("j", col("ni").cast("double") /
+        (size(col("a.sh")) + size(col("b.sh")) - col("ni")))
+      .filter(col("j") >= 0.7)
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    val lsh = Dedup.nearDupPairs(docs, 0.7).select("doc1", "doc2")
+    assert(lsh.exceptAll(truth).count() == 0, "LSH produced a false pair")
+    assert(truth.exceptAll(lsh).count() == 0, "LSH missed a true pair")
+  }
+
+  test("dup clusters: two pairs sharing a doc form one 3-cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc1", "doc2")
+    val cl = Dedup.dupClusters(pairs).orderBy("doc_id").collect()
+    assert(cl.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (7L, 7L, 2L), (8L, 7L, 2L)))
+  }
+
+  test("simhash: identical docs hash identically; hamming to unrelated doc > 0") {
+    val df = Seq((1L, "one two three four five"), (2L, "one two three four five"),
+      (3L, "six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val h = Dedup.withSimhash(df).orderBy("doc_id")
+      .select("simhash").as[Long].collect()
+    assert(h(0) == h(1))
+    assert(h(0) != h(2))
+    assert(h.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("brute-force knn: ranks ordered by cosine, no self-match") {
+    val out = Ann.knnBrute(vecs, col("vec_id") < 3, 5).cache()
+    assert(out.filter(col("probe_id") === col("neighbor_id")).count() == 0)
+    assert(out.groupBy("probe_id").count().filter(col("count") =!= 5).count() == 0)
+    // rank 1 cos >= rank 5 cos per probe
+    val byProbe = out.groupBy("probe_id")
+      .agg(max(when(col("rank") === 1, col("cos"))).as("c1"),
+        max(when(col("rank") === 5, col("cos"))).as("c5"))
+    assert(byProbe.filter(col("c1") < col("c5")).count() == 0)
+  }
+
+  test("LSH ANN: candidates are a strict subset yet top-1 cos <= brute top-1 cos") {
+    val brute = Ann.knnBrute(vecs, col("vec_id") < 3, 1)
+      .select(col("probe_id"), col("cos").as("bc"))
+    val lsh = Ann.annLsh(vecs, col("vec_id") < 3, 1)
+      .select(col("probe_id"), col("cos").as("lc"), col("n_cand"))
+    val j = brute.join(lsh, "probe_id")
+    assert(j.filter(col("lc") > col("bc")).count() == 0)
+    // pruning is real: candidate count well under corpus size
+    assert(j.filter(col("n_cand") >= vecs.count() - 1).count() == 0)
+  }
+
+  test("IVF: probes search exactly their assigned centroid's list") {
+    val out = Ann.annIvf(vecs, col("vec_id") < 3, 3)
+    val withLabel = out.join(
+      vecs.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+    assert(withLabel.filter(col("label") =!= col("assigned_label")).count() == 0)
+  }
+
+  test("language id: perfect on a corpus with distinctive vocabularies") {
+    // Each lang has its own vocabulary plus one shared token: profile
+    // scoring must recover every label. (The driver's synthetic corpus
+    // shares ONE vocabulary across langs — zero tokens are
+    // lang-exclusive — so accuracy there is meaningless by construction;
+    // the oracle entry pl_t3_lang_id checks implementation equality.)
+    val df = Seq(
+      (1L, "en", "cat dog bird shared"), (2L, "en", "dog bird fish shared"),
+      (3L, "fr", "chat chien oiseau shared"), (4L, "fr", "chien oiseau poisson shared"),
+      (5L, "de", "katze hund vogel shared"), (6L, "de", "hund vogel fisch shared"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.languageId(df)
+    assert(out.count() == 6)
+    assert(out.filter(col("pred_lang") =!= col("lang")).count() == 0)
+  }
+}
