@@ -17,6 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
       graft.queries.MsQueries.queries ++
+      graft.queries.BdaQueries.queries ++
       graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -24,5 +25,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.MsQueries.oracleSql ++
+      graft.queries.BdaQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql
 }

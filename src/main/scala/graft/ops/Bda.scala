@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ms.MsWriter
+
+/** Baseline-Dependent Averaging (SURVEY §2.3 A4–A6, §2.4 J2, §3 E2):
+  * each baseline gets its own time/channel bin sizes, chosen so
+  * predicted smearing decorrelation stays above a tolerance; output rows
+  * are RAGGED (per-row channel counts), and the SPECTRAL_WINDOW /
+  * DATA_DESCRIPTION subtables are regenerated for every distinct
+  * channelisation, with output DATA_DESC_IDs remapped.
+  *
+  * Reference lifecycle: /root/reference/xova/apps/xova/averaging.py
+  * 270-354 (main), 409-433 (channelisations), 436-542 (SPW/DDID
+  * factory), 550-722 (spw pass + J2 remap). The reference's numeric
+  * kernel lives in an external dependency; the decorrelation model here
+  * is our own explicit, tested choice (SURVEY §7.3 risk 2), built from
+  * the standard sinc-smearing expressions (Atemkeng et al. 2016, MNRAS
+  * 462; Thompson/Moran/Swenson ch. 6):
+  *
+  *   - time smearing  R_t = sinc(pi * omega_e * |uv| * sin(fov) * dt / lambda)
+  *   - chan smearing  R_f = sinc(pi * dnu * |uv| * sin(fov) / c)
+  *
+  * The decorrelation budget d splits evenly: each factor must stay
+  * >= sqrt(d). Inverting sinc once on the driver gives a threshold x*;
+  * per-baseline limits are then PURE COLUMN ARITHMETIC:
+  *
+  *   dt_max  = x* * lambda / (pi * omega_e * bl * sin(fov))
+  *   dnu_max = x* * c      / (pi * bl * sin(fov))
+  *
+  * Baseline length is the partition-max |uv| per (group, baseline) —
+  * conservative, and it keeps bin sizes constant per baseline so bin
+  * assignment stays a broadcast-join + projection (no window needed).
+  * Channel bin = largest divisor of NUM_CHAN whose width fits dnu_max
+  * (the reference's "integer factorisation of the input channel count",
+  * arguments.py:142-146), floored by min_nchan.
+  *
+  * Scale: one wide shuffle (the groupBy), one tiny per-baseline stats
+  * aggregate broadcast back, driver-side work bounded by
+  * #SPWs x #channelisations.
+  */
+object Bda {
+
+  val SpeedOfLight = 299792458.0
+  val EarthOmega = 7.2921158553e-5 // rad/s, sidereal
+
+  case class Args(
+      decorrelation: Double = 0.99,
+      maxFovDeg: Double = 15.0,
+      timeBinCapSecs: Double = Double.MaxValue,
+      minNchan: Int = 1,
+      dataCols: Seq[(String, String)] = Seq("CORRECTED_DATA" -> "DATA"),
+      fields: Seq[Int] = Nil,
+      scans: Seq[Int] = Nil,
+      respectFlagRow: Boolean = false,
+      force: Boolean = false)
+
+  /** Solve sinc(x) = target on (0, pi) by bisection (sinc monotonically
+    * decreases from 1 to 0 there). Driver-side, once per query.
+    */
+  def sincInv(target: Double): Double = {
+    require(target > 0 && target < 1, s"decorrelation target $target")
+    def sinc(x: Double) = if (x == 0) 1.0 else math.sin(x) / x
+    var lo = 1e-12; var hi = math.Pi
+    var i = 0
+    while (i < 200) { // bisection to double precision
+      val mid = (lo + hi) / 2
+      if (sinc(mid) > target) lo = mid else hi = mid
+      i += 1
+    }
+    (lo + hi) / 2
+  }
+
+  /** Per-(group, baseline) sizing: TIME_BIN_SECS + CHAN_BIN columns.
+    * Input must carry UVW, INTERVAL and the J1-joined SPW metadata
+    * (NUM_CHAN, CHAN_WIDTH_0, FREQ_MAX).
+    */
+  def withBinParams(df: DataFrame, args: Args): DataFrame = {
+    val xStar = sincInv(math.sqrt(args.decorrelation))
+    val sinFov = math.sin(math.toRadians(args.maxFovDeg))
+    val keys = TimeAvg.GroupCols ++ Seq("ANTENNA1", "ANTENNA2")
+
+    val bl = sqrt(col("UVW")(0) * col("UVW")(0) + col("UVW")(1) * col("UVW")(1) +
+      col("UVW")(2) * col("UVW")(2))
+    // SPW metadata is constant per group (DATA_DESC_ID is a group key).
+    val freqs = df.select((TimeAvg.GroupCols.map(col) :+
+      col("FREQ_MAX") :+ col("CHAN_WIDTH_0") :+ col("NUM_CHAN")): _*).distinct()
+    // tiny frame: one row per (group, baseline)
+    val sized = df
+      .groupBy(keys.map(col): _*)
+      .agg(max(bl).as("BL_MAX"), min(col("INTERVAL")).as("DT_MIN"))
+      .join(broadcast(freqs), TimeAvg.GroupCols)
+      .withColumn("DT_RAW",
+        lit(xStar) * (lit(SpeedOfLight) / col("FREQ_MAX")) /
+          (lit(math.Pi * EarthOmega * sinFov) * col("BL_MAX")))
+      .withColumn("TIME_BIN_SECS",
+        greatest(least(col("DT_RAW"), lit(args.timeBinCapSecs)), col("DT_MIN")))
+      .withColumn("DNU_MAX",
+        lit(xStar * SpeedOfLight / (math.Pi * sinFov)) / col("BL_MAX"))
+      // largest divisor of NUM_CHAN with divisor*chan_width <= dnu_max
+      // and nchan/divisor >= min_nchan (divisor 1 always allowed)
+      .withColumn("CHAN_BIN",
+        array_max(filter(
+          sequence(lit(1), col("NUM_CHAN")),
+          d => col("NUM_CHAN") % d === 0 &&
+            (d === 1 ||
+              (d.cast("double") * col("CHAN_WIDTH_0") <= col("DNU_MAX") &&
+                col("NUM_CHAN") / d >= args.minNchan)))).cast("int"))
+      .select((keys.map(col) :+ col("TIME_BIN_SECS") :+ col("CHAN_BIN")): _*)
+
+    df.join(broadcast(sized), keys)
+  }
+
+  /** J1 + selection/flag prep: join SPW channel metadata onto the main
+    * table (averaging.py:306-308) and derive FROW.
+    */
+  def prepared(main: DataFrame, spw: DataFrame, ddid: DataFrame, args: Args): DataFrame = {
+    var df = Flags.filterAutocorr(main)
+    df = Flags.selectFields(df, args.fields)
+    df = Flags.selectScans(df, args.scans)
+    df = if (args.respectFlagRow) df.withColumn("FROW", col("FLAG_ROW"))
+         else df.withColumn("FROW", Flags.derivedFlagRow)
+    val spwMeta = ddid.select("DATA_DESC_ID", "SPECTRAL_WINDOW_ID")
+      .join(spw.select(col("SPECTRAL_WINDOW_ID"), col("NUM_CHAN"),
+        col("TOTAL_BANDWIDTH"),
+        element_at(col("CHAN_WIDTH"), 1).as("CHAN_WIDTH_0"),
+        array_max(col("CHAN_FREQ")).as("FREQ_MAX")), "SPECTRAL_WINDOW_ID")
+    df.join(broadcast(spwMeta), "DATA_DESC_ID")
+  }
+
+  /** A4: the ragged averaged main table (pre-remap: still carries the
+    * input DATA_DESC_ID plus transient NUM_CHAN_OUT / DECORR_CHAN_WIDTH,
+    * averaging.py:159-164).
+    */
+  def averagedMain(main: DataFrame, spw: DataFrame, ddid: DataFrame, args: Args): DataFrame = {
+    val prep = withBinParams(prepared(main, spw, ddid, args), args)
+    // grid binning anchored at the group t0, per-baseline bin width
+    val t0 = prep.groupBy(TimeAvg.GroupCols.map(col): _*).agg(min("TIME").as("_T0"))
+    val binned = prep.join(broadcast(t0), TimeAvg.GroupCols)
+      .withColumn("BIN",
+        floor((col("TIME") - col("_T0")) / col("TIME_BIN_SECS")).cast("int"))
+
+    val rowAgg = VisAggregator.rowAvg(
+      col("TIME"), col("INTERVAL"), col("TIME_CENTROID"), col("EXPOSURE"),
+      col("FROW"), col("UVW"), col("WEIGHT"), col("SIGMA")).as("R")
+    val visAggs = args.dataCols.map { case (from, to) =>
+      VisAggregator.visAvg()(
+        col("FROW"), col(from), col("FLAG"), col("WEIGHT_SPECTRUM"),
+        col("WEIGHT"), col("CHAN_BIN")).as(s"_V_$to")
+    }
+    val firstTo = args.dataCols.head._2
+
+    val agged = binned
+      .groupBy(TimeAvg.BinKey.map(col): _*)
+      .agg(rowAgg, (visAggs :+
+        first(col("TOTAL_BANDWIDTH")).as("_TBW")): _*)
+
+    val out = agged.select(
+      Seq(
+        col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"),
+        col("ANTENNA1"), col("ANTENNA2"),
+        col("R.TIME").as("TIME"), col("R.INTERVAL").as("INTERVAL"),
+        col("R.TIME_CENTROID").as("TIME_CENTROID"),
+        col("R.EXPOSURE").as("EXPOSURE"),
+        col("R.FLAG_ROW").as("FLAG_ROW"),
+        col("R.UVW").as("UVW"), col("R.WEIGHT").as("WEIGHT"),
+        col("R.SIGMA").as("SIGMA"),
+        lit(0).as("ARRAY_ID"), lit(0).as("OBSERVATION_ID"),
+        lit(0).as("PROCESSOR_ID"), lit(0).as("STATE_ID"),
+        col(s"_V_$firstTo.FLAG").as("FLAG"),
+        // W3: per-row output channel count is just the array length
+        size(col(s"_V_$firstTo.DATA")).as("NUM_CHAN"),
+        (col("_TBW") / size(col(s"_V_$firstTo.DATA"))).as("DECORR_CHAN_WIDTH")) ++
+      args.dataCols.map { case (_, to) => col(s"_V_$to.DATA").as(to) }: _*)
+    Flags.flagCategory(out)
+  }
+
+  /** A5: distinct channelisations over the output
+    * (averaging.py:409-433): (DATA_DESC_ID, SPECTRAL_WINDOW_ID,
+    * POLARIZATION_ID, NUM_CHAN).
+    */
+  def channelisations(out: DataFrame, ddid: DataFrame): DataFrame =
+    out.select("DATA_DESC_ID", "NUM_CHAN").distinct()
+      .join(broadcast(ddid), "DATA_DESC_ID")
+      .select("DATA_DESC_ID", "SPECTRAL_WINDOW_ID", "POLARIZATION_ID", "NUM_CHAN")
+
+  /** A6 + F3: regenerate SPW + DDID rows for each distinct
+    * (spw, nchan_out) and build the {(old_ddid, nchan) -> new_ddid} map
+    * (averaging.py:436-542). Driver-side: cardinality = #SPWs x
+    * #channelisations.
+    *
+    * New channel grid (F3, averaging.py:504-523): uniform
+    * cw = total_bw / nchan, freqs = linspace(start + cw/2, end - cw/2, n)
+    * where [start, end) spans the original SPW.
+    */
+  def regenerate(spark: SparkSession, chanls: Seq[(Int, Int, Int, Int)],
+                 spw: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val spwRows = spw.select("SPECTRAL_WINDOW_ID", "NUM_CHAN", "CHAN_FREQ",
+        "CHAN_WIDTH", "REF_FREQUENCY", "TOTAL_BANDWIDTH", "MEAS_FREQ_REF")
+      .collect()
+      .map { r =>
+        val freqs = r.getSeq[Double](2)
+        val widths = r.getSeq[Double](3)
+        require(freqs == freqs.sorted, "CHAN_FREQ must increase")
+        require(widths.distinct.length == 1, "CHAN_WIDTH must be homogeneous")
+        r.getInt(0) -> (freqs.head - widths.head / 2, r.getDouble(5),
+          r.getDouble(4), r.getInt(6))
+      }.toMap
+
+    val sorted = chanls.sortBy(c => (c._1, c._4))
+    val newSpw = sorted.zipWithIndex.map {
+      case ((_, spwId, _, nchan), newId) =>
+        val (start, tbw, refFreq, measRef) = spwRows(spwId)
+        val cw = tbw / nchan
+        val freqs = (0 until nchan).map(i => start + cw * (i + 0.5))
+        (newId, nchan, freqs, Seq.fill(nchan)(cw), Seq.fill(nchan)(cw),
+          Seq.fill(nchan)(cw), refFreq, tbw, measRef)
+    }.toDF("SPECTRAL_WINDOW_ID", "NUM_CHAN", "CHAN_FREQ", "CHAN_WIDTH",
+      "EFFECTIVE_BW", "RESOLUTION", "REF_FREQUENCY", "TOTAL_BANDWIDTH",
+      "MEAS_FREQ_REF")
+    val newDdid = sorted.zipWithIndex.map {
+      case ((_, _, polId, _), newId) => (newId, newId, polId)
+    }.toDF("DATA_DESC_ID", "SPECTRAL_WINDOW_ID", "POLARIZATION_ID")
+    val remap = sorted.zipWithIndex.map {
+      case ((oldDdid, _, _, nchan), newId) => (oldDdid, nchan, newId)
+    }.toDF("DATA_DESC_ID", "NUM_CHAN", "NEW_DDID")
+    (newSpw, newDdid, remap)
+  }
+
+  /** J2: remap (old DATA_DESC_ID, NUM_CHAN) -> new DATA_DESC_ID on every
+    * output row and drop the transient columns (averaging.py:545-547,
+    * 693-705).
+    */
+  def remap(out: DataFrame, remapDf: DataFrame): DataFrame =
+    out.join(broadcast(remapDf), Seq("DATA_DESC_ID", "NUM_CHAN"))
+      .drop("DATA_DESC_ID", "NUM_CHAN", "DECORR_CHAN_WIDTH")
+      .withColumnRenamed("NEW_DDID", "DATA_DESC_ID")
+
+  /** Full E2 lifecycle. */
+  def run(spark: SparkSession, inRoot: String, outRoot: String, args: Args): Seq[String] = {
+    MsWriter.guard(outRoot, args.force)
+    val main = spark.read.parquet(s"$inRoot/main")
+    val spw = spark.read.parquet(s"$inRoot/SPECTRAL_WINDOW")
+    val ddid = spark.read.parquet(s"$inRoot/DATA_DESCRIPTION")
+
+    val avg = averagedMain(main, spw, ddid, args)
+    val chanls = channelisations(avg, ddid).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    val (newSpw, newDdid, remapDf) = regenerate(spark, chanls, spw)
+
+    val outMain = remap(avg, remapDf)
+      .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))
+      .sortWithinPartitions("DATA_DESC_ID", "TIME", "ANTENNA1", "ANTENNA2")
+    MsWriter.writeTable(outMain, outRoot, "main")
+    MsWriter.writeTable(newSpw, outRoot, "SPECTRAL_WINDOW")
+    MsWriter.writeTable(newDdid, outRoot, "DATA_DESCRIPTION")
+    val passed = MsWriter.passthrough(spark, inRoot, outRoot)
+    Seq("main", "SPECTRAL_WINDOW", "DATA_DESCRIPTION") ++ passed
+  }
+}

@@ -46,9 +46,9 @@ object Timechannel {
       col("TIME"), col("INTERVAL"), col("TIME_CENTROID"), col("EXPOSURE"),
       col("FROW"), col("UVW"), col("WEIGHT"), col("SIGMA")).as("R")
     val visAggs = args.dataCols.map { case (from, to) =>
-      VisAggregator.visAvg(args.chanBinSize)(
+      VisAggregator.visAvg()(
         col("FROW"), col(from), col("FLAG"), col("WEIGHT_SPECTRUM"),
-        col("WEIGHT")).as(s"_V_$to")
+        col("WEIGHT"), lit(args.chanBinSize)).as(s"_V_$to")
     }
 
     val agged = df

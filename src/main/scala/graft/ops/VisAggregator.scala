@@ -144,7 +144,8 @@ object VisAggregator {
 
   case class VisIn(
       FROW: Boolean, DATA: Seq[Seq[Cpx]], FLAG: Seq[Seq[Boolean]],
-      WEIGHT_SPECTRUM: Seq[Seq[Double]], WEIGHT: Seq[Double])
+      WEIGHT_SPECTRUM: Seq[Seq[Double]], WEIGHT: Seq[Double],
+      CHAN_BIN: Int)
 
   case class VisBuf(
       var nchanOut: Int, var ncorr: Int,
@@ -154,12 +155,16 @@ object VisAggregator {
 
   case class VisMatOut(DATA: Seq[Seq[Cpx]], FLAG: Seq[Seq[Boolean]])
 
-  /** @param chanBin channel bin size k (A2); 1 = pure time averaging.
+  /** Channel bin size comes from the per-row CHAN_BIN input (constant
+    * within a group): a literal for uniform A2 averaging, a per-baseline
+    * decorrelation-derived value for BDA (A4) — the raggedness of the
+    * output is simply different groups choosing different bins.
+    *
     * @param useWeightSpectrum per-cell weights from WEIGHT_SPECTRUM when
     *   true, else the per-corr WEIGHT broadcast over channels (the
     *   reference's optional-column fallback, averaging.py:241-248).
     */
-  class VisAvg(chanBin: Int, useWeightSpectrum: Boolean = true)
+  class VisAvg(useWeightSpectrum: Boolean = true)
       extends Aggregator[VisIn, VisBuf, VisMatOut] {
 
     def zero: VisBuf = VisBuf(0, 0, Array.empty, Array.empty, Array.empty,
@@ -168,6 +173,7 @@ object VisAggregator {
     def reduce(b: VisBuf, r: VisIn): VisBuf = {
       val nchan = r.DATA.length
       val ncorr = if (nchan > 0) r.DATA.head.length else 0
+      val chanBin = math.max(1, r.CHAN_BIN)
       if (b.effRe.isEmpty) {
         b.nchanOut = (nchan + chanBin - 1) / chanBin
         b.ncorr = ncorr
@@ -238,6 +244,6 @@ object VisAggregator {
     * (arguments map positionally to the input case-class fields).
     */
   def rowAvg = udaf(new RowAvg)
-  def visAvg(chanBin: Int, useWeightSpectrum: Boolean = true) =
-    udaf(new VisAvg(chanBin, useWeightSpectrum))
+  def visAvg(useWeightSpectrum: Boolean = true) =
+    udaf(new VisAvg(useWeightSpectrum))
 }

@@ -19,17 +19,17 @@ class VisAggregatorSpec extends SparkSpec {
 
   private val eps = 1e-12
 
-  /** One row: (frow, data(chan)(corr), flag, ws, weight). */
+  /** One row: (frow, data(chan)(corr), flag, ws, weight, chan_bin). */
   private def visDf(rows: Seq[VisIn]) = rows.toDF(
-    "FROW", "DATA", "FLAG", "WEIGHT_SPECTRUM", "WEIGHT")
+    "FROW", "DATA", "FLAG", "WEIGHT_SPECTRUM", "WEIGHT", "CHAN_BIN")
 
   private def runVis(rows: Seq[VisIn], chanBin: Int = 1,
                      useWs: Boolean = true): (Seq[Seq[Row]], Seq[Seq[Boolean]]) = {
-    val out = visDf(rows)
+    val out = visDf(rows.map(_.copy(CHAN_BIN = chanBin)))
       .groupBy()
-      .agg(VisAggregator.visAvg(chanBin, useWs)(
+      .agg(VisAggregator.visAvg(useWs)(
         col("FROW"), col("DATA"), col("FLAG"), col("WEIGHT_SPECTRUM"),
-        col("WEIGHT")).as("V"))
+        col("WEIGHT"), col("CHAN_BIN")).as("V"))
       .select("V.DATA", "V.FLAG")
       .collect()(0)
     (out.getSeq[scala.collection.Seq[Row]](0).map(_.toSeq).toSeq,
@@ -37,7 +37,7 @@ class VisAggregatorSpec extends SparkSpec {
   }
 
   private def in(frow: Boolean, re: Float, im: Float, fl: Boolean, w: Double) =
-    VisIn(frow, Seq(Seq(Cpx(re, im))), Seq(Seq(fl)), Seq(Seq(w)), Seq(w))
+    VisIn(frow, Seq(Seq(Cpx(re, im))), Seq(Seq(fl)), Seq(Seq(w)), Seq(w), 1)
 
   test("weighted complex average over unflagged samples") {
     // (1+2i)*3 + (5-4i)*1 over w=4 → (8/4, 2/4) = (2, 0.5)
@@ -80,7 +80,7 @@ class VisAggregatorSpec extends SparkSpec {
       DATA = Seq(Seq(Cpx(1f, 0f)), Seq(Cpx(3f, 0f)), Seq(Cpx(10f, 0f))),
       FLAG = Seq(Seq(false), Seq(false), Seq(false)),
       WEIGHT_SPECTRUM = Seq(Seq(1.0), Seq(3.0), Seq(2.0)),
-      WEIGHT = Seq(1.0))
+      WEIGHT = Seq(1.0), CHAN_BIN = 1)
     val (data, flag) = runVis(Seq(row), chanBin = 2)
     // bin0: (1*1 + 3*3)/4 = 2.5 ; bin1 (ragged tail): 10
     assert(data.length == 2)
