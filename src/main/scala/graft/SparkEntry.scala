@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.MsQueries.queries ++
       graft.queries.BdaQueries.queries ++
+      graft.queries.UvwQueries.queries ++
       graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.MsQueries.oracleSql ++
       graft.queries.BdaQueries.oracleSql ++
+      graft.queries.UvwQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql
 }

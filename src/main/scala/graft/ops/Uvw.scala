@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+
+/** UVW synthesis (SURVEY §2.7 F5, §2.10 U1): recompute baseline UVW
+  * coordinates from antenna ECEF positions, the phase-centre direction
+  * and the observation time — the casacore-`measures` replacement for
+  * the reference's fixvis pass
+  * (/root/reference/xova/apps/xova/fixvis.py:105-193, convention "Rau
+  * 2013, same as CASA fixvis", fixvis.py:184-190).
+  *
+  * Geometry (standard interferometry texts — Thompson/Moran/Swenson
+  * ch. 4; IAU 1982 GMST polynomial per USNO circulars):
+  *
+  *   H = GMST(t) − α   (Greenwich hour angle of the phase centre;
+  *                      ECEF x-axis pierces the Greenwich meridian)
+  *   u =  sin(H)·Lx + cos(H)·Ly
+  *   v = −sin(δ)·cos(H)·Lx + sin(δ)·sin(H)·Ly + cos(δ)·Lz
+  *   w =  cos(δ)·cos(H)·Lx − cos(δ)·sin(H)·Ly + sin(δ)·Lz
+  *
+  * with (Lx,Ly,Lz) = pos(ANTENNA1) − pos(ANTENNA2) (the reference's
+  * station_uv[a1] − station_uv[a2]; the per-station reference offset
+  * cancels in the difference). The rotation preserves |L| — one of the
+  * tested invariants.
+  *
+  * Execution shape: the antenna POSITION table (≤ thousands of rows) is
+  * collected once and closed over by a scalar UDF; synthesis is then a
+  * pure per-row projection — no join, no shuffle, trivially parallel at
+  * 100 TB (the reference is forced to run this sequentially because
+  * casacore measures is not thread-safe, fixvis.py:129-131).
+  */
+object Uvw {
+
+  /** IAU 1982 GMST, radians, from an MJD-seconds epoch (UT1≈UTC). */
+  def gmstRad(mjdSec: Double): Double = {
+    val d = (mjdSec / 86400.0 + 2400000.5) - 2451545.0
+    val t = d / 36525.0
+    val t2 = t * t
+    val t3 = t2 * t
+    val deg = 280.46061837 + 360.98564736629 * d + 0.000387933 * t2 -
+      t3 / 38710000.0
+    math.toRadians(deg % 360.0)
+  }
+
+  /** Dense UVW of one baseline at one time (pure function — the
+    * subset-invariance property of fixvis.py tests 102-111 holds by
+    * construction).
+    */
+  def baselineUvw(lx: Double, ly: Double, lz: Double,
+                  ra: Double, dec: Double, mjdSec: Double): Array[Double] = {
+    val h = gmstRad(mjdSec) - ra
+    val sinH = math.sin(h); val cosH = math.cos(h)
+    val sinD = math.sin(dec); val cosD = math.cos(dec)
+    Array(
+      sinH * lx + cosH * ly,
+      -sinD * cosH * lx + sinD * sinH * ly + cosD * lz,
+      cosD * cosH * lx - cosD * sinH * ly + sinD * lz)
+  }
+
+  /** F1: quadratic baseline pairing (fixvis.py:39-71) as pure column
+    * arithmetic: s·(−s + 2na + 1)/2 + |a1 − a2|, s = min(a1, a2).
+    */
+  def baselineIndex(a1: Column, a2: Column, na: Int): Column = {
+    val s = least(a1, a2)
+    (s * (-s + (2 * na + 1))).divide(2).cast("long") + abs(a1 - a2)
+  }
+
+  /** UDF synthesizing UVW from (TIME, ANTENNA1, ANTENNA2, RA, DEC);
+    * positions indexed by ANTENNA_ID.
+    */
+  def synthUdf(positions: Map[Int, Array[Double]]): UserDefinedFunction =
+    udf((t: Double, a1: Int, a2: Int, ra: Double, dec: Double) => {
+      val p = positions(a1); val q = positions(a2)
+      baselineUvw(p(0) - q(0), p(1) - q(1), p(2) - q(2), ra, dec, t).toSeq
+    })
+
+  /** Collect the ANTENNA POSITION map (tiny dimension table). */
+  def positionMap(antenna: DataFrame): Map[Int, Array[Double]] =
+    antenna.select("ANTENNA_ID", "POSITION").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+
+  /** Adds SYNTH_UVW to a main-table frame: per-row recomputation from
+    * TIME_CENTROID + the FIELD phase centre (broadcast join on the tiny
+    * FIELD table).
+    */
+  def withSynthUvw(main: DataFrame, field: DataFrame,
+                   antenna: DataFrame): DataFrame = {
+    val dirs = field.select(col("FIELD_ID"),
+      element_at(element_at(col("PHASE_DIR"), 1), 1).as("_RA"),
+      element_at(element_at(col("PHASE_DIR"), 1), 2).as("_DEC"))
+    val synth = synthUdf(positionMap(antenna))
+    main.join(broadcast(dirs), "FIELD_ID")
+      .withColumn("SYNTH_UVW",
+        synth(col("TIME_CENTROID"), col("ANTENNA1"), col("ANTENNA2"),
+          col("_RA"), col("_DEC")))
+      .drop("_RA", "_DEC")
+  }
+
+  /** U1 — the fixms pass (fixvis.py:196-265 / app.py:122-124): rewrite
+    * the main table of an output MS with synthesized UVW. Writes to
+    * `main_fixed` beside `main` (parquet cannot update in place).
+    */
+  def fixms(spark: SparkSession, msRoot: String): DataFrame = {
+    val main = spark.read.parquet(s"$msRoot/main")
+    val fixed = withSynthUvw(main,
+        spark.read.parquet(s"$msRoot/FIELD"),
+        spark.read.parquet(s"$msRoot/ANTENNA"))
+      .withColumn("UVW", col("SYNTH_UVW")).drop("SYNTH_UVW")
+    fixed.write.mode("overwrite").parquet(s"$msRoot/main_fixed")
+    spark.read.parquet(s"$msRoot/main_fixed")
+  }
+}

@@ -41,7 +41,7 @@ object MsQueries {
         .withColumn("FROW", Flags.derivedFlagRow),
       binSecs)
 
-  private def prepSql(binSecs: String): String =
+  private[queries] def prepSql(binSecs: String): String =
     s"""WITH m AS (
           SELECT *, list_aggregate(flatten(FLAG), 'bool_and') AS FROW
           FROM ${rp("main")} WHERE ANTENNA1 <> ANTENNA2),

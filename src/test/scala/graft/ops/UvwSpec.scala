@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** UVW synthesis invariants (mirrors the reference's fixvis property
+  * tests, /root/reference/xova/apps/xova/tests/test_fixvis.py:70-131,
+  * plus rotation-theory facts the casacore path guarantees implicitly).
+  * Property-style: 100 seeded random samples per law.
+  */
+class UvwSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  private def samples: Seq[(Double, Double, Double, Double, Double, Double)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(100)((
+      rnd.between(-8000.0, 8000.0), rnd.between(-8000.0, 8000.0),
+      rnd.between(-8000.0, 8000.0), rnd.between(0.0, 2 * math.Pi),
+      rnd.between(-1.4, 1.4), rnd.between(4.0e6, 6.0e6)))
+  }
+
+  test("rotation preserves baseline length: |uvw| == |L|") {
+    samples.foreach { case (lx, ly, lz, ra, dec, t) =>
+      val Array(u, v, w) = Uvw.baselineUvw(lx, ly, lz, ra, dec, t)
+      val n1 = math.sqrt(u * u + v * v + w * w)
+      val n2 = math.sqrt(lx * lx + ly * ly + lz * lz)
+      assert(math.abs(n1 - n2) <= 1e-9 * (1.0 + n2))
+    }
+  }
+
+  test("antisymmetry: swapping antennas negates uvw") {
+    samples.foreach { case (lx, ly, lz, ra, dec, t) =>
+      val a = Uvw.baselineUvw(lx, ly, lz, ra, dec, t)
+      val b = Uvw.baselineUvw(-lx, -ly, -lz, ra, dec, t)
+      (0 until 3).foreach(i => assert(a(i) == -b(i)))
+    }
+  }
+
+  test("zero baseline (autocorrelation) has zero uvw") {
+    val r = Uvw.baselineUvw(0, 0, 0, 1.0, 0.5, 5.0e6)
+    assert(r.toSeq == Seq(0.0, 0.0, 0.0))
+  }
+
+  test("w equals baseline projection onto the source direction") {
+    // At dec = +pi/2 the source sits on the celestial pole: w = lz
+    // regardless of time.
+    samples.foreach { case (lx, ly, lz, _, _, t) =>
+      val r = Uvw.baselineUvw(lx, ly, lz, 0.3, math.Pi / 2, t)
+      assert(math.abs(r(2) - lz) <= 1e-9 * (1 + math.abs(lz)))
+    }
+  }
+
+  test("earth rotation moves u/v but the pole stays fixed") {
+    val a = Uvw.baselineUvw(5000, 3000, 1000, 1.0, 0.3, 5.0e6)
+    val b = Uvw.baselineUvw(5000, 3000, 1000, 1.0, 0.3, 5.0e6 + 3600)
+    assert(a(0) != b(0) || a(1) != b(1))
+  }
+
+  test("baseline index: bijective over upper-triangular pairs incl autos") {
+    val na = 8
+    val pairs = for (a1 <- 0 until na; a2 <- a1 until na) yield (a1, a2)
+    val idx = pairs.toDF("a1", "a2")
+      .select(Uvw.baselineIndex(col("a1"), col("a2"), na).as("b"))
+      .as[Long].collect().toSeq
+    assert(idx.distinct.length == pairs.length)
+    assert(idx.min == 0 && idx.max == pairs.length - 1)
+  }
+
+  test("subset invariance: synthesis from a row subset matches the full frame") {
+    // mirrors test_fixvis.py:102-111 — drop rows, shuffle, re-synthesize:
+    // common (time, baseline) keys must get identical UVWs.
+    val rows = for (t <- 0 until 4; a1 <- 0 until 6; a2 <- a1 until 6)
+      yield (5.0e6 + t * 3.0e4, a1, a2, 0)
+    val full = rows.toDF("TIME_CENTROID", "ANTENNA1", "ANTENNA2", "FIELD_ID")
+    val subset = full.sample(withReplacement = false, 0.8, seed = 7)
+      .orderBy(rand(11)) // shuffled
+    val field = Seq((0, Seq(Seq(0.7, 0.2)))).toDF("FIELD_ID", "PHASE_DIR")
+    val ant = (0 until 6)
+      .map(a => (a, Seq(a * 100.0, a * -50.0, a * 25.0)))
+      .toDF("ANTENNA_ID", "POSITION")
+    val key = Seq("TIME_CENTROID", "ANTENNA1", "ANTENNA2")
+    val fullUvw = Uvw.withSynthUvw(full, field, ant)
+      .select(col("TIME_CENTROID"), col("ANTENNA1"), col("ANTENNA2"),
+        col("SYNTH_UVW").as("FULL_UVW"))
+    val subUvw = Uvw.withSynthUvw(subset, field, ant)
+    val joined = subUvw.join(fullUvw, key)
+    assert(joined.count() == subset.count())
+    assert(joined.filter(col("SYNTH_UVW") =!= col("FULL_UVW")).count() == 0)
+  }
+}
