@@ -42,4 +42,22 @@ object Flags {
     */
   def flagCategory(df: DataFrame): DataFrame =
     df.withColumn("FLAG_CATEGORY", array(col("FLAG")))
+
+  /** P8 — channel selection (parsed by the reference at
+    * arguments.py:42-74; applied here as a native array slice of every
+    * (chan, corr) matrix column). `channels` are 0-based kept indices
+    * (graft.cli.Arguments.expandChannels); indices beyond a column's
+    * channel count are ignored, so mixed-SPW frames work.
+    */
+  def selectChannels(df: DataFrame, channels: Seq[Int],
+                     matrixCols: Seq[String]): DataFrame =
+    if (channels.isEmpty) df
+    else {
+      val kept = array(channels.map(lit): _*)
+      matrixCols.foldLeft(df) { (d, c) =>
+        d.withColumn(c, transform(
+          filter(kept, i => i < size(col(c))),
+          i => element_at(col(c), i + 1)))
+      }
+    }
 }

@@ -321,6 +321,36 @@ object MsQueries {
         .toDF("first_write_ok", "guard_raised", "forced_ok")
     }),
 
+    // P8: channel-range selection ("0~3,8") applied as a native array
+    // slice before any averaging. Reference: xova/apps/xova/arguments.py
+    // 42-74 (parse), wired through graft.ops.Flags.selectChannels.
+    "ms_p8_chan_select" -> ((s, _) => {
+      val kept = graft.cli.Arguments.expandChannels(
+        graft.cli.Arguments.parseChannels("0~3,8"))
+      Flags.selectChannels(MsTables.main(s), kept, Seq("DATA", "FLAG"))
+        .select(col("DATA_DESC_ID"),
+          size(col("DATA")).cast("long").as("nsel"),
+          expr("CAST(aggregate(flatten(transform(DATA, r -> transform(r, v -> CAST(round(v.re * 1000) AS BIGINT)))), 0L, (a, x) -> a + x) AS BIGINT)").as("re_sum"),
+          size(filter(flatten(col("FLAG")), x => x)).cast("long").as("n_flagged"))
+        .groupBy("DATA_DESC_ID")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("nsel")).as("nchan_sel_sum"),
+          sum(col("re_sum")).as("re_total"),
+          sum(col("n_flagged")).as("n_flag_cells"))
+    }),
+
+    // U2 full: all three conformance classes of the `check` app as one
+    // assertion row. Reference: xova/apps/xova/check.py:22-76.
+    "ms_u2_check_full" -> ((s, _) => {
+      import s.implicits._
+      graft.ms.SyntheticMs.ensure(s)
+      val r = graft.ops.Check.checkMs(s, graft.ms.SyntheticMs.root)
+      Seq((r.dataShape, r.spwShape, r.polShape, r.ok))
+        .toDF("data_shape_violations", "spw_shape_violations",
+          "pol_shape_violations", "ok")
+    }),
+
     // U2/J3: conformance check — DATA shape vs SPW/POL metadata.
     // Reference: xova/apps/xova/check.py:22-76.
     "ms_u2_check_shapes" -> ((s, _) =>
@@ -470,6 +500,46 @@ object MsQueries {
           JOIN ${rp("DATA_DESCRIPTION")} d USING (DATA_DESC_ID)
           JOIN ${rp("SPECTRAL_WINDOW")} s USING (SPECTRAL_WINDOW_ID)
           GROUP BY 1, 2, 3, 4""",
+    "ms_p8_chan_select" ->
+      s"""WITH sel AS (SELECT unnest([0, 1, 2, 3, 8]) AS ci),
+          r AS (
+            SELECT DATA_DESC_ID,
+                   (SELECT count(*) FROM sel WHERE ci < len(DATA)) AS nsel,
+                   (SELECT CAST(coalesce(sum(x.v), 0) AS BIGINT) FROM (
+                      SELECT CAST(round(DATA[s.ci+1][k.corr+1].re * 1000) AS BIGINT) AS v
+                      FROM sel s, LATERAL (SELECT unnest(range(len(DATA[1]))) AS corr) k
+                      WHERE s.ci < len(DATA)) x) AS re_sum,
+                   (SELECT CAST(count(*) AS BIGINT) FROM (
+                      SELECT 1 FROM sel s,
+                        LATERAL (SELECT unnest(range(len(FLAG[1]))) AS corr) k
+                      WHERE s.ci < len(FLAG) AND FLAG[s.ci+1][k.corr+1]) y) AS n_flagged
+            FROM ${rp("main")})
+          SELECT DATA_DESC_ID,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(nsel) AS BIGINT) AS nchan_sel_sum,
+                 CAST(sum(re_sum) AS BIGINT) AS re_total,
+                 CAST(sum(n_flagged) AS BIGINT) AS n_flag_cells
+          FROM r GROUP BY 1""",
+    "ms_u2_check_full" ->
+      s"""WITH counts AS (
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM ${rp("main")} m
+               JOIN ${rp("DATA_DESCRIPTION")} d USING (DATA_DESC_ID)
+               JOIN ${rp("SPECTRAL_WINDOW")} s USING (SPECTRAL_WINDOW_ID)
+               JOIN ${rp("POLARIZATION")} q USING (POLARIZATION_ID)
+               WHERE len(m.DATA) <> s.NUM_CHAN OR len(m.DATA[1]) <> q.NUM_CORR)
+                AS data_shape_violations,
+              (SELECT CAST(count(*) AS BIGINT) FROM ${rp("SPECTRAL_WINDOW")}
+               WHERE len(CHAN_WIDTH) <> NUM_CHAN OR len(CHAN_FREQ) <> NUM_CHAN
+                  OR len(EFFECTIVE_BW) <> NUM_CHAN OR len(RESOLUTION) <> NUM_CHAN)
+                AS spw_shape_violations,
+              (SELECT CAST(count(*) AS BIGINT) FROM ${rp("POLARIZATION")}
+               WHERE len(CORR_TYPE) <> NUM_CORR OR len(CORR_PRODUCT) <> NUM_CORR
+                  OR len(list_filter(CORR_PRODUCT, p -> len(p) <> 2)) > 0)
+                AS pol_shape_violations)
+          SELECT *, (data_shape_violations = 0 AND spw_shape_violations = 0
+                     AND pol_shape_violations = 0) AS ok
+          FROM counts""",
     "ms_u2_check_shapes" ->
       s"""SELECT DATA_DESC_ID, count(*) AS n_rows,
                  sum(CASE WHEN len(DATA) <> NUM_CHAN OR len(DATA[1]) <> NUM_CORR
