@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.MsQueries.queries ++
       graft.queries.BdaQueries.queries ++
       graft.queries.UvwQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.MsQueries.oracleSql ++
       graft.queries.BdaQueries.oracleSql ++
       graft.queries.UvwQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }
