@@ -245,7 +245,9 @@ object Bda {
     val spw = spark.read.parquet(s"$inRoot/SPECTRAL_WINDOW")
     val ddid = spark.read.parquet(s"$inRoot/DATA_DESCRIPTION")
 
-    val avg = averagedMain(main, spw, ddid, args)
+    // A5 collects a distinct set from `avg` and the J2 write re-reads it:
+    // persist so the expensive averaging shuffle runs once, not twice.
+    val avg = averagedMain(main, spw, ddid, args).persist()
     val chanls = channelisations(avg, ddid).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
     val (newSpw, newDdid, remapDf) = regenerate(spark, chanls, spw)
@@ -253,7 +255,8 @@ object Bda {
     val outMain = remap(avg, remapDf)
       .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))
       .sortWithinPartitions("DATA_DESC_ID", "TIME", "ANTENNA1", "ANTENNA2")
-    MsWriter.writeTable(outMain, outRoot, "main")
+    try MsWriter.writeTable(outMain, outRoot, "main")
+    finally avg.unpersist()
     MsWriter.writeTable(newSpw, outRoot, "SPECTRAL_WINDOW")
     MsWriter.writeTable(newDdid, outRoot, "DATA_DESCRIPTION")
     val passed = MsWriter.passthrough(spark, inRoot, outRoot)

@@ -21,6 +21,19 @@ object Flags {
   def selectFields(df: DataFrame, fields: Seq[Int]): DataFrame =
     if (fields.isEmpty) df else df.filter(col("FIELD_ID").isin(fields: _*))
 
+  /** P2 name resolution — "-f 3C147" style specs resolve names to ids
+    * against the FIELD subtable (xova/apps/xova/arguments.py:12-24; the
+    * tiny semi-join of SURVEY §2.4). Driver-side: #fields rows.
+    */
+  def resolveFields(sel: Seq[Either[Int, String]], field: DataFrame): Seq[Int] = {
+    val names = sel.collect { case Right(n) => n }
+    val byName =
+      if (names.isEmpty) Nil
+      else field.filter(col("NAME").isin(names: _*))
+        .select("FIELD_ID").collect().map(_.getInt(0)).toSeq
+    (sel.collect { case Left(i) => i } ++ byName).distinct.sorted
+  }
+
   /** P3 — scan selection (xova/apps/xova/averaging.py:221-222). */
   def selectScans(df: DataFrame, scans: Seq[Int]): DataFrame =
     if (scans.isEmpty) df else df.filter(col("SCAN_NUMBER").isin(scans: _*))

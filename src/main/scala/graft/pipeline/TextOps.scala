@@ -42,10 +42,14 @@ object TextOps {
 
   val Stopwords = Seq("the", "a")
 
-  /** Per-doc token statistics (counts as BIGINT for oracle parity). */
+  /** Per-doc token statistics (counts as BIGINT for oracle parity).
+    * The token array is staged as a column once so the five statistics
+    * don't each re-evaluate the split.
+    */
   def withTokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
-    df.withColumn("n_tokens", size(t).cast("bigint"))
+    val t = col("_toks")
+    df.withColumn("_toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(t).cast("bigint"))
       .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("bigint"))
       .withColumn("sum_token_len",
         aggregate(t, lit(0L), (acc, x) => acc + length(x)))
@@ -53,6 +57,7 @@ object TextOps {
         array_max(transform(t, x => length(x))).cast("bigint"))
       .withColumn("n_stopwords",
         size(filter(t, x => x.isin(Stopwords: _*))).cast("bigint"))
+      .drop("_toks")
   }
 
   /** Quality signals + keep decision (heuristics in the spirit of
@@ -76,12 +81,12 @@ object TextOps {
     * lexicographic min over shingle md5s (a MinHash with one hash
     * function — a stable content fingerprint robust to local edits).
     */
-  def withFingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val sh = shingles(tokens(col(textCol)))
-    df.withColumn("md5_fp", md5(col(textCol)))
-      .withColumn("min_shingle_fp", array_min(transform(sh, s => md5(s))))
-      .withColumn("n_shingles", size(array_distinct(sh)).cast("bigint"))
-  }
+  def withFingerprints(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("_sh", shingles(tokens(col(textCol))))
+      .withColumn("md5_fp", md5(col(textCol)))
+      .withColumn("min_shingle_fp", array_min(transform(col("_sh"), s => md5(s))))
+      .withColumn("n_shingles", size(array_distinct(col("_sh"))).cast("bigint"))
+      .drop("_sh")
 
   /** Language ID, corpus-profile flavor: a training pass counts, per
     * (lang, token), how many labeled docs contain the token; scoring

@@ -321,6 +321,16 @@ object MsQueries {
         .toDF("first_write_ok", "guard_raised", "forced_ok")
     }),
 
+    // P2-real: field selection by NAME resolved against the FIELD
+    // subtable (both fixture fields are named 3C147, so name selection
+    // resolves to {0, 1}). Reference: xova/apps/xova/arguments.py:12-24.
+    "ms_p2_field_names" -> ((s, _) => {
+      val ids = Flags.resolveFields(Seq(Right("3C147")), MsTables.field(s))
+      Flags.selectFields(MsTables.main(s), ids)
+        .groupBy("FIELD_ID")
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
     // P8: channel-range selection ("0~3,8") applied as a native array
     // slice before any averaging. Reference: xova/apps/xova/arguments.py
     // 42-74 (parse), wired through graft.ops.Flags.selectChannels.
@@ -500,6 +510,11 @@ object MsQueries {
           JOIN ${rp("DATA_DESCRIPTION")} d USING (DATA_DESC_ID)
           JOIN ${rp("SPECTRAL_WINDOW")} s USING (SPECTRAL_WINDOW_ID)
           GROUP BY 1, 2, 3, 4""",
+    "ms_p2_field_names" ->
+      s"""SELECT FIELD_ID, count(*) AS n_rows FROM ${rp("main")}
+          WHERE FIELD_ID IN (SELECT FIELD_ID FROM ${rp("FIELD")}
+                             WHERE NAME = '3C147')
+          GROUP BY 1""",
     "ms_p8_chan_select" ->
       s"""WITH sel AS (SELECT unnest([0, 1, 2, 3, 8]) AS ci),
           r AS (

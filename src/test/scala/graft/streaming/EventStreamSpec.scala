@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming semantics driven through MemoryStream → memory sink:
+  * window contents, incremental updates, and stateful running totals.
+  */
+class EventStreamSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("windowed aggregation accumulates per event-time window") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.windowedStats(in.toDF(), "10 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("win1").outputMode("complete")
+      .start()
+    try {
+      in.addData(
+        EventStream.Event(ts(100), 1, 2.0),
+        EventStream.Event(ts(104), 1, 3.0),
+        EventStream.Event(ts(112), 1, 5.0))
+      q.processAllAvailable()
+      val r1 = spark.table("win1")
+        .select("user_id", "n_events", "sum_value")
+        .orderBy("win_start").collect()
+      assert(r1.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq((1L, 2L, 5.0), (1L, 1L, 5.0)))
+
+      // second micro-batch lands in the first window (within watermark)
+      in.addData(EventStream.Event(ts(105), 1, 10.0))
+      q.processAllAvailable()
+      val r2 = spark.table("win1").orderBy("win_start").collect()
+      assert(r2(0).getAs[Long]("n_events") == 3)
+      assert(r2(0).getAs[Double]("sum_value") == 15.0)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("tot1").outputMode("update")
+      .start()
+    try {
+      in.addData(EventStream.Event(ts(1), 7, 1.5),
+        EventStream.Event(ts(2), 7, 2.5), EventStream.Event(ts(3), 9, 4.0))
+      q.processAllAvailable()
+      in.addData(EventStream.Event(ts(4), 7, 6.0))
+      q.processAllAvailable()
+      val last = spark.table("tot1")
+        .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+        .orderBy("user_id").collect()
+      assert(last.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq((7L, 3L, 10.0), (9L, 1L, 4.0)))
+    } finally q.stop()
+  }
+}
