@@ -9,9 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the real averaging kernel (A1 row stage) over the
+    * parquet MS fixture; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("j1_lookup_join")(spark, "/root/testdata/sf0.001")
+    queries("ms_a1_row_avg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

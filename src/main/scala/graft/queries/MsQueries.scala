@@ -126,6 +126,36 @@ object MsQueries {
         element_at(col("CHAN_FREQ"), col("NUM_CHAN")).as("last_freq"),
         element_at(col("CHAN_WIDTH"), 1).as("chan_width"))),
 
+    // S2: column-pruned chunk-planning pre-scan — only TIME/INTERVAL/
+    // UVW reach the parquet reader (plan-audited in DESIGN.md).
+    // Reference: xova/apps/xova/app.py:162-165, chunking.py:13-65.
+    "ms_s2_prescan" -> ((s, _) =>
+      MsTables.main(s)
+        .select(col("TIME"), col("INTERVAL"),
+          (col("UVW")(0) * col("UVW")(0) + col("UVW")(1) * col("UVW")(1) +
+            col("UVW")(2) * col("UVW")(2)).as("UVW2"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("TIME")).as("n_times"),
+          sum(col("INTERVAL")).as("interval_total"),
+          max(col("UVW2")).as("max_uvw2"))),
+
+    // W1-real: TIME monotonicity check per (group, baseline) — the
+    // invariant the reference validates before averaging.
+    // Reference: xova/apps/xova/chunking.py:267,287-289.
+    "ms_w1_monotonic" -> ((s, _) => {
+      val w = Window
+        .partitionBy("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
+          "ANTENNA1", "ANTENNA2")
+        .orderBy("TIME")
+      MsTables.main(s)
+        .withColumn("PREV", lag(col("TIME"), 1).over(w))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("PREV").isNotNull && col("TIME") < col("PREV"), 1L)
+            .otherwise(0L)).as("n_violations"))
+    }),
+
     // P1: autocorrelation filter on the real main table.
     // Reference: xova/apps/xova/arguments.py:219-220.
     "ms_p1_autocorr" -> ((s, _) =>
@@ -384,6 +414,22 @@ object MsQueries {
                  CHAN_FREQ[1] AS first_freq, CHAN_FREQ[NUM_CHAN] AS last_freq,
                  CHAN_WIDTH[1] AS chan_width
           FROM ${rp("SPECTRAL_WINDOW")}""",
+    "ms_s2_prescan" ->
+      s"""SELECT count(*) AS n_rows,
+                 count(DISTINCT TIME) AS n_times,
+                 sum(INTERVAL) AS interval_total,
+                 max(UVW[1]*UVW[1] + UVW[2]*UVW[2] + UVW[3]*UVW[3]) AS max_uvw2
+          FROM ${rp("main")}""",
+    "ms_w1_monotonic" ->
+      s"""SELECT count(*) AS n_rows,
+                 CAST(sum(CASE WHEN PREV IS NOT NULL AND TIME < PREV
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+          FROM (
+            SELECT TIME, lag(TIME) OVER (
+              PARTITION BY FIELD_ID, DATA_DESC_ID, SCAN_NUMBER,
+                           ANTENNA1, ANTENNA2
+              ORDER BY TIME) AS PREV
+            FROM ${rp("main")}) t""",
     "ms_p1_autocorr" ->
       s"""SELECT DATA_DESC_ID, count(*) AS n_rows,
                  count(DISTINCT ANTENNA1 * 64 + ANTENNA2) AS n_baselines
