@@ -85,8 +85,9 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
-    val sets = docs.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")))).as("sh"))
+    // reuse the shingle sets already staged by withMinhash (_sh) —
+    // verification must not re-tokenize the corpus
+    val sets = sigs.select(col("doc_id"), col("_sh").as("sh"))
     cand
       .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")

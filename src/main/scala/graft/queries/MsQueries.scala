@@ -165,6 +165,25 @@ object MsQueries {
           count(lit(1)).as("n_rows"),
           countDistinct(col("ANTENNA1") * 64 + col("ANTENNA2")).as("n_baselines"))),
 
+    // P3: scan selection — SCAN_NUMBER isin on the real main table.
+    // Reference: xova/apps/xova/averaging.py:221-222.
+    "ms_p3_scan_select" -> ((s, _) =>
+      Flags.selectScans(MsTables.main(s), Seq(1))
+        .groupBy("DATA_DESC_ID", "SCAN_NUMBER")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("TIME")).as("n_times"))),
+
+    // P7: FLAG_CATEGORY synthesis — singleton category axis whose
+    // payload equals FLAG. Reference: xova/apps/xova/averaging.py:80-94.
+    "ms_p7_flag_category" -> ((s, _) =>
+      Flags.flagCategory(MsTables.main(s))
+        .groupBy("DATA_DESC_ID")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(size(col("FLAG_CATEGORY")).cast("long")).as("n_categories"),
+          sum(when(element_at(col("FLAG_CATEGORY"), 1) === col("FLAG"), 1L)
+            .otherwise(0L)).as("n_payload_match"))),
+
     // P4: FLAG_ROW recompute vs the (deliberately inconsistent) stored
     // column. Reference: xova/apps/xova/averaging.py:224-225.
     "ms_p4_flag_row" -> ((s, _) =>
@@ -434,6 +453,16 @@ object MsQueries {
       s"""SELECT DATA_DESC_ID, count(*) AS n_rows,
                  count(DISTINCT ANTENNA1 * 64 + ANTENNA2) AS n_baselines
           FROM ${rp("main")} WHERE ANTENNA1 <> ANTENNA2 GROUP BY 1""",
+    "ms_p3_scan_select" ->
+      s"""SELECT DATA_DESC_ID, SCAN_NUMBER, count(*) AS n_rows,
+                 count(DISTINCT TIME) AS n_times
+          FROM ${rp("main")} WHERE SCAN_NUMBER IN (1) GROUP BY 1, 2""",
+    "ms_p7_flag_category" ->
+      s"""SELECT DATA_DESC_ID, count(*) AS n_rows,
+                 CAST(sum(len([FLAG])) AS BIGINT) AS n_categories,
+                 CAST(sum(CASE WHEN [FLAG][1] = FLAG THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_payload_match
+          FROM ${rp("main")} GROUP BY 1""",
     "ms_p4_flag_row" ->
       s"""SELECT DATA_DESC_ID, count(*) AS n_rows,
                  sum(CASE WHEN FLAG_ROW THEN 1 ELSE 0 END) AS n_stored,
