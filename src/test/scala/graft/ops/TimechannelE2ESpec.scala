@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ms.MsTables
+import org.apache.spark.sql.functions._
+
+/** Conservation laws of the REAL pipeline on the parquet MS fixture
+  * (SURVEY §5c at production grain).
+  */
+class TimechannelE2ESpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  private lazy val main = MsTables.main(spark)
+  private def args(binSecs: Double, chanBin: Int) = Timechannel.Args(
+    timeBinSecs = binSecs, chanBinSize = chanBin,
+    dataCols = Seq("DATA" -> "DATA"))
+
+  test("INTERVAL is conserved per baseline through the full averaging") {
+    val in = Flags.filterAutocorr(main)
+      .groupBy("DATA_DESC_ID", "ANTENNA1", "ANTENNA2")
+      .agg(sum("INTERVAL").as("s_in"))
+    val out = Timechannel.averagedMain(main, args(60000.0, 4))
+      .groupBy("DATA_DESC_ID", "ANTENNA1", "ANTENNA2")
+      .agg(sum("INTERVAL").as("s_out"))
+    val joined = in.join(out, Seq("DATA_DESC_ID", "ANTENNA1", "ANTENNA2"), "full")
+    assert(joined.filter(col("s_in").isNull || col("s_out").isNull ||
+      col("s_in") =!= col("s_out")).count() == 0)
+  }
+
+  test("bin sizes 1x1 are identity: row count and values survive") {
+    // time bin smaller than the sampling interval, chan bin 1
+    val out = Timechannel.averagedMain(main, args(1.0, 1))
+    val nIn = Flags.filterAutocorr(main).count()
+    assert(out.count() == nIn)
+    // spot-check: every output row's TIME equals its TIME_CENTROID
+    // population (single-row bins) and DATA survives bit-for-bit where
+    // the row is unflagged
+    val joined = out.alias("o").join(
+      Flags.filterAutocorr(main).alias("i"),
+      Seq("DATA_DESC_ID", "ANTENNA1", "ANTENNA2", "TIME"))
+    assert(joined.count() == nIn)
+    val mismatch = joined.filter(!col("o.FLAG_ROW") &&
+      col("o.DATA") =!= col("i.DATA")).count()
+    assert(mismatch == 0)
+  }
+
+  test("averaging reduces rows by the expected bin factor") {
+    // each (field, ddid, baseline) group holds 2 times x 30000 s; a
+    // 60000 s bin swallows both -> exactly one output row per group
+    val out = Timechannel.averagedMain(main, args(60000.0, 4))
+    val nGroups = Flags.filterAutocorr(main)
+      .select("DATA_DESC_ID", "FIELD_ID", "ANTENNA1", "ANTENNA2")
+      .distinct().count()
+    assert(out.count() == nGroups)
+  }
+
+  test("output channel counts follow the bin size with ragged tails") {
+    val out = Timechannel.averagedMain(main, args(60000.0, 3))
+    // 16 chans -> ceil(16/3)=6; 32 -> ceil(32/3)=11
+    val counts = out.groupBy("DATA_DESC_ID")
+      .agg(countDistinct(size(col("DATA"))).as("n_shapes"),
+        max(size(col("DATA"))).as("nchan_out"))
+      .orderBy("DATA_DESC_ID").collect()
+    assert(counts(0).getAs[Int]("nchan_out") == 6)
+    assert(counts(1).getAs[Int]("nchan_out") == 11)
+    assert(counts.forall(_.getAs[Long]("n_shapes") == 1))
+  }
+}
