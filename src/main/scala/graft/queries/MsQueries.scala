@@ -356,9 +356,11 @@ object MsQueries {
       val out = "/tmp/graft_out/tc_guard"
       def run(force: Boolean): Boolean =
         try {
+          // guard semantics are data-independent: one field keeps the
+          // three-run entry cheap
           Timechannel.run(s, MS, out, Timechannel.Args(
             timeBinSecs = 60000.0, chanBinSize = 8,
-            dataCols = Seq("DATA" -> "DATA"), force = force))
+            dataCols = Seq("DATA" -> "DATA"), fields = Seq(0), force = force))
           true
         } catch { case _: IllegalStateException => false }
       org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
