@@ -78,7 +78,12 @@ object Dedup {
     * ≥ minJaccard. Returns (doc1, doc2, n_inter, n1, n2, jaccard).
     */
   def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7): DataFrame = {
+    // The signature frame feeds both sides of the bucket self-join AND
+    // the verification lookup — without a persist Spark re-tokenizes and
+    // re-hashes the corpus 3-4x (plan-verified: 4 FileScans, 0 reuse).
+    // MEMORY_AND_DISK so a 100 TB corpus spills instead of recomputing.
     val sigs = withMinhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bd = bands(sigs)
     val cand = bd.as("x")
       .join(bd.as("y"), Seq("band_id", "band_hash"))
