@@ -123,6 +123,47 @@ object Dedup {
       .drop("_th")
   }
 
+  /** Embedding-cosine near-duplicate pairs. Two paths:
+    *  - exact: all-pairs self-join — the O(n²) correctness baseline,
+    *    and the only complete answer at low thresholds;
+    *  - LSH: sign-random-projection bucket candidates (Ann.withLshBuckets)
+    *    then exact rerank — the 100 TB path, with recall meaningful only
+    *    at true near-dup thresholds (cos ≥ 0.9 ⇒ bit-agreement ~0.86,
+    *    P(candidate) ≈ 1-(1-0.86⁸)² ≈ 52% per band pair — add bands for
+    *    recall; at cos ≤ 0.5 no sublinear method retains recall).
+    * Returns (vec1, vec2, dot_scaled, cos).
+    */
+  def embedNearDup(vectors: DataFrame, minCos: Double,
+                   exact: Boolean = true): DataFrame = {
+    val v = Ann.withScaled(vectors).select("vec_id", "iv", "norm2")
+    val cand =
+      if (exact)
+        v.toDF("vec1", "iv1", "n1").join(v.toDF("vec2", "iv2", "n2"),
+          col("vec1") < col("vec2"))
+      else {
+        val b = Ann.withLshBuckets(v)
+        val nBands = Ann.Planes / Ann.BitsPerBand
+        def rows(idAs: String, ivAs: String, nAs: String) =
+          b.select(col("vec_id").as(idAs), col("iv").as(ivAs),
+            col("norm2").as(nAs),
+            explode(array((0 until nBands).map(i =>
+              struct(lit(i).as("band_id"), col(s"bucket$i").as("bucket"))): _*)).as("bb"))
+            .select(col(idAs), col(ivAs), col(nAs),
+              col("bb.band_id"), col("bb.bucket"))
+        rows("vec1", "iv1", "n1")
+          .join(rows("vec2", "iv2", "n2"), Seq("band_id", "bucket"))
+          .filter(col("vec1") < col("vec2"))
+          .select("vec1", "iv1", "n1", "vec2", "iv2", "n2")
+          .distinct()
+      }
+    cand
+      .withColumn("dot_scaled", Ann.doti(col("iv1"), col("iv2")))
+      .withColumn("cos", Ann.cosine(col("dot_scaled"), col("n1"), col("n2")))
+      .filter(col("cos") >= minCos)
+      .select(col("vec1"), col("vec2"), col("dot_scaled"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Duplicate-cluster resolution: connected components over verified
     * pairs by iterated min-label propagation (O(diameter) rounds; the
     * edge list is ≪ corpus size, so each round is a small join).

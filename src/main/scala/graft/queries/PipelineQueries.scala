@@ -109,6 +109,11 @@ object PipelineQueries {
     "pl_d4_simhash" -> ((s, d) =>
       Dedup.withSimhash(Tables.documents(s, d)).select("doc_id", "simhash")),
 
+    // Embedding-cosine near-dup pairs (exact all-pairs baseline; the
+    // LSH path needs genuine near-dups, see Dedup.embedNearDup notes).
+    "pl_d5_embed_neardup" -> ((s, d) =>
+      Dedup.embedNearDup(Tables.embeddings(s, d), 0.45)),
+
     // ANN baseline: brute-force exact cosine top-k (probes broadcast,
     // corpus streamed — one scan, no shuffle of the big side).
     "pl_a1_knn_brute" -> ((s, d) =>
@@ -198,6 +203,16 @@ object PipelineQueries {
           SELECT doc_id, cluster_rep,
                  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
           FROM labeled""",
+
+    "pl_d5_embed_neardup" ->
+      s"""WITH $vSql
+          SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+                 ${dotSql("a.iv", "b.iv")} AS dot_scaled,
+                 round(${dotSql("a.iv", "b.iv")}::DOUBLE
+                   / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) AS cos
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE ${dotSql("a.iv", "b.iv")}::DOUBLE
+                  / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)) >= 0.45""",
 
     "pl_d4_simhash" ->
       s"""WITH dt AS (
