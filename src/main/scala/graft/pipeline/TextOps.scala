@@ -88,6 +88,29 @@ object TextOps {
       .withColumn("n_shingles", size(array_distinct(col("_sh"))).cast("bigint"))
       .drop("_sh")
 
+  /** BPE-style pre-tokenizer regex (GPT-2 flavor, reduced to the
+    * RE2-compatible subset — no lookahead — so any engine tokenizes
+    * identically): letter runs, digit runs, punctuation runs, each with
+    * an optional leading space.
+    */
+  val BpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  /** Token counting, whitespace + BPE-ish regex (both counts). */
+  def withTokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_ws_tokens", size(tokens(col(textCol))).cast("bigint"))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(col(textCol), lit(BpePattern), lit(0))).cast("bigint"))
+
+  /** Rolling-hash content fingerprint (Rabin-Karp / winnowing flavor):
+    * hash every k-char window, keep the minimum — robust to local edits
+    * like the shingle MinHash but at character grain. One projection.
+    */
+  def withRollingFingerprint(df: DataFrame, k: Int = 16,
+                             textCol: String = "text"): DataFrame =
+    df.withColumn("rolling_fp",
+      array_min(transform(sequence(lit(0), length(col(textCol)) - k),
+        i => hash60(col(textCol).substr(i + 1, lit(k))))))
+
   /** Language ID, corpus-profile flavor: a training pass counts, per
     * (lang, token), how many labeled docs contain the token; scoring
     * sums those counts over a doc's distinct tokens and argmaxes

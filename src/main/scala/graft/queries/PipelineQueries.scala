@@ -91,6 +91,13 @@ object PipelineQueries {
       TextOps.withFingerprints(Tables.documents(s, d))
         .select("doc_id", "md5_fp", "min_shingle_fp", "n_shingles")),
 
+    // Token counting both ways (whitespace + BPE-ish regex) plus the
+    // rolling-hash character-grain fingerprint.
+    "pl_t5_tokenizers" -> ((s, d) =>
+      TextOps.withRollingFingerprint(
+        TextOps.withTokenCounts(Tables.documents(s, d)))
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "rolling_fp")),
+
     // Exact dedup: hash-groupBy clusters (one shuffle on a 16-byte key).
     "pl_d1_exact_clusters" -> ((s, d) =>
       Dedup.exactClusters(Tables.documents(s, d))),
@@ -178,6 +185,14 @@ object PipelineQueries {
       s"""SELECT doc_id, md5(text) AS md5_fp,
                  list_min(list_transform($shinglesSql, s -> md5(s))) AS min_shingle_fp,
                  CAST(len($shinglesSql) AS BIGINT) AS n_shingles
+          FROM documents""",
+
+    "pl_t5_tokenizers" ->
+      s"""SELECT doc_id,
+                 CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS n_bpe_tokens,
+                 list_min(list_transform(range(0, len(text) - 15),
+                   i -> ${h60("substring(text, CAST(i+1 AS INT), 16)")})) AS rolling_fp
           FROM documents""",
 
     "pl_d1_exact_clusters" ->
