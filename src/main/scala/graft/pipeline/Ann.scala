@@ -36,9 +36,13 @@ object Ann {
   def scaled(e: Column): Column =
     transform(e, x => round(x.cast("double") * Scale).cast("bigint"))
 
-  /** Exact integer dot product of two scaled vectors. */
+  /** Exact integer dot product of two scaled vectors — the native
+    * codegen expression (graft.expressions.DotProductL): a primitive
+    * loop over ArrayData instead of the allocating
+    * `aggregate(zip_with(...))` composition.
+    */
   def doti(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.expressions.DotProductL(a, b)
 
   /** Cosine from integer dot/norms (identical doubles cross-engine). */
   def cosine(dot: Column, n1: Column, n2: Column): Column =
