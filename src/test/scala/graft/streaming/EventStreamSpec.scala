@@ -41,6 +41,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windows equal the batch groupBy-window on the same data") {
+    implicit val sq = spark.sqlContext
+    val rows = (0 until 50).map(i =>
+      EventStream.Event(ts(1000 + i * 7), i % 3, i * 0.5))
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.windowedStats(in.toDF(), "30 seconds", "1 minute")
+      .writeStream.format("memory").queryName("winEq").outputMode("complete")
+      .start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("winEq")
+      val batch = rows.toDF("ts", "user_id", "value")
+        .groupBy(window(col("ts"), "30 seconds"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("user_id"),
+          col("n_events"), col("sum_value"))
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
