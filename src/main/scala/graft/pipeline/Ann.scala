@@ -167,6 +167,54 @@ object Ann {
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Deterministic k-means over scaled integer vectors: seeds = the k
+    * vectors with smallest (hash60("km|" + vec_id), vec_id); then
+    * `rounds` Lloyd iterations with EXACT rational distances — a
+    * centroid is its (per-dim sum vector, member count), and
+    * ‖x − s/n‖² compares as Σ(n·x_d − s_d)² / n², whose numerator is an
+    * exact 64-bit integer — so assignment is bit-identical on every
+    * engine. Ties break by centroid id. Returns (vec_id, cluster).
+    *
+    * Scale: each round = one broadcast of k centroid rows + one window
+    * by vec_id; centroid recompute is a (cluster, dim) aggregation.
+    */
+  def kmeansClusters(vectors: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val v = withScaled(vectors).select("vec_id", "iv")
+    // seed centroids: n = 1, sv = iv
+    val seedW = Window.orderBy(
+      TextOps.hash60(concat(lit("km|"), col("vec_id").cast("string"))).asc,
+      col("vec_id").asc)
+    var cent = v
+      .withColumn("_rk", row_number().over(seedW))
+      .filter(col("_rk") <= k)
+      .select((col("_rk") - 1).as("c_id"), lit(1L).as("n"), col("iv").as("sv"))
+
+    var assigned: DataFrame = null
+    for (_ <- 0 until rounds) {
+      val dist = v.crossJoin(broadcast(cent))
+        .withColumn("num",
+          aggregate(zip_with(col("iv"), col("sv"),
+            (x, s) => (col("n") * x - s) * (col("n") * x - s)),
+            lit(0L), (a, t) => a + t))
+        .withColumn("d2", col("num").cast("double") / (col("n") * col("n")))
+      val wA = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)
+      assigned = dist.withColumn("_rk", row_number().over(wA))
+        .filter(col("_rk") === 1)
+        .select(col("vec_id"), col("iv"), col("c_id").as("cluster"))
+      cent = assigned
+        .select(col("cluster"), posexplode(col("iv")).as(Seq("d", "x")))
+        .groupBy("cluster", "d")
+        .agg(sum("x").as("s"), count(lit(1)).as("cn"))
+        .groupBy(col("cluster").as("c_id"))
+        .agg(max("cn").as("n"),
+          transform(array_sort(collect_list(struct(col("d"), col("s")))),
+            r => r("s")).as("sv"))
+    }
+    assigned.select("vec_id", "cluster")
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
   /** Top-k per probe by (cos desc, neighbor asc) — deterministic. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val idCol =

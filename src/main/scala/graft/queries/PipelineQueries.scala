@@ -133,7 +133,13 @@ object PipelineQueries {
     // ANN scale path 2: IVF with per-label centroids (coarse quantizer),
     // probe searches one inverted list only.
     "pl_a3_ann_ivf" -> ((s, d) =>
-      Ann.annIvf(Tables.embeddings(s, d), probeF, K))
+      Ann.annIvf(Tables.embeddings(s, d), probeF, K)),
+
+    // Trained coarse quantizer: deterministic k-means (2 Lloyd rounds,
+    // exact rational distances) — the cluster assignment that replaces
+    // the label stand-in at scale.
+    "pl_a4_ivf_kmeans" -> ((s, d) =>
+      Ann.kmeansClusters(Tables.embeddings(s, d), 8, 2))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -241,6 +247,35 @@ object PipelineQueries {
           SELECT doc_id,
                  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
           FROM bits GROUP BY 1""",
+
+    "pl_a4_ivf_kmeans" -> {
+      val assign = (cents: String) =>
+        s"""SELECT vec_id, cluster FROM (
+              SELECT v.vec_id, c.c_id AS cluster,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       CAST(list_sum(list_transform(list_zip(v.iv, c.sv),
+                         z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS BIGINT)::DOUBLE
+                         / (c.n * c.n) ASC, c.c_id ASC) AS rk
+              FROM v, $cents c) WHERE rk = 1"""
+      s"""WITH $vSql,
+          seeds AS (
+            SELECT CAST(rn - 1 AS INTEGER) AS c_id, 1::BIGINT AS n, iv AS sv
+            FROM (SELECT *, row_number() OVER (ORDER BY
+                    ${h60("'km|' || vec_id")} ASC, vec_id ASC) AS rn FROM v)
+            WHERE rn <= 8),
+          r1 AS (${assign("seeds")}),
+          c1 AS (
+            SELECT c_id, max(cn) AS n, list(s ORDER BY d) AS sv
+            FROM (
+              SELECT r1.cluster AS c_id, dd.d,
+                     CAST(sum(v.iv[dd.d+1]) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS cn
+              FROM r1 JOIN v USING (vec_id),
+                   (SELECT unnest(range(64)) AS d) dd
+              GROUP BY 1, 2)
+            GROUP BY 1),
+          r2 AS (${assign("c1")})
+          SELECT vec_id, cluster FROM r2""" },
 
     "pl_a1_knn_brute" ->
       s"""WITH $vSql,

@@ -106,6 +106,14 @@ class PipelineSpec extends SparkSpec {
     assert(j.filter(col("n_cand") >= vecs.count() - 1).count() == 0)
   }
 
+  test("k-means clusters: total assignment, determinism, multiple clusters") {
+    val c1 = Ann.kmeansClusters(vecs, 8, 2).cache()
+    assert(c1.count() == vecs.count())
+    assert(c1.select("cluster").distinct().count() > 1)
+    val c2 = Ann.kmeansClusters(vecs, 8, 2)
+    assert(c1.exceptAll(c2).count() == 0 && c2.exceptAll(c1).count() == 0)
+  }
+
   test("IVF: probes search exactly their assigned centroid's list") {
     val out = Ann.annIvf(vecs, col("vec_id") < 3, 3)
     val withLabel = out.join(
