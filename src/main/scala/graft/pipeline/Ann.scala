@@ -48,6 +48,31 @@ object Ann {
   def cosine(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
 
+  /** Largest member count for which the rational-distance numerator
+    * Σ_d(n·x−s)² provably fits Int64: |x|,|s|/n ≤ 2·Scale ⇒ each term
+    * ≤ (4·Scale·n)², ×Dim ⇒ n ≤ ~1.9·10⁴. Beyond that, the exact path
+    * would overflow silently (wrap) or throw under ANSI — fall back to
+    * the double form ‖x − s/n‖², whose 2⁻⁵³ relative error is far below
+    * inter-centroid spacing at that cluster size.
+    */
+  val ExactNMax: Long = 1L << 14
+
+  /** Squared distance of scaled vector `iv` to centroid (sum `sv`,
+    * count `n`): exact rational (Σ(n·x−s)²)/n² while n ≤ ExactNMax,
+    * double fallback above.
+    */
+  private def ratD2(iv: Column, sv: Column, n: Column): Column = {
+    val exact = aggregate(zip_with(iv, sv,
+        (x, s) => (n * x - s) * (n * x - s)),
+        lit(0L), (a, t) => a + t)
+      .cast("double") / (n * n)
+    val approx = aggregate(zip_with(iv, sv, (x, s) => {
+        val d = x.cast("double") - s.cast("double") / n.cast("double")
+        d * d
+      }), lit(0.0d), (a, t) => a + t)
+    when(n <= lit(ExactNMax), exact).otherwise(approx)
+  }
+
   /** Deterministic hyperplane coefficients in [-1000, 1000], computed
     * driver-side with the same md5 formula the oracle uses and shipped
     * as a literal (a p×d constant — never recomputed per row).
@@ -147,11 +172,7 @@ object Ann {
       .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
         col("norm2").as("p_norm2"))
     val dist = probes.crossJoin(broadcast(cent))
-      .withColumn("num",
-        aggregate(zip_with(col("p_iv"), col("sv"),
-          (x, s) => (col("n") * x - s) * (col("n") * x - s)),
-          lit(0L), (acc, t) => acc + t))
-      .withColumn("d2", col("num").cast("double") / (col("n") * col("n")))
+      .withColumn("d2", ratD2(col("p_iv"), col("sv"), col("n")))
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("d2").asc, col("c_label").asc)
     val assigned = dist.withColumn("rk", row_number().over(wA))
@@ -180,23 +201,23 @@ object Ann {
     */
   def kmeansClusters(vectors: DataFrame, k: Int, rounds: Int): DataFrame = {
     val v = withScaled(vectors).select("vec_id", "iv")
-    // seed centroids: n = 1, sv = iv
-    val seedW = Window.orderBy(
-      TextOps.hash60(concat(lit("km|"), col("vec_id").cast("string"))).asc,
-      col("vec_id").asc)
+    // seed centroids: n = 1, sv = iv. orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition top-k, k-row merge on the
+    // driver) — no global single-partition window; the row_number that
+    // assigns c_id runs over the k surviving rows only.
+    val seedHash = TextOps.hash60(concat(lit("km|"), col("vec_id").cast("string")))
+    val seedW = Window.orderBy(col("_h").asc, col("vec_id").asc)
     var cent = v
+      .withColumn("_h", seedHash)
+      .orderBy(col("_h").asc, col("vec_id").asc)
+      .limit(k)
       .withColumn("_rk", row_number().over(seedW))
-      .filter(col("_rk") <= k)
       .select((col("_rk") - 1).as("c_id"), lit(1L).as("n"), col("iv").as("sv"))
 
     var assigned: DataFrame = null
     for (_ <- 0 until rounds) {
       val dist = v.crossJoin(broadcast(cent))
-        .withColumn("num",
-          aggregate(zip_with(col("iv"), col("sv"),
-            (x, s) => (col("n") * x - s) * (col("n") * x - s)),
-            lit(0L), (a, t) => a + t))
-        .withColumn("d2", col("num").cast("double") / (col("n") * col("n")))
+        .withColumn("d2", ratD2(col("iv"), col("sv"), col("n")))
       val wA = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)
       assigned = dist.withColumn("_rk", row_number().over(wA))
         .filter(col("_rk") === 1)

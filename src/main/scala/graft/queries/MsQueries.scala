@@ -107,12 +107,12 @@ object MsQueries {
                CHAN_BIN, CORR,
                count(*) AS n_samp,
                (count(*) FILTER (EFF) = 0) AS flag_out,
-               CASE WHEN count(*) FILTER (EFF) > 0
-                    THEN sum(VR * WI) FILTER (EFF) ELSE sum(VR * WI) END AS re_num,
-               CASE WHEN count(*) FILTER (EFF) > 0
-                    THEN sum(VI * WI) FILTER (EFF) ELSE sum(VI * WI) END AS im_num,
-               CASE WHEN count(*) FILTER (EFF) > 0
-                    THEN sum(WI) FILTER (EFF) ELSE sum(WI) END AS w_den
+               CAST(CASE WHEN count(*) FILTER (EFF) > 0
+                    THEN sum(VR * WI) FILTER (EFF) ELSE sum(VR * WI) END AS BIGINT) AS re_num,
+               CAST(CASE WHEN count(*) FILTER (EFF) > 0
+                    THEN sum(VI * WI) FILTER (EFF) ELSE sum(VI * WI) END AS BIGINT) AS im_num,
+               CAST(CASE WHEN count(*) FILTER (EFF) > 0
+                    THEN sum(WI) FILTER (EFF) ELSE sum(WI) END AS BIGINT) AS w_den
         FROM cells GROUP BY ALL"""
 
   val queries: Map[String, Q] = Map(
@@ -467,9 +467,9 @@ object MsQueries {
           FROM ${rp("main")} GROUP BY 1""",
     "ms_p4_flag_row" ->
       s"""SELECT DATA_DESC_ID, count(*) AS n_rows,
-                 sum(CASE WHEN FLAG_ROW THEN 1 ELSE 0 END) AS n_stored,
-                 sum(CASE WHEN list_aggregate(flatten(FLAG), 'bool_and') THEN 1 ELSE 0 END) AS n_derived,
-                 sum(CASE WHEN FLAG_ROW <> list_aggregate(flatten(FLAG), 'bool_and') THEN 1 ELSE 0 END) AS n_changed
+                 CAST(sum(CASE WHEN FLAG_ROW THEN 1 ELSE 0 END) AS BIGINT) AS n_stored,
+                 CAST(sum(CASE WHEN list_aggregate(flatten(FLAG), 'bool_and') THEN 1 ELSE 0 END) AS BIGINT) AS n_derived,
+                 CAST(sum(CASE WHEN FLAG_ROW <> list_aggregate(flatten(FLAG), 'bool_and') THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
           FROM ${rp("main")} GROUP BY 1""",
     "ms_w2_bin_running" ->
       s"""SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, BIN,
@@ -503,14 +503,14 @@ object MsQueries {
                  CASE WHEN count(*) FILTER (NOT FROW) > 0
                       THEN sum(EXPOSURE) FILTER (NOT FROW) ELSE sum(EXPOSURE) END AS exposure_sum,
                  (count(*) FILTER (NOT FROW) = 0) AS flag_row_out,
-                 CASE WHEN count(*) FILTER (NOT FROW) > 0
-                      THEN sum(U * WROW) FILTER (NOT FROW) ELSE sum(U * WROW) END AS u_num,
-                 CASE WHEN count(*) FILTER (NOT FROW) > 0
-                      THEN sum(V * WROW) FILTER (NOT FROW) ELSE sum(V * WROW) END AS v_num,
-                 CASE WHEN count(*) FILTER (NOT FROW) > 0
-                      THEN sum(W * WROW) FILTER (NOT FROW) ELSE sum(W * WROW) END AS w_num,
-                 CASE WHEN count(*) FILTER (NOT FROW) > 0
-                      THEN sum(WROW) FILTER (NOT FROW) ELSE sum(WROW) END AS w_den
+                 CAST(CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(U * WROW) FILTER (NOT FROW) ELSE sum(U * WROW) END AS BIGINT) AS u_num,
+                 CAST(CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(V * WROW) FILTER (NOT FROW) ELSE sum(V * WROW) END AS BIGINT) AS v_num,
+                 CAST(CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(W * WROW) FILTER (NOT FROW) ELSE sum(W * WROW) END AS BIGINT) AS w_num,
+                 CAST(CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(WROW) FILTER (NOT FROW) ELSE sum(WROW) END AS BIGINT) AS w_den
           FROM r GROUP BY 1, 2, 3, 4, 5, 6""",
     "ms_a1_vis_avg" -> visFlatSql("DATA", 1),
     "ms_a1_weight_sigma" ->
@@ -524,11 +524,11 @@ object MsQueries {
           SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN, CORR,
                  count(*) AS n_nom,
                  count(*) FILTER (NOT FROW) AS n_eff,
-                 CASE WHEN count(*) FILTER (NOT FROW) > 0
-                      THEN sum(WM) FILTER (NOT FROW) ELSE sum(WM) END AS weight_sum,
-                 CASE WHEN count(*) FILTER (NOT FROW) > 0
+                 CAST(CASE WHEN count(*) FILTER (NOT FROW) > 0
+                      THEN sum(WM) FILTER (NOT FROW) ELSE sum(WM) END AS BIGINT) AS weight_sum,
+                 CAST(CASE WHEN count(*) FILTER (NOT FROW) > 0
                       THEN sum(WM * WM * SM * SM) FILTER (NOT FROW)
-                      ELSE sum(WM * WM * SM * SM) END AS sigma_num
+                      ELSE sum(WM * WM * SM * SM) END AS BIGINT) AS sigma_num
           FROM cells GROUP BY 1, 2, 3, 4, 5, 6, 7""",
     "ms_a2_chan_avg" -> visFlatSql("DATA", 4),
     "ms_p5_rename_avg" -> visFlatSql("CORRECTED_DATA", 4),
@@ -634,8 +634,8 @@ object MsQueries {
           FROM counts""",
     "ms_u2_check_shapes" ->
       s"""SELECT DATA_DESC_ID, count(*) AS n_rows,
-                 sum(CASE WHEN len(DATA) <> NUM_CHAN OR len(DATA[1]) <> NUM_CORR
-                          THEN 1 ELSE 0 END) AS n_violations
+                 CAST(sum(CASE WHEN len(DATA) <> NUM_CHAN OR len(DATA[1]) <> NUM_CORR
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
           FROM ${rp("main")} m
           JOIN ${rp("DATA_DESCRIPTION")} d USING (DATA_DESC_ID)
           JOIN (SELECT SPECTRAL_WINDOW_ID, NUM_CHAN FROM ${rp("SPECTRAL_WINDOW")}) s USING (SPECTRAL_WINDOW_ID)

@@ -267,9 +267,9 @@ object RelationalQueries {
                 CAST(sum(cents) AS BIGINT) AS sum_cents FROM (
            SELECT user_id,
                   CAST(round(value * 100) AS BIGINT) AS cents,
-                  sum(CAST(round(value * 100) AS BIGINT))
+                  CAST(sum(CAST(round(value * 100) AS BIGINT))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) // 100000 AS bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) // 100000 AS BIGINT) AS bin
            FROM events) t
          GROUP BY 1, 2"""
   )

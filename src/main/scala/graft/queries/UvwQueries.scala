@@ -44,9 +44,10 @@ object UvwQueries {
           col("FIELD_ID"), col("TIME_CENTROID"),
           col("ANTENNA1"), col("ANTENNA2"),
           Uvw.baselineIndex(col("ANTENNA1"), col("ANTENNA2"), 64).as("bl_idx"),
-          round(element_at(col("SYNTH_UVW"), 1), 4).as("u"),
-          round(element_at(col("SYNTH_UVW"), 2), 4).as("v"),
-          round(element_at(col("SYNTH_UVW"), 3), 4).as("w"))
+          // + 0.0 normalizes -0.0 → 0.0 (DuckDB round can emit the other sign)
+          (round(element_at(col("SYNTH_UVW"), 1), 4) + lit(0.0)).as("u"),
+          (round(element_at(col("SYNTH_UVW"), 2), 4) + lit(0.0)).as("v"),
+          (round(element_at(col("SYNTH_UVW"), 3), 4) + lit(0.0)).as("w"))
     }),
 
     // U1: the fixms pass over a freshly averaged MS — recompute UVW
@@ -94,7 +95,7 @@ object UvwQueries {
                    (least(ANTENNA1, ANTENNA2) *
                     (-least(ANTENNA1, ANTENNA2) + 129)) // 2
                      + abs(ANTENNA1 - ANTENNA2) AS bl_idx,
-                   round($u1, 4) AS u, round($v1, 4) AS v, round($w1, 4) AS w
+                   round($u1, 4) + 0.0 AS u, round($v1, 4) + 0.0 AS v, round($w1, 4) + 0.0 AS w
             FROM j""",
 
       "ms_u1_fixms" ->
