@@ -135,8 +135,33 @@ object Dedup {
     * Returns (vec1, vec2, dot_scaled, cos).
     */
   def embedNearDup(vectors: DataFrame, minCos: Double,
-                   exact: Boolean = true): DataFrame = {
-    val v = Ann.withScaled(vectors).select("vec_id", "iv", "norm2")
+                   exact: Boolean = true): DataFrame =
+    scaledNearDup(Ann.withScaled(vectors).select("vec_id", "iv", "norm2"),
+      minCos, exact)
+
+  /** Adds, for every scaled vector, a re-quantized variant (components
+    * snapped to a `grid`-unit lattice, id shifted by `idOffset`) —
+    * simulating the same content re-embedded/re-encoded. Each variant
+    * sits at cos ≈ 1 − (grid/2)²·Dim/(2·‖iv‖²) ≈ 0.99999 from its
+    * source: a planted true-near-dup population on which the LSH
+    * path's recall is exact and deterministically checkable (the
+    * hyperplanes are md5-derived constants, so recall on a given
+    * corpus is a fixed fact, not a sample). Truncation (x − x%grid)
+    * rather than rounding: `%` keeps the dividend's sign in both
+    * Spark and DuckDB, so the oracle reproduces it verbatim.
+    */
+  def withRequantVariants(scaledV: DataFrame, grid: Int = 4,
+                          idOffset: Long = 1000000L): DataFrame = {
+    val iv2 = transform(col("iv"), x => x - x % grid)
+    scaledV.select("vec_id", "iv", "norm2").unionAll(
+      scaledV.select((col("vec_id") + idOffset).as("vec_id"), iv2.as("iv"))
+        .withColumn("norm2", Ann.doti(col("iv"), col("iv"))))
+  }
+
+  /** Near-dup pairs over an already-scaled frame (vec_id, iv, norm2). */
+  def scaledNearDup(scaledV: DataFrame, minCos: Double,
+                    exact: Boolean): DataFrame = {
+    val v = scaledV.select("vec_id", "iv", "norm2")
     val cand =
       if (exact)
         v.toDF("vec1", "iv1", "n1").join(v.toDF("vec2", "iv2", "n2"),

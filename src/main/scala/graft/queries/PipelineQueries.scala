@@ -116,9 +116,22 @@ object PipelineQueries {
     "pl_d4_simhash" -> ((s, d) =>
       Dedup.withSimhash(Tables.documents(s, d)).select("doc_id", "simhash")),
 
-    // Embedding-cosine near-dup pairs (exact all-pairs baseline; the
-    // LSH path needs genuine near-dups, see Dedup.embedNearDup notes).
+    // Embedding-cosine near-dup at a production threshold via the LSH
+    // scale path (banded buckets + exact rerank — no fact×fact join).
+    // The raw corpus has no pairs above cos 0.6, so the near-dup
+    // population is planted: each vector gains a re-quantized variant
+    // at cos ≈ 0.99999 (simulating re-encoded duplicates). Oracle =
+    // independent brute-force all-pairs over the same augmented corpus;
+    // LSH recall is deterministic (md5 hyperplanes) and 100% here.
     "pl_d5_embed_neardup" -> ((s, d) =>
+      Dedup.scaledNearDup(
+        Dedup.withRequantVariants(
+          Ann.withScaled(Tables.embeddings(s, d)).select("vec_id", "iv", "norm2")),
+        0.99, exact = false)),
+
+    // Exact all-pairs near-dup baseline — the O(n²) correctness anchor
+    // and the only complete answer at low thresholds (cos ≥ 0.45 here).
+    "pl_d6_embed_exact" -> ((s, d) =>
       Dedup.embedNearDup(Tables.embeddings(s, d), 0.45)),
 
     // ANN baseline: brute-force exact cosine top-k (probes broadcast,
@@ -226,6 +239,24 @@ object PipelineQueries {
           FROM labeled""",
 
     "pl_d5_embed_neardup" ->
+      s"""WITH $vSql,
+          aug AS (
+            SELECT vec_id, iv FROM v
+            UNION ALL
+            SELECT vec_id + 1000000, list_transform(iv, x -> x - x % 4) FROM v),
+          a2 AS (
+            SELECT vec_id, iv,
+                   CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS norm2
+            FROM aug)
+          SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+                 ${dotSql("a.iv", "b.iv")} AS dot_scaled,
+                 round(${dotSql("a.iv", "b.iv")}::DOUBLE
+                   / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) AS cos
+          FROM a2 a JOIN a2 b ON a.vec_id < b.vec_id
+          WHERE ${dotSql("a.iv", "b.iv")}::DOUBLE
+                  / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)) >= 0.99""",
+
+    "pl_d6_embed_exact" ->
       s"""WITH $vSql
           SELECT a.vec_id AS vec1, b.vec_id AS vec2,
                  ${dotSql("a.iv", "b.iv")} AS dot_scaled,
