@@ -122,6 +122,11 @@ object Arguments {
     val output = flag("-o", "--output").getOrElse(deriveOutput(ms))
     val fields = parseFields(flag("-f", "--fields").getOrElse(""))
     val scans = parseScans(flag("-s", "--scan-numbers").getOrElse(""))
+    // P8: the reference parses channel specs (arguments.py:42-74) but
+    // never exposes a flag in v0.1.2; -ch avoids the -c (chan-bin-size)
+    // collision.
+    val channels = expandChannels(
+      parseChannels(flag("-ch", "--channels").getOrElse("")))
     val dataCols = parseDataColumns(
       flag("-dc", "--data-column").map(_.split(',').toSeq)
         .getOrElse(Seq("CORRECTED_DATA:DATA")))
@@ -132,6 +137,7 @@ object Arguments {
         timeBinSecs = flag("-t", "--time-bin-secs").map(_.toDouble).getOrElse(2.0),
         chanBinSize = flag("-c", "--chan-bin-size").map(_.toInt).getOrElse(16),
         dataCols = dataCols, fields = intFields, scans = scans,
+        channels = channels,
         respectFlagRow = boolFlag("-rfr", "--respect-flag-row"),
         includeAutoCorrs = boolFlag("--include-auto-correlations"),
         force = boolFlag("--force")))
@@ -142,6 +148,7 @@ object Arguments {
           .getOrElse(Double.MaxValue),
         minNchan = flag("-mc", "--min-nchan").map(_.toInt).getOrElse(1),
         dataCols = dataCols, fields = intFields, scans = scans,
+        channels = channels,
         respectFlagRow = boolFlag("-rfr", "--respect-flag-row"),
         force = boolFlag("--force")))
       case "check" => CheckCmd(ms)

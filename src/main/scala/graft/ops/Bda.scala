@@ -53,6 +53,7 @@ object Bda {
       dataCols: Seq[(String, String)] = Seq("CORRECTED_DATA" -> "DATA"),
       fields: Seq[Int] = Nil,
       scans: Seq[Int] = Nil,
+      channels: Seq[Int] = Nil, // P8: 0-based kept channel indices
       respectFlagRow: Boolean = false,
       force: Boolean = false)
 
@@ -83,14 +84,16 @@ object Bda {
 
     val bl = sqrt(col("UVW")(0) * col("UVW")(0) + col("UVW")(1) * col("UVW")(1) +
       col("UVW")(2) * col("UVW")(2))
-    // SPW metadata is constant per group (DATA_DESC_ID is a group key).
-    val freqs = df.select((TimeAvg.GroupCols.map(col) :+
-      col("FREQ_MAX") :+ col("CHAN_WIDTH_0") :+ col("NUM_CHAN")): _*).distinct()
-    // tiny frame: one row per (group, baseline)
+    // tiny frame: one row per (group, baseline). The J1-joined SPW
+    // scalars are constant per group (DATA_DESC_ID is a group key), so
+    // they ride along as first(...) — ONE scan of the fact table sizes
+    // every baseline (a second distinct() over df would rescan it).
     val sized = df
       .groupBy(keys.map(col): _*)
-      .agg(max(bl).as("BL_MAX"), min(col("INTERVAL")).as("DT_MIN"))
-      .join(broadcast(freqs), TimeAvg.GroupCols)
+      .agg(max(bl).as("BL_MAX"), min(col("INTERVAL")).as("DT_MIN"),
+        first(col("FREQ_MAX")).as("FREQ_MAX"),
+        first(col("CHAN_WIDTH_0")).as("CHAN_WIDTH_0"),
+        first(col("NUM_CHAN")).as("NUM_CHAN"))
       .withColumn("DT_RAW",
         lit(xStar) * (lit(SpeedOfLight) / col("FREQ_MAX")) /
           (lit(math.Pi * EarthOmega * sinFov) * col("BL_MAX")))
@@ -119,10 +122,16 @@ object Bda {
     var df = Flags.filterAutocorr(main)
     df = Flags.selectFields(df, args.fields)
     df = Flags.selectScans(df, args.scans)
+    // P8 before FROW, on main AND the SPW metadata the sizing consumes
+    df = Flags.selectChannels(df, args.channels,
+      (args.dataCols.map(_._1) ++
+        Seq("FLAG", "WEIGHT_SPECTRUM", "SIGMA_SPECTRUM"))
+        .distinct.filter(df.columns.contains))
     df = if (args.respectFlagRow) df.withColumn("FROW", col("FLAG_ROW"))
          else df.withColumn("FROW", Flags.derivedFlagRow)
+    val spwSel = Timechannel.selectSpwChannels(spw, args.channels)
     val spwMeta = ddid.select("DATA_DESC_ID", "SPECTRAL_WINDOW_ID")
-      .join(spw.select(col("SPECTRAL_WINDOW_ID"), col("NUM_CHAN"),
+      .join(spwSel.select(col("SPECTRAL_WINDOW_ID"), col("NUM_CHAN"),
         col("TOTAL_BANDWIDTH"),
         element_at(col("CHAN_WIDTH"), 1).as("CHAN_WIDTH_0"),
         array_max(col("CHAN_FREQ")).as("FREQ_MAX")), "SPECTRAL_WINDOW_ID")
@@ -141,12 +150,19 @@ object Bda {
       .withColumn("BIN",
         floor((col("TIME") - col("_T0")) / col("TIME_BIN_SECS")).cast("int"))
 
+    // Optional spectrum columns — same handling as Timechannel.
+    val hasWs = binned.columns.contains("WEIGHT_SPECTRUM")
+    val hasSs = binned.columns.contains("SIGMA_SPECTRUM")
+    val absent = lit(null).cast("array<array<double>>")
+
     val rowAgg = VisAggregator.rowAvg(
       col("TIME"), col("INTERVAL"), col("TIME_CENTROID"), col("EXPOSURE"),
       col("FROW"), col("UVW"), col("WEIGHT"), col("SIGMA")).as("R")
     val visAggs = args.dataCols.map { case (from, to) =>
-      VisAggregator.visAvg()(
-        col("FROW"), col(from), col("FLAG"), col("WEIGHT_SPECTRUM"),
+      VisAggregator.visAvg(hasWs, hasSs)(
+        col("FROW"), col(from), col("FLAG"),
+        if (hasWs) col("WEIGHT_SPECTRUM") else absent,
+        if (hasSs) col("SIGMA_SPECTRUM") else absent,
         col("WEIGHT"), col("CHAN_BIN")).as(s"_V_$to")
     }
     val firstTo = args.dataCols.head._2
@@ -172,6 +188,8 @@ object Bda {
         // W3: per-row output channel count is just the array length
         size(col(s"_V_$firstTo.DATA")).as("NUM_CHAN"),
         (col("_TBW") / size(col(s"_V_$firstTo.DATA"))).as("DECORR_CHAN_WIDTH")) ++
+      (if (hasWs) Seq(col(s"_V_$firstTo.WEIGHT_SPECTRUM").as("WEIGHT_SPECTRUM")) else Nil) ++
+      (if (hasSs) Seq(col(s"_V_$firstTo.SIGMA_SPECTRUM").as("SIGMA_SPECTRUM")) else Nil) ++
       args.dataCols.map { case (_, to) => col(s"_V_$to.DATA").as(to) }: _*)
     Flags.flagCategory(out)
   }
@@ -250,7 +268,10 @@ object Bda {
     val avg = averagedMain(main, spw, ddid, args).persist()
     val chanls = channelisations(avg, ddid).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
-    val (newSpw, newDdid, remapDf) = regenerate(spark, chanls, spw)
+    // regenerate from the channel-selected SPW so the new grids span
+    // exactly the channels that were averaged
+    val (newSpw, newDdid, remapDf) = regenerate(spark, chanls,
+      Timechannel.selectSpwChannels(spw, args.channels))
 
     val outMain = remap(avg, remapDf)
       .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))

@@ -28,9 +28,18 @@ object Timechannel {
       dataCols: Seq[(String, String)] = Seq("CORRECTED_DATA" -> "DATA"),
       fields: Seq[Int] = Nil,
       scans: Seq[Int] = Nil,
+      channels: Seq[Int] = Nil, // P8: 0-based kept channel indices
       respectFlagRow: Boolean = false,
       includeAutoCorrs: Boolean = false,
       force: Boolean = false)
+
+  /** Every (chan, corr) matrix column present in `df` that channel
+    * selection (P8) must slice in lockstep.
+    */
+  private[ops] def matrixCols(df: DataFrame, args: Args): Seq[String] =
+    (args.dataCols.map(_._1) ++
+      Seq("FLAG", "WEIGHT_SPECTRUM", "SIGMA_SPECTRUM"))
+      .distinct.filter(df.columns.contains)
 
   /** The averaged main table as a DataFrame (no IO). */
   def averagedMain(main: DataFrame, args: Args): DataFrame = {
@@ -38,16 +47,29 @@ object Timechannel {
     if (!args.includeAutoCorrs) df = Flags.filterAutocorr(df)
     df = Flags.selectFields(df, args.fields)
     df = Flags.selectScans(df, args.scans)
+    // P8 before FROW: a derived row flag must reflect the KEPT channels
+    df = Flags.selectChannels(df, args.channels, matrixCols(df, args))
     df = if (args.respectFlagRow) df.withColumn("FROW", col("FLAG_ROW"))
          else df.withColumn("FROW", Flags.derivedFlagRow)
     df = TimeAvg.assignGrid(df, args.timeBinSecs)
+
+    // WEIGHT_SPECTRUM / SIGMA_SPECTRUM are optional MS columns: use WS as
+    // the averaging weight and average both spectra through when present,
+    // fall back to per-corr WEIGHT (and omit the outputs) when absent —
+    // the reference's try/except optional-column handling
+    // (averaging.py:241-248, output 167-173).
+    val hasWs = df.columns.contains("WEIGHT_SPECTRUM")
+    val hasSs = df.columns.contains("SIGMA_SPECTRUM")
+    val absent = lit(null).cast("array<array<double>>")
 
     val rowAgg = VisAggregator.rowAvg(
       col("TIME"), col("INTERVAL"), col("TIME_CENTROID"), col("EXPOSURE"),
       col("FROW"), col("UVW"), col("WEIGHT"), col("SIGMA")).as("R")
     val visAggs = args.dataCols.map { case (from, to) =>
-      VisAggregator.visAvg()(
-        col("FROW"), col(from), col("FLAG"), col("WEIGHT_SPECTRUM"),
+      VisAggregator.visAvg(hasWs, hasSs)(
+        col("FROW"), col(from), col("FLAG"),
+        if (hasWs) col("WEIGHT_SPECTRUM") else absent,
+        if (hasSs) col("SIGMA_SPECTRUM") else absent,
         col("WEIGHT"), lit(args.chanBinSize)).as(s"_V_$to")
     }
 
@@ -55,8 +77,9 @@ object Timechannel {
       .groupBy(TimeAvg.BinKey.map(col): _*)
       .agg(rowAgg, visAggs: _*)
 
-    // Output FLAG comes from the first data column's aggregator (flags
-    // are shared across data columns — same FLAG input).
+    // Output FLAG (and spectra) come from the first data column's
+    // aggregator (they are weight/flag-derived, shared across data
+    // columns — same FLAG/weight inputs).
     val firstTo = args.dataCols.head._2
     val out = agged.select(
       Seq(
@@ -72,6 +95,8 @@ object Timechannel {
         lit(0).as("ARRAY_ID"), lit(0).as("OBSERVATION_ID"),
         lit(0).as("PROCESSOR_ID"), lit(0).as("STATE_ID"),
         col(s"_V_$firstTo.FLAG").as("FLAG")) ++
+      (if (hasWs) Seq(col(s"_V_$firstTo.WEIGHT_SPECTRUM").as("WEIGHT_SPECTRUM")) else Nil) ++
+      (if (hasSs) Seq(col(s"_V_$firstTo.SIGMA_SPECTRUM").as("SIGMA_SPECTRUM")) else Nil) ++
       args.dataCols.map { case (_, to) => col(s"_V_$to.DATA").as(to) }: _*)
 
     // P7: FLAG_CATEGORY = FLAG behind a singleton category axis.
@@ -101,6 +126,24 @@ object Timechannel {
       .withColumn("NUM_CHAN", nOut)
   }
 
+  /** P8 on the SPW subtable: keep the selected channel indices of every
+    * per-channel metadata array and rewrite NUM_CHAN, so the output MS
+    * stays shape-conformant with the channel-selected main table.
+    */
+  def selectSpwChannels(spw: DataFrame, channels: Seq[Int]): DataFrame =
+    if (channels.isEmpty) spw
+    else {
+      val kept = array(channels.map(lit): _*)
+      Seq("CHAN_FREQ", "CHAN_WIDTH", "EFFECTIVE_BW", "RESOLUTION")
+        .filter(spw.columns.contains)
+        .foldLeft(spw) { (d, c) =>
+          d.withColumn(c, transform(
+            filter(kept, i => i < size(col(c))),
+            i => element_at(col(c), i + 1)))
+        }
+        .withColumn("NUM_CHAN", size(col("CHAN_FREQ")))
+    }
+
   /** Full E1 lifecycle: returns the list of tables written. */
   def run(spark: SparkSession, inRoot: String, outRoot: String, args: Args): Seq[String] = {
     MsWriter.guard(outRoot, args.force)
@@ -111,7 +154,10 @@ object Timechannel {
       .sortWithinPartitions("DATA_DESC_ID", "TIME", "ANTENNA1", "ANTENNA2")
     MsWriter.writeTable(out, outRoot, "main")
     MsWriter.writeTable(
-      averagedSpw(spark.read.parquet(s"$inRoot/SPECTRAL_WINDOW"), args.chanBinSize),
+      averagedSpw(
+        selectSpwChannels(
+          spark.read.parquet(s"$inRoot/SPECTRAL_WINDOW"), args.channels),
+        args.chanBinSize),
       outRoot, "SPECTRAL_WINDOW")
     MsWriter.writeTable(
       spark.read.parquet(s"$inRoot/DATA_DESCRIPTION"), outRoot, "DATA_DESCRIPTION")

@@ -87,6 +87,15 @@ object Uvw {
     */
   def withSynthUvw(main: DataFrame, field: DataFrame,
                    antenna: DataFrame): DataFrame = {
+    // Time-variable phase centres (polynomial PHASE_DIR) would need the
+    // polynomial evaluated per time — reject them exactly like the
+    // reference (fixvis.py:213-218) instead of silently using term 0.
+    if (field.columns.contains("NUM_POLY")) {
+      val nBad = field.filter(col("NUM_POLY") =!= 0).count()
+      require(nBad == 0,
+        s"$nBad FIELD row(s) with NUM_POLY != 0: time-variable phase " +
+          "centres are not supported for UVW synthesis")
+    }
     val dirs = field.select(col("FIELD_ID"),
       element_at(element_at(col("PHASE_DIR"), 1), 1).as("_RA"),
       element_at(element_at(col("PHASE_DIR"), 1), 2).as("_DEC"))
@@ -99,8 +108,12 @@ object Uvw {
   }
 
   /** U1 — the fixms pass (fixvis.py:196-265 / app.py:122-124): rewrite
-    * the main table of an output MS with synthesized UVW. Writes to
-    * `main_fixed` beside `main` (parquet cannot update in place).
+    * the main table of an output MS with synthesized UVW, IN PLACE like
+    * the reference. Parquet cannot update in place, so the fixed table
+    * is staged beside `main` and swapped in with a directory rename —
+    * the stage write materializes everything before the old `main` is
+    * touched, and the rename is a metadata operation on any
+    * Hadoop-compatible FS.
     */
   def fixms(spark: SparkSession, msRoot: String): DataFrame = {
     val main = spark.read.parquet(s"$msRoot/main")
@@ -108,7 +121,14 @@ object Uvw {
         spark.read.parquet(s"$msRoot/FIELD"),
         spark.read.parquet(s"$msRoot/ANTENNA"))
       .withColumn("UVW", col("SYNTH_UVW")).drop("SYNTH_UVW")
-    fixed.write.mode("overwrite").parquet(s"$msRoot/main_fixed")
-    spark.read.parquet(s"$msRoot/main_fixed")
+    val stage = s"$msRoot/main_fixed"
+    fixed.write.mode("overwrite").parquet(stage)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val mainPath = new org.apache.hadoop.fs.Path(s"$msRoot/main")
+    fs.delete(mainPath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(stage), mainPath),
+      s"fixms: rename $stage -> $mainPath failed")
+    spark.read.parquet(s"$msRoot/main")
   }
 }

@@ -144,16 +144,24 @@ object VisAggregator {
 
   case class VisIn(
       FROW: Boolean, DATA: Seq[Seq[Cpx]], FLAG: Seq[Seq[Boolean]],
-      WEIGHT_SPECTRUM: Seq[Seq[Double]], WEIGHT: Seq[Double],
-      CHAN_BIN: Int)
+      WEIGHT_SPECTRUM: Seq[Seq[Double]], SIGMA_SPECTRUM: Seq[Seq[Double]],
+      WEIGHT: Seq[Double], CHAN_BIN: Int)
 
   case class VisBuf(
       var nchanOut: Int, var ncorr: Int,
       var effRe: Array[Double], var effIm: Array[Double], var effW: Array[Double],
       var nomRe: Array[Double], var nomIm: Array[Double], var nomW: Array[Double],
+      var effSig: Array[Double], var nomSig: Array[Double],
       var nEffCell: Array[Long])
 
-  case class VisMatOut(DATA: Seq[Seq[Cpx]], FLAG: Seq[Seq[Boolean]])
+  /** WEIGHT_SPECTRUM out = the per-cell Σw the vis average already
+    * accumulates; SIGMA_SPECTRUM out = sqrt(Σ w²σ²)/Σw per cell — the
+    * per-channel mirror of the row-level WEIGHT/SIGMA semantics
+    * (reference passthrough: averaging.py:167-173, read set 241-248).
+    * Both are empty when the pipeline declares the inputs absent.
+    */
+  case class VisMatOut(DATA: Seq[Seq[Cpx]], FLAG: Seq[Seq[Boolean]],
+      WEIGHT_SPECTRUM: Seq[Seq[Double]], SIGMA_SPECTRUM: Seq[Seq[Double]])
 
   /** Channel bin size comes from the per-row CHAN_BIN input (constant
     * within a group): a literal for uniform A2 averaging, a per-baseline
@@ -163,12 +171,17 @@ object VisAggregator {
     * @param useWeightSpectrum per-cell weights from WEIGHT_SPECTRUM when
     *   true, else the per-corr WEIGHT broadcast over channels (the
     *   reference's optional-column fallback, averaging.py:241-248).
+    * @param emitSigmaSpectrum accumulate/emit the averaged SIGMA_SPECTRUM
+    *   (requires the SIGMA_SPECTRUM input; false when the MS lacks it —
+    *   the reference's optional-column passthrough, averaging.py:167-173).
     */
-  class VisAvg(useWeightSpectrum: Boolean = true)
+  class VisAvg(useWeightSpectrum: Boolean = true,
+               emitSigmaSpectrum: Boolean = true)
       extends Aggregator[VisIn, VisBuf, VisMatOut] {
 
     def zero: VisBuf = VisBuf(0, 0, Array.empty, Array.empty, Array.empty,
-      Array.empty, Array.empty, Array.empty, Array.empty)
+      Array.empty, Array.empty, Array.empty, Array.empty, Array.empty,
+      Array.empty)
 
     def reduce(b: VisBuf, r: VisIn): VisBuf = {
       val nchan = r.DATA.length
@@ -182,6 +195,9 @@ object VisAggregator {
         b.effW = new Array[Double](n)
         b.nomRe = new Array[Double](n); b.nomIm = new Array[Double](n)
         b.nomW = new Array[Double](n)
+        if (emitSigmaSpectrum) {
+          b.effSig = new Array[Double](n); b.nomSig = new Array[Double](n)
+        }
         b.nEffCell = new Array[Long](n)
       }
       var ch = 0
@@ -189,14 +205,23 @@ object VisAggregator {
         val chOut = ch / chanBin
         val dRow = r.DATA(ch); val fRow = r.FLAG(ch)
         val wsRow = if (useWeightSpectrum) r.WEIGHT_SPECTRUM(ch) else null
+        val ssRow = if (emitSigmaSpectrum) r.SIGMA_SPECTRUM(ch) else null
         var co = 0
         while (co < ncorr) {
           val i = chOut * b.ncorr + co
           val w = if (wsRow != null) wsRow(co) else r.WEIGHT(co)
           val v = dRow(co)
           b.nomRe(i) += w * v.re; b.nomIm(i) += w * v.im; b.nomW(i) += w
+          if (ssRow != null) {
+            val s = ssRow(co)
+            b.nomSig(i) += w * w * s * s
+          }
           if (!r.FROW && !fRow(co)) {
             b.effRe(i) += w * v.re; b.effIm(i) += w * v.im; b.effW(i) += w
+            if (ssRow != null) {
+              val s = ssRow(co)
+              b.effSig(i) += w * w * s * s
+            }
             b.nEffCell(i) += 1
           }
           co += 1
@@ -214,6 +239,7 @@ object VisAggregator {
       }
       add(a.effRe, b.effRe); add(a.effIm, b.effIm); add(a.effW, b.effW)
       add(a.nomRe, b.nomRe); add(a.nomIm, b.nomIm); add(a.nomW, b.nomW)
+      add(a.effSig, b.effSig); add(a.nomSig, b.nomSig)
       var i = 0
       while (i < a.nEffCell.length) { a.nEffCell(i) += b.nEffCell(i); i += 1 }
       a
@@ -233,7 +259,24 @@ object VisAggregator {
       val flag = (0 until b.nchanOut).map { ch =>
         (0 until b.ncorr).map(co => b.nEffCell(ch * b.ncorr + co) == 0L)
       }
-      VisMatOut(data, flag)
+      val ws = (0 until b.nchanOut).map { ch =>
+        (0 until b.ncorr).map { co =>
+          val i = ch * b.ncorr + co
+          if (b.nEffCell(i) > 0) b.effW(i) else b.nomW(i)
+        }
+      }
+      val ss =
+        if (b.effSig.isEmpty) Seq.empty[Seq[Double]]
+        else (0 until b.nchanOut).map { ch =>
+          (0 until b.ncorr).map { co =>
+            val i = ch * b.ncorr + co
+            val eff = b.nEffCell(i) > 0
+            val w = if (eff) b.effW(i) else b.nomW(i)
+            val sig = if (eff) b.effSig(i) else b.nomSig(i)
+            if (w != 0) math.sqrt(sig) / w else 0.0
+          }
+        }
+      VisMatOut(data, flag, ws, ss)
     }
 
     def bufferEncoder: Encoder[VisBuf] = Encoders.product[VisBuf]
@@ -244,6 +287,7 @@ object VisAggregator {
     * (arguments map positionally to the input case-class fields).
     */
   def rowAvg = udaf(new RowAvg)
-  def visAvg(useWeightSpectrum: Boolean = true) =
-    udaf(new VisAvg(useWeightSpectrum))
+  def visAvg(useWeightSpectrum: Boolean = true,
+             emitSigmaSpectrum: Boolean = true) =
+    udaf(new VisAvg(useWeightSpectrum, emitSigmaSpectrum))
 }

@@ -49,11 +49,15 @@ object Ann {
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
 
   /** Largest member count for which the rational-distance numerator
-    * Σ_d(n·x−s)² provably fits Int64: |x|,|s|/n ≤ 2·Scale ⇒ each term
-    * ≤ (4·Scale·n)², ×Dim ⇒ n ≤ ~1.9·10⁴. Beyond that, the exact path
+    * Σ_d(n·x−s)² provably fits Int64. Assumes embeddings in [-1, 1], so
+    * scaled components satisfy |x| ≤ Scale and |s|/n ≤ Scale ⇒ each
+    * term ≤ (2·Scale·n)², ×Dim=64 ⇒ sum ≤ 2.56·10¹⁰·n², which stays
+    * below 2⁶³ while n ≤ ~1.9·10⁴ ≥ 2¹⁴. Beyond that, the exact path
     * would overflow silently (wrap) or throw under ANSI — fall back to
     * the double form ‖x − s/n‖², whose 2⁻⁵³ relative error is far below
-    * inter-centroid spacing at that cluster size.
+    * inter-centroid spacing at that cluster size. The DuckDB oracles
+    * mirror this exact/approx CASE at the same threshold
+    * (PipelineQueries.ratD2Sql) so both engines agree at any n.
     */
   val ExactNMax: Long = 1L << 14
 

@@ -149,6 +149,15 @@ object Dedup {
     * corpus is a fixed fact, not a sample). Truncation (x − x%grid)
     * rather than rounding: `%` keeps the dividend's sign in both
     * Spark and DuckDB, so the oracle reproduces it verbatim.
+    *
+    * Scale ceilings of this TEST HARNESS (not the engine): (a) the
+    * oracle demands 100% LSH recall on planted pairs; with 2 bands of
+    * 8 bits at cos≈0.99999 the per-pair miss rate is ~1.3e-4, so
+    * beyond ~10⁴ source vectors a deterministic miss becomes likely —
+    * widen/add bands (Ann.Planes/BitsPerBand) before raising the
+    * fixture sf. (b) `idOffset` must exceed max(vec_id) or variant ids
+    * collide with originals — the default 10⁶ covers every driver sf;
+    * pass a larger offset for bigger corpora.
     */
   def withRequantVariants(scaledV: DataFrame, grid: Int = 4,
                           idOffset: Long = 1000000L): DataFrame = {
@@ -203,6 +212,21 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .cache()
+    // Storage bound: round 1's labels is a cached Dataset (plain
+    // unpersist works); later rounds are localCheckpoint'd, whose blocks
+    // belong to the materialized plan's ROOT RDD (lineage is truncated
+    // at the checkpoint, so the dependency walk ends exactly there) —
+    // Dataset.unpersist would be a no-op on those.
+    def rootRdd(ds: DataFrame): org.apache.spark.rdd.RDD[_] = {
+      @annotation.tailrec
+      def walk(r: org.apache.spark.rdd.RDD[_]): org.apache.spark.rdd.RDD[_] =
+        r.dependencies.headOption match {
+          case Some(d) => walk(d.rdd)
+          case None    => r
+        }
+      walk(ds.queryExecution.toRdd)
+    }
+    var prevCkpt: org.apache.spark.rdd.RDD[_] = null
     var changed = 1L
     while (changed > 0) {
       val nbMin = edges
@@ -220,7 +244,9 @@ object Dedup {
         .join(labels, "id")
         .filter(col("new_rep") =!= col("rep"))
         .count()
-      labels.unpersist() // stale round — storage stays bounded at 1 frame
+      labels.unpersist()
+      if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
+      prevCkpt = rootRdd(next)
       labels = next
     }
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))

@@ -120,9 +120,14 @@ object TextOps {
     * Returns (doc_id, lang, pred_lang).
     */
   def languageId(docs: DataFrame): DataFrame = {
+    // The exploded token frame feeds BOTH the profile build and the
+    // scoring join — persist it so the corpus is tokenized/exploded once
+    // per run, not twice (MEMORY_AND_DISK: at 100 TB it spills rather
+    // than recompute; evicted blocks just fall back to recompute).
     val docTok = docs
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profile = docTok
       .groupBy(col("lang").as("p_lang"), col("tok"))
       .agg(count(lit(1)).as("w"))

@@ -280,6 +280,31 @@ object MsQueries {
           when(col("n_eff") > 0, col("s_eff")).otherwise(col("s_nom")).as("sigma_num")): _*)
     }),
 
+    // A1 spectrum-stage: the PRODUCTION kernel's averaged
+    // WEIGHT_SPECTRUM (Σw per output cell) and SIGMA_SPECTRUM
+    // (sqrt(Σw²σ²)/Σw) outputs, exploded to cell grain and
+    // integer-lifted (×100 / ×10⁶ grids absorb sub-ulp accumulation-
+    // order differences). Oracle recomputes both from the INPUT alone.
+    // Reference passthrough: xova/apps/xova/averaging.py:167-173.
+    "ms_a1_ws_out" -> ((s, _) => {
+      val avg = Timechannel.averagedMain(MsTables.main(s), Timechannel.Args(
+        timeBinSecs = 60000.0, chanBinSize = 4, dataCols = Seq("DATA" -> "DATA")))
+      avg
+        .select(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"),
+          col("ANTENNA1"), col("ANTENNA2"), col("TIME").as("time_avg"),
+          col("SIGMA_SPECTRUM"),
+          posexplode(col("WEIGHT_SPECTRUM")).as(Seq("CHAN_BIN", "WR")))
+        .select(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"),
+          col("ANTENNA1"), col("ANTENNA2"), col("time_avg"),
+          col("SIGMA_SPECTRUM"), col("CHAN_BIN"),
+          posexplode(col("WR")).as(Seq("CORR", "WSV")))
+        .withColumn("ws_i", expr("CAST(round(WSV * 100) AS BIGINT)"))
+        .withColumn("ss_i",
+          expr("CAST(round(SIGMA_SPECTRUM[CHAN_BIN][CORR] * 1000000) AS BIGINT)"))
+        .select("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "ANTENNA1",
+          "ANTENNA2", "time_avg", "CHAN_BIN", "CORR", "ws_i", "ss_i")
+    }),
+
     // A2: joint time+channel averaging (chan_bin_size=4) — weighted sums
     // stay associative so one pass covers both stages.
     "ms_a2_chan_avg" -> ((s, _) => visFlat(s, "DATA", 4)),
@@ -332,7 +357,10 @@ object MsQueries {
           min(col("TIME")).as("min_time"),
           max(col("TIME")).as("max_time"),
           sum(size(flatten(col("FLAG"))).cast("long")).as("n_cells"),
-          sum(size(filter(flatten(col("FLAG")), x => x)).cast("long")).as("n_flag_cells"))
+          sum(size(filter(flatten(col("FLAG")), x => x)).cast("long")).as("n_flag_cells"),
+          // averaged spectra must survive the write at full cell grain
+          sum(size(flatten(col("WEIGHT_SPECTRUM"))).cast("long")).as("n_ws_cells"),
+          sum(size(flatten(col("SIGMA_SPECTRUM"))).cast("long")).as("n_ss_cells"))
     }),
 
     // S9: subtable passthrough — the written copies must match the input
@@ -530,6 +558,38 @@ object MsQueries {
                       THEN sum(WM * WM * SM * SM) FILTER (NOT FROW)
                       ELSE sum(WM * WM * SM * SM) END AS BIGINT) AS sigma_num
           FROM cells GROUP BY 1, 2, 3, 4, 5, 6, 7""",
+    "ms_a1_ws_out" ->
+      s"""${prepSql("60000.0")},
+          bins AS (
+            SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+                   sum(TIME) / count(*) AS time_avg
+            FROM p GROUP BY ALL),
+          cells AS (
+            SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+                   CAST(c.chan // 4 AS INTEGER) AS CHAN_BIN,
+                   CAST(k.corr AS INTEGER) AS CORR,
+                   (NOT FROW AND NOT FLAG[c.chan+1][k.corr+1]) AS EFF,
+                   WEIGHT_SPECTRUM[c.chan+1][k.corr+1] AS W,
+                   SIGMA_SPECTRUM[c.chan+1][k.corr+1] AS S
+            FROM p,
+                 LATERAL (SELECT unnest(range(len(DATA))) AS chan) c,
+                 LATERAL (SELECT unnest(range(len(DATA[1]))) AS corr) k),
+          agg AS (
+            SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+                   CHAN_BIN, CORR,
+                   CASE WHEN count(*) FILTER (EFF) > 0
+                        THEN sum(W) FILTER (EFF) ELSE sum(W) END AS ws,
+                   CASE WHEN count(*) FILTER (EFF) > 0
+                        THEN sum(W * W * S * S) FILTER (EFF)
+                        ELSE sum(W * W * S * S) END AS sig
+            FROM cells GROUP BY ALL)
+          SELECT a.FIELD_ID, a.DATA_DESC_ID, a.SCAN_NUMBER, a.ANTENNA1,
+                 a.ANTENNA2, b.time_avg, a.CHAN_BIN, a.CORR,
+                 CAST(round(ws * 100) AS BIGINT) AS ws_i,
+                 CAST(round(CASE WHEN ws <> 0 THEN sqrt(sig) / ws ELSE 0 END
+                            * 1000000) AS BIGINT) AS ss_i
+          FROM agg a JOIN bins b
+            USING (FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN)""",
     "ms_a2_chan_avg" -> visFlatSql("DATA", 4),
     "ms_p5_rename_avg" -> visFlatSql("CORRECTED_DATA", 4),
     "ms_a3_spw_rewrite" ->
@@ -568,7 +628,9 @@ object MsQueries {
                  min(time_avg) AS min_time,
                  max(time_avg) AS max_time,
                  CAST(sum(n_cells) AS BIGINT) AS n_cells,
-                 CAST(sum(n_flag_cells) AS BIGINT) AS n_flag_cells
+                 CAST(sum(n_flag_cells) AS BIGINT) AS n_flag_cells,
+                 CAST(sum(n_cells) AS BIGINT) AS n_ws_cells,
+                 CAST(sum(n_cells) AS BIGINT) AS n_ss_cells
           FROM bins
           JOIN flagcnt USING (FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN)
           GROUP BY 1""",

@@ -53,6 +53,26 @@ object PipelineQueries {
   private def dotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
 
+  /** Rational centroid distance mirroring Ann.ratD2 — including the
+    * n > ExactNMax double fallback, so oracle and engine agree (and the
+    * BIGINT cast cannot overflow) at any cluster size. The fallback
+    * reproduces Spark's left fold exactly: list_reduce over a
+    * 0.0-prepended term list gives the association ((0+t1)+t2)+… that
+    * Spark's `aggregate(..., lit(0.0), _+_)` uses.
+    */
+  private def ratD2Sql(iv: String, sv: String, n: String) =
+    s"""CASE WHEN $n <= ${Ann.ExactNMax} THEN
+          CAST(list_sum(list_transform(list_zip($iv, $sv),
+            z -> ($n * z[1] - z[2]) * ($n * z[1] - z[2]))) AS BIGINT)::DOUBLE
+            / ($n * $n)
+        ELSE
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip($iv, $sv),
+              z -> (z[1]::DOUBLE - z[2]::DOUBLE / $n::DOUBLE)
+                   * (z[1]::DOUBLE - z[2]::DOUBLE / $n::DOUBLE))),
+            (a, b) -> a + b)
+        END"""
+
   /** Brute-force verified near-dup pairs (ground truth for d2/d3). */
   private val truthPairsSql =
     s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
@@ -284,9 +304,7 @@ object PipelineQueries {
         s"""SELECT vec_id, cluster FROM (
               SELECT v.vec_id, c.c_id AS cluster,
                      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                       CAST(list_sum(list_transform(list_zip(v.iv, c.sv),
-                         z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS BIGINT)::DOUBLE
-                         / (c.n * c.n) ASC, c.c_id ASC) AS rk
+                       ${ratD2Sql("v.iv", "c.sv", "c.n")} ASC, c.c_id ASC) AS rk
               FROM v, $cents c) WHERE rk = 1"""
       s"""WITH $vSql,
           seeds AS (
@@ -384,9 +402,7 @@ object PipelineQueries {
             FROM v WHERE vec_id < 8),
           dist AS (
             SELECT p.probe_id, p.p_iv, p.p_norm2, c.c_label,
-                   CAST(list_sum(list_transform(list_zip(p.p_iv, c.sv),
-                     z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS BIGINT)::DOUBLE
-                     / (c.n * c.n) AS d2
+                   ${ratD2Sql("p.p_iv", "c.sv", "c.n")} AS d2
             FROM probes p, cent c),
           assigned AS (
             SELECT probe_id, p_iv, p_norm2, c_label AS assigned_label

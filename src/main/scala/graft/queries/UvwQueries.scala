@@ -51,8 +51,8 @@ object UvwQueries {
     }),
 
     // U1: the fixms pass over a freshly averaged MS — recompute UVW
-    // from the averaged TIME_CENTROID, write main_fixed, read back.
-    // Reference: fixvis.py:196-265, app.py:122-124.
+    // from the averaged TIME_CENTROID and swap it into `main` IN PLACE
+    // (stage + rename). Reference: fixvis.py:196-265, app.py:122-124.
     "ms_u1_fixms" -> ((s, _) => {
       val out = "/tmp/graft_out/tc_fixms"
       Timechannel.run(s, MS, out, Timechannel.Args(

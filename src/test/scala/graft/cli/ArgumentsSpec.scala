@@ -71,4 +71,13 @@ class ArgumentsSpec extends AnyFunSuite {
   test("check command line") {
     assert(Arguments.parse(Seq("check", "x.ms")) == Arguments.CheckCmd("x.ms"))
   }
+
+  test("-ch channel selection reaches both pipelines' Args") {
+    val tc = Arguments.parse(Seq("timechannel", "x.ms", "-ch", "0~3,8"))
+      .asInstanceOf[Arguments.TimechannelCmd]
+    assert(tc.args.channels == Seq(0, 1, 2, 3, 8))
+    val bda = Arguments.parse(Seq("bda", "x.ms", "-ch", "2,5~6"))
+      .asInstanceOf[Arguments.BdaCmd]
+    assert(bda.args.channels == Seq(2, 5, 6))
+  }
 }

@@ -55,6 +55,30 @@ class TimechannelE2ESpec extends SparkSpec {
     assert(out.count() == nGroups)
   }
 
+  test("channel selection (-ch 0~3,8) flows through the full lifecycle") {
+    val out = "/tmp/graft_test/tc_chansel"
+    val kept = graft.cli.Arguments.expandChannels(
+      graft.cli.Arguments.parseChannels("0~3,8"))
+    Timechannel.run(spark, graft.ms.SyntheticMs.root, out,
+      args(60000.0, 4).copy(channels = kept, force = true))
+    // 5 channels kept from both SPWs (16 and 32 chans), chanBin 4 →
+    // ceil(5/4) = 2 output channels everywhere, in main AND the SPW
+    val m = spark.read.parquet(s"$out/main")
+      .groupBy("DATA_DESC_ID")
+      .agg(countDistinct(size(col("DATA"))).as("n_shapes"),
+        max(size(col("DATA"))).as("nchan_out"))
+      .orderBy("DATA_DESC_ID").collect()
+    assert(m.forall(_.getAs[Int]("nchan_out") == 2))
+    assert(m.forall(_.getAs[Long]("n_shapes") == 1))
+    val spwOut = spark.read.parquet(s"$out/SPECTRAL_WINDOW")
+      .select("NUM_CHAN").as[Int].collect().toSeq
+    assert(spwOut == Seq(2, 2))
+    // WEIGHT_SPECTRUM sliced in lockstep with DATA
+    val wsBad = spark.read.parquet(s"$out/main")
+      .filter(size(col("WEIGHT_SPECTRUM")) =!= size(col("DATA"))).count()
+    assert(wsBad == 0)
+  }
+
   test("output channel counts follow the bin size with ragged tails") {
     val out = Timechannel.averagedMain(main, args(60000.0, 3))
     // 16 chans -> ceil(16/3)=6; 32 -> ceil(32/3)=11

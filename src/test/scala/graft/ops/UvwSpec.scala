@@ -67,6 +67,41 @@ class UvwSpec extends SparkSpec {
     assert(idx.min == 0 && idx.max == pairs.length - 1)
   }
 
+  test("NUM_POLY != 0 (time-variable phase centre) is rejected") {
+    // mirrors fixvis.py:213-218
+    val main = Seq((5.0e6, 0, 1, 0))
+      .toDF("TIME_CENTROID", "ANTENNA1", "ANTENNA2", "FIELD_ID")
+    val field = Seq((0, 1, Seq(Seq(0.7, 0.2))))
+      .toDF("FIELD_ID", "NUM_POLY", "PHASE_DIR")
+    val ant = Seq((0, Seq(0.0, 0.0, 0.0)), (1, Seq(100.0, 0.0, 0.0)))
+      .toDF("ANTENNA_ID", "POSITION")
+    val e = intercept[IllegalArgumentException] {
+      Uvw.withSynthUvw(main, field, ant)
+    }
+    assert(e.getMessage.contains("NUM_POLY"))
+  }
+
+  test("fixms replaces main in place — no main_fixed left behind") {
+    val root = "/tmp/graft_test/fixms_swap"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Seq((5.0e6, 0, 1, 0, Seq(999.0, 999.0, 999.0)))
+      .toDF("TIME_CENTROID", "ANTENNA1", "ANTENNA2", "FIELD_ID", "UVW")
+      .write.parquet(s"$root/main")
+    Seq((0, 0, Seq(Seq(0.7, 0.2)))).toDF("FIELD_ID", "NUM_POLY", "PHASE_DIR")
+      .write.parquet(s"$root/FIELD")
+    Seq((0, Seq(0.0, 0.0, 0.0)), (1, Seq(100.0, 0.0, 0.0)))
+      .toDF("ANTENNA_ID", "POSITION")
+      .write.parquet(s"$root/ANTENNA")
+    Uvw.fixms(spark, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/main_fixed")))
+    val uvw = spark.read.parquet(s"$root/main")
+      .select("UVW").as[Seq[Double]].collect()(0)
+    val expect = Uvw.baselineUvw(-100.0, 0.0, 0.0, 0.7, 0.2, 5.0e6)
+    (0 until 3).foreach(i => assert(math.abs(uvw(i) - expect(i)) < 1e-9))
+  }
+
   test("subset invariance: synthesis from a row subset matches the full frame") {
     // mirrors test_fixvis.py:102-111 — drop rows, shuffle, re-synthesize:
     // common (time, baseline) keys must get identical UVWs.

@@ -19,25 +19,32 @@ class VisAggregatorSpec extends SparkSpec {
 
   private val eps = 1e-12
 
-  /** One row: (frow, data(chan)(corr), flag, ws, weight, chan_bin). */
+  /** One row: (frow, data(chan)(corr), flag, ws, ss, weight, chan_bin). */
   private def visDf(rows: Seq[VisIn]) = rows.toDF(
-    "FROW", "DATA", "FLAG", "WEIGHT_SPECTRUM", "WEIGHT", "CHAN_BIN")
+    "FROW", "DATA", "FLAG", "WEIGHT_SPECTRUM", "SIGMA_SPECTRUM", "WEIGHT",
+    "CHAN_BIN")
 
-  private def runVis(rows: Seq[VisIn], chanBin: Int = 1,
-                     useWs: Boolean = true): (Seq[Seq[Row]], Seq[Seq[Boolean]]) = {
-    val out = visDf(rows.map(_.copy(CHAN_BIN = chanBin)))
+  private def runVisFull(rows: Seq[VisIn], chanBin: Int = 1,
+                         useWs: Boolean = true): Row =
+    visDf(rows.map(_.copy(CHAN_BIN = chanBin)))
       .groupBy()
       .agg(VisAggregator.visAvg(useWs)(
         col("FROW"), col("DATA"), col("FLAG"), col("WEIGHT_SPECTRUM"),
-        col("WEIGHT"), col("CHAN_BIN")).as("V"))
-      .select("V.DATA", "V.FLAG")
+        col("SIGMA_SPECTRUM"), col("WEIGHT"), col("CHAN_BIN")).as("V"))
+      .select("V.*")
       .collect()(0)
-    (out.getSeq[scala.collection.Seq[Row]](0).map(_.toSeq).toSeq,
-      out.getSeq[scala.collection.Seq[Boolean]](1).map(_.toSeq).toSeq)
+
+  private def runVis(rows: Seq[VisIn], chanBin: Int = 1,
+                     useWs: Boolean = true): (Seq[Seq[Row]], Seq[Seq[Boolean]]) = {
+    val out = runVisFull(rows, chanBin, useWs)
+    (out.getSeq[scala.collection.Seq[Row]](out.fieldIndex("DATA")).map(_.toSeq).toSeq,
+      out.getSeq[scala.collection.Seq[Boolean]](out.fieldIndex("FLAG")).map(_.toSeq).toSeq)
   }
 
-  private def in(frow: Boolean, re: Float, im: Float, fl: Boolean, w: Double) =
-    VisIn(frow, Seq(Seq(Cpx(re, im))), Seq(Seq(fl)), Seq(Seq(w)), Seq(w), 1)
+  private def in(frow: Boolean, re: Float, im: Float, fl: Boolean, w: Double,
+                 sig: Double = 1.0) =
+    VisIn(frow, Seq(Seq(Cpx(re, im))), Seq(Seq(fl)), Seq(Seq(w)),
+      Seq(Seq(sig)), Seq(w), 1)
 
   test("weighted complex average over unflagged samples") {
     // (1+2i)*3 + (5-4i)*1 over w=4 → (8/4, 2/4) = (2, 0.5)
@@ -80,6 +87,7 @@ class VisAggregatorSpec extends SparkSpec {
       DATA = Seq(Seq(Cpx(1f, 0f)), Seq(Cpx(3f, 0f)), Seq(Cpx(10f, 0f))),
       FLAG = Seq(Seq(false), Seq(false), Seq(false)),
       WEIGHT_SPECTRUM = Seq(Seq(1.0), Seq(3.0), Seq(2.0)),
+      SIGMA_SPECTRUM = Seq(Seq(1.0), Seq(1.0), Seq(1.0)),
       WEIGHT = Seq(1.0), CHAN_BIN = 1)
     val (data, flag) = runVis(Seq(row), chanBin = 2)
     // bin0: (1*1 + 3*3)/4 = 2.5 ; bin1 (ragged tail): 10
@@ -103,6 +111,41 @@ class VisAggregatorSpec extends SparkSpec {
     assert(data(0)(0).getFloat(0) == 7.25f)
     assert(data(0)(0).getFloat(1) == -3.5f)
     assert(flag == Seq(Seq(false)))
+  }
+
+  test("averaged WEIGHT_SPECTRUM = Σw per cell; SIGMA_SPECTRUM = sqrt(Σw²σ²)/Σw") {
+    val out = runVisFull(Seq(
+      in(frow = false, 1f, 0f, fl = false, 3.0, sig = 0.5),
+      in(frow = false, 2f, 0f, fl = false, 1.0, sig = 2.0)))
+    val ws = out.getSeq[scala.collection.Seq[Double]](out.fieldIndex("WEIGHT_SPECTRUM"))
+    val ss = out.getSeq[scala.collection.Seq[Double]](out.fieldIndex("SIGMA_SPECTRUM"))
+    assert(ws.map(_.toSeq) == Seq(Seq(4.0)))
+    // sqrt(9·0.25 + 1·4)/4 = 2.5/4
+    assert(math.abs(ss(0)(0) - 0.625) < eps)
+  }
+
+  test("all-flagged cell: spectra fall back to the nominal population") {
+    val out = runVisFull(Seq(
+      in(frow = false, 1f, 0f, fl = true, 2.0, sig = 1.0),
+      in(frow = false, 2f, 0f, fl = true, 6.0, sig = 1.0)))
+    val ws = out.getSeq[scala.collection.Seq[Double]](out.fieldIndex("WEIGHT_SPECTRUM"))
+    val ss = out.getSeq[scala.collection.Seq[Double]](out.fieldIndex("SIGMA_SPECTRUM"))
+    assert(ws.map(_.toSeq) == Seq(Seq(8.0)))
+    // sqrt(4 + 36)/8
+    assert(math.abs(ss(0)(0) - math.sqrt(40.0) / 8.0) < eps)
+  }
+
+  test("SIGMA_SPECTRUM omitted (empty) when declared absent") {
+    val out = visDf(Seq(in(frow = false, 1f, 0f, fl = false, 1.0)))
+      .groupBy()
+      .agg(VisAggregator.visAvg(useWeightSpectrum = true, emitSigmaSpectrum = false)(
+        col("FROW"), col("DATA"), col("FLAG"), col("WEIGHT_SPECTRUM"),
+        lit(null).cast("array<array<double>>"), col("WEIGHT"),
+        col("CHAN_BIN")).as("V"))
+      .select("V.*").collect()(0)
+    assert(out.getSeq[Any](out.fieldIndex("SIGMA_SPECTRUM")).isEmpty)
+    val ws = out.getSeq[scala.collection.Seq[Double]](out.fieldIndex("WEIGHT_SPECTRUM"))
+    assert(ws.map(_.toSeq) == Seq(Seq(1.0)))
   }
 
   // --- row-level aggregator ---------------------------------------------
