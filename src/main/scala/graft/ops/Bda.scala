@@ -155,11 +155,12 @@ object Bda {
     val hasSs = binned.columns.contains("SIGMA_SPECTRUM")
     val absent = lit(null).cast("array<array<double>>")
 
-    val rowAgg = VisAggregator.rowAvg(
+    val rowAgg = graft.expressions.RowAvgAgg(
       col("TIME"), col("INTERVAL"), col("TIME_CENTROID"), col("EXPOSURE"),
       col("FROW"), col("UVW"), col("WEIGHT"), col("SIGMA")).as("R")
+    // native TypedImperativeAggregate kernel (see Timechannel)
     val visAggs = args.dataCols.map { case (from, to) =>
-      VisAggregator.visAvg(hasWs, hasSs)(
+      graft.expressions.VisAvgAgg(hasWs, hasSs)(
         col("FROW"), col(from), col("FLAG"),
         if (hasWs) col("WEIGHT_SPECTRUM") else absent,
         if (hasSs) col("SIGMA_SPECTRUM") else absent,

@@ -62,11 +62,14 @@ object Timechannel {
     val hasSs = df.columns.contains("SIGMA_SPECTRUM")
     val absent = lit(null).cast("array<array<double>>")
 
-    val rowAgg = VisAggregator.rowAvg(
+    val rowAgg = graft.expressions.RowAvgAgg(
       col("TIME"), col("INTERVAL"), col("TIME_CENTROID"), col("EXPOSURE"),
       col("FROW"), col("UVW"), col("WEIGHT"), col("SIGMA")).as("R")
+    // graft.expressions.VisAvgAgg = the native TypedImperativeAggregate
+    // kernel (flat buffers, zero per-row allocation); VisAggregator's
+    // typed Aggregator is the bit-identical reference implementation.
     val visAggs = args.dataCols.map { case (from, to) =>
-      VisAggregator.visAvg(hasWs, hasSs)(
+      graft.expressions.VisAvgAgg(hasWs, hasSs)(
         col("FROW"), col(from), col("FLAG"),
         if (hasWs) col("WEIGHT_SPECTRUM") else absent,
         if (hasSs) col("SIGMA_SPECTRUM") else absent,
