@@ -129,7 +129,14 @@ object SyntheticMs {
       chanCorr((c, k) => grid("ws", 100, 100.0, 1, c, k)).as("WEIGHT_SPECTRUM"),
       chanCorr((c, k) => grid("ss", 100, 100.0, 1, c, k)).as("SIGMA_SPECTRUM"))
 
-    main.repartition(8).write.mode("overwrite").parquet(s"$root/main")
+    // Real Measurement Sets are stored time-sorted per partition (the
+    // invariant the reference validates, chunking.py:287-289) — write
+    // the fixture the same way: one file region per (FIELD, DDID, SCAN)
+    // group, rows TIME-ordered within it.
+    main
+      .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))
+      .sortWithinPartitions("TIME", "ANTENNA1", "ANTENNA2")
+      .write.mode("overwrite").parquet(s"$root/main")
 
     // --- subtables (driver-side: cardinality = O(#SPWs), always tiny) ----
     // casacore keys subtables by implicit row number; a columnar layout

@@ -55,7 +55,8 @@ object Bda {
       scans: Seq[Int] = Nil,
       channels: Seq[Int] = Nil, // P8: 0-based kept channel indices
       respectFlagRow: Boolean = false,
-      force: Boolean = false)
+      force: Boolean = false,
+      validate: Boolean = true) // A7/W1 plan pass (reference default)
 
   /** Solve sinc(x) = target on (0, pi) by bisection (sinc monotonically
     * decreases from 1 to 0 there). Driver-side, once per query.
@@ -263,6 +264,13 @@ object Bda {
     val main = spark.read.parquet(s"$inRoot/main")
     val spw = spark.read.parquet(s"$inRoot/SPECTRAL_WINDOW")
     val ddid = spark.read.parquet(s"$inRoot/DATA_DESCRIPTION")
+    // E2 step 2 (app.py:74-75): eager plan-stats + monotonicity gate
+    if (args.validate)
+      Chunking.validate(
+        Flags.selectScans(
+          Flags.selectFields(Flags.filterAutocorr(main), args.fields),
+          args.scans),
+        "bda")
 
     // A5 collects a distinct set from `avg` and the J2 write re-reads it:
     // persist so the expensive averaging shuffle runs once, not twice.

@@ -31,7 +31,8 @@ object Timechannel {
       channels: Seq[Int] = Nil, // P8: 0-based kept channel indices
       respectFlagRow: Boolean = false,
       includeAutoCorrs: Boolean = false,
-      force: Boolean = false)
+      force: Boolean = false,
+      validate: Boolean = true) // A7/W1 plan pass (reference default)
 
   /** Every (chan, corr) matrix column present in `df` that channel
     * selection (P8) must slice in lockstep.
@@ -151,6 +152,14 @@ object Timechannel {
   def run(spark: SparkSession, inRoot: String, outRoot: String, args: Args): Seq[String] = {
     MsWriter.guard(outRoot, args.force)
     val main = spark.read.parquet(s"$inRoot/main")
+    // E1 step 2 (app.py:74-75): eager plan-stats pass over the SELECTED
+    // rows — logs A7 stats, hard-fails on non-monotonic TIME (W1)
+    if (args.validate) {
+      var sel = main
+      if (!args.includeAutoCorrs) sel = Flags.filterAutocorr(sel)
+      sel = Flags.selectScans(Flags.selectFields(sel, args.fields), args.scans)
+      Chunking.validate(sel, "timechannel")
+    }
     val out = averagedMain(main, args)
       // deterministic output order within files + A3′ output-size hygiene
       .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))

@@ -367,9 +367,11 @@ object MsQueries {
     // subtables row-for-row. Reference: xova/apps/xova/subtables.py:9-37.
     "ms_s9_passthrough" -> ((s, _) => {
       val out = "/tmp/graft_out/tc_passthrough"
+      // validate=false: this entry grades the passthrough copy; the
+      // plan/monotonicity pass is covered by ms_s7_roundtrip
       Timechannel.run(s, MS, out, Timechannel.Args(
         timeBinSecs = 60000.0, chanBinSize = 4,
-        dataCols = Seq("DATA" -> "DATA"), force = true))
+        dataCols = Seq("DATA" -> "DATA"), force = true, validate = false))
       Seq("ANTENNA", "FIELD", "POLARIZATION").map { t =>
         s.read.parquet(s"$out/$t")
           .agg(count(lit(1)).as("n_rows"))
@@ -384,11 +386,12 @@ object MsQueries {
       val out = "/tmp/graft_out/tc_guard"
       def run(force: Boolean): Boolean =
         try {
-          // guard semantics are data-independent: one field keeps the
-          // three-run entry cheap
+          // guard semantics are data-independent: one field + no plan
+          // pass keeps the three-run entry cheap
           Timechannel.run(s, MS, out, Timechannel.Args(
             timeBinSecs = 60000.0, chanBinSize = 8,
-            dataCols = Seq("DATA" -> "DATA"), fields = Seq(0), force = force))
+            dataCols = Seq("DATA" -> "DATA"), fields = Seq(0), force = force,
+            validate = false))
           true
         } catch { case _: IllegalStateException => false }
       org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
