@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.BdaQueries.queries ++
       graft.queries.UvwQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.BdaQueries.oracleSql ++
       graft.queries.UvwQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.MultimodalQueries.oracleSql
+      graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.StreamingQueries.oracleSql
 }

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming entries (extension beyond reference parity —
+  * SURVEY §2.9/§7.4): the SAME tumbling-window aggregation the batch
+  * engine grades, executed by the streaming engine end-to-end (file
+  * stream source → event-time window → memory sink), then hash-checked
+  * against a batch DuckDB oracle. Proves the streaming path computes
+  * identical answers, not just that it runs.
+  *
+  * Exactness: `value` lives on a 1/100 grid → integer-lifted sums;
+  * event timestamps are nanos-as-long (TESTDATA.md) → window assignment
+  * is integer arithmetic on both engines.
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // W2+A1 streaming-shape: 1-hour event-time tumbling windows per
+    // user over the events table, run through the streaming engine
+    // (complete mode; the memory sink holds the final window table).
+    "st1_stream_window" -> ((s, d) => {
+      val name = "graft_st1_sink"
+      val schema = Tables.events(s, d).schema
+      // the file stream source wants a directory: stream the sf dir,
+      // glob-filtered to the events table
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        // ts is epoch-nanos Long (nanosAsLong); driver data is
+        // microsecond-grain so `div 1000` is exact
+        .withColumn("TS", timestamp_micros(expr("ts div 1000")))
+      val windowed = src
+        .withWatermark("TS", "1 hour")
+        .groupBy(window(col("TS"), "3600 seconds"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_sum_c"))
+        .select(unix_timestamp(col("window.start")).as("win_start_epoch"),
+          col("user_id"), col("n_events"),
+          col("value_sum_c").cast("long").as("value_sum_c"))
+      s.catalog.dropTempView(name) // entries re-run (bench warm pass)
+      val q = windowed.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // materialize: the memory sink's temp view dies with later reruns
+      val out = s.table(name).collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(out: _*), s.table(name).schema)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "st1_stream_window" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_epoch,
+                user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_sum_c
+         FROM events GROUP BY 1, 2"""
+  )
+}
