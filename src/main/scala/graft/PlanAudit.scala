@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.ms.{MsTables, SyntheticMs}
+import graft.ops.{Bda, Timechannel}
+
+/** Prints the physical plans of the two pipeline hot paths and counts
+  * their fact-table scans — the reproducible form of the plan audits
+  * DESIGN.md cites. Usage: sbt "runMain graft.PlanAudit"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SyntheticMs.ensure(spark)
+
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString()
+      val mainScans = plan.linesIterator
+        .count(l => l.contains("FileScan") && l.contains("fixtures/ms/main"))
+      val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+      val singleExch = plan.linesIterator
+        .count(l => l.contains("Exchange SinglePartition"))
+      println(s"== $name: main-table FileScans=$mainScans " +
+        s"exchanges=$exchanges single-partition-exchanges=$singleExch")
+      if (args.contains("-v")) println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExtendedMode))
+    }
+
+    audit("timechannel.averagedMain",
+      Timechannel.averagedMain(MsTables.main(spark), Timechannel.Args(
+        timeBinSecs = 60000.0, chanBinSize = 4,
+        dataCols = Seq("DATA" -> "DATA"))))
+    audit("bda.averagedMain",
+      Bda.averagedMain(MsTables.main(spark), MsTables.spw(spark),
+        MsTables.ddid(spark), Bda.Args()))
+    spark.stop()
+  }
+}

@@ -144,9 +144,15 @@ object Bda {
     * averaging.py:159-164).
     */
   def averagedMain(main: DataFrame, spw: DataFrame, ddid: DataFrame, args: Args): DataFrame = {
-    val prep = withBinParams(prepared(main, spw, ddid, args), args)
-    // grid binning anchored at the group t0, per-baseline bin width
-    val t0 = prep.groupBy(TimeAvg.GroupCols.map(col): _*).agg(min("TIME").as("_T0"))
+    val prep0 = prepared(main, spw, ddid, args)
+    val prep = withBinParams(prep0, args)
+    // grid binning anchored at the group t0, per-baseline bin width.
+    // t0 is computed from the PRE-sizing frame: anchoring it on `prep`
+    // would nest a second copy of the withBinParams subtree (and its
+    // fact-table scan) inside the tiny t0 aggregate (plan-audited:
+    // graft.PlanAudit showed 4 main-table scans before this, 3 after —
+    // full pass + sized + t0, the designed shape).
+    val t0 = prep0.groupBy(TimeAvg.GroupCols.map(col): _*).agg(min("TIME").as("_T0"))
     val binned = prep.join(broadcast(t0), TimeAvg.GroupCols)
       .withColumn("BIN",
         floor((col("TIME") - col("_T0")) / col("TIME_BIN_SECS")).cast("int"))

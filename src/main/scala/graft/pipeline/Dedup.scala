@@ -77,15 +77,39 @@ object Dedup {
 
   /** Verified near-dup pairs: LSH candidates → exact shingle Jaccard
     * ≥ minJaccard. Returns (doc1, doc2, n_inter, n1, n2, jaccard).
+    *
+    * @param maxBucketSize cap on members per (band, bucket) admitted to
+    *   the candidate self-join — the oversized-bucket guard for
+    *   pathological corpora (a bucket of m members costs m²/2 pairs; a
+    *   boilerplate-heavy crawl can put millions of near-identical docs
+    *   in one bucket and stall the join). Buckets above the cap are
+    *   EXCLUDED and counted to the log — explicit recall accounting,
+    *   never a silent stall. 0 = unlimited (every bucket admitted);
+    *   exact-dup clustering (pl_d1) is the right tool for the mass
+    *   inside a capped bucket.
     */
-  def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7): DataFrame = {
+  def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7,
+                   maxBucketSize: Int = 0): DataFrame = {
     // The signature frame feeds both sides of the bucket self-join AND
     // the verification lookup — without a persist Spark re-tokenizes and
     // re-hashes the corpus 3-4x (plan-verified: 4 FileScans, 0 reuse).
     // MEMORY_AND_DISK so a 100 TB corpus spills instead of recomputing.
     val sigs = withMinhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bd = bands(sigs)
+    val bdAll = bands(sigs)
+    val bd =
+      if (maxBucketSize <= 0) bdAll
+      else {
+        val sizes = bdAll.groupBy("band_id", "band_hash")
+          .agg(count(lit(1)).as("_BN"))
+        val over = sizes.filter(col("_BN") > maxBucketSize)
+        val nOver = over.count()
+        if (nOver > 0) println(
+          s"[dedup] $nOver LSH bucket(s) over cap $maxBucketSize excluded " +
+            "from the candidate join (recall accounting — see Scaladoc)")
+        bdAll.join(broadcast(over.select("band_id", "band_hash")),
+          Seq("band_id", "band_hash"), "left_anti")
+      }
     val cand = bd.as("x")
       .join(bd.as("y"), Seq("band_id", "band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -66,6 +66,22 @@ class PipelineSpec extends SparkSpec {
     assert(truth.exceptAll(lsh).count() == 0, "LSH missed a true pair")
   }
 
+  test("oversized LSH buckets are excluded by the cap, small buckets survive") {
+    // 20 identical clones put 20 members into one bucket per band; one
+    // true near-dup pair (1 token differs over 40) sits in 2-member
+    // buckets. Cap 10 must drop every clone pair and keep the near pair.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok40", "tok99")
+    val clone = (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = (Seq((0L, base), (1L, near)) ++
+      (2L until 22L).map(i => (i, clone))).toDF("doc_id", "text")
+    val uncapped = Dedup.nearDupPairs(docs, 0.7)
+    assert(uncapped.count() == 20L * 19 / 2 + 1) // clone all-pairs + near pair
+    val capped = Dedup.nearDupPairs(docs, 0.7, maxBucketSize = 10)
+    val pairs = capped.select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("dup clusters: two pairs sharing a doc form one 3-cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc1", "doc2")
     val cl = Dedup.dupClusters(pairs).orderBy("doc_id").collect()
