@@ -82,9 +82,14 @@ object Arguments {
   }
 
   sealed trait Command
+  /** `averageUvw` = --average-uvw-coordinates: keep the averaged UVWs
+    * instead of the fixvis recomputation post-pass
+    * (arguments.py:115-120, warning at app.py:126-128).
+    */
   case class TimechannelCmd(ms: String, output: String,
-      args: Timechannel.Args) extends Command
-  case class BdaCmd(ms: String, output: String, args: Bda.Args) extends Command
+      args: Timechannel.Args, averageUvw: Boolean = false) extends Command
+  case class BdaCmd(ms: String, output: String, args: Bda.Args,
+      averageUvw: Boolean = false) extends Command
   case class CheckCmd(ms: String) extends Command
 
   /** Parse a full command line (reference defaults throughout). */
@@ -140,7 +145,8 @@ object Arguments {
         channels = channels,
         respectFlagRow = boolFlag("-rfr", "--respect-flag-row"),
         includeAutoCorrs = boolFlag("--include-auto-correlations"),
-        force = boolFlag("--force")))
+        force = boolFlag("--force")),
+        averageUvw = boolFlag("--average-uvw-coordinates"))
       case "bda" => BdaCmd(ms, output, Bda.Args(
         decorrelation = flag("-d", "--decorrelation").map(_.toDouble).getOrElse(0.99),
         maxFovDeg = flag("-fov", "--max-fov").map(_.toDouble).getOrElse(15.0),
@@ -150,7 +156,8 @@ object Arguments {
         dataCols = dataCols, fields = intFields, scans = scans,
         channels = channels,
         respectFlagRow = boolFlag("-rfr", "--respect-flag-row"),
-        force = boolFlag("--force")))
+        force = boolFlag("--force")),
+        averageUvw = boolFlag("--average-uvw-coordinates"))
       case "check" => CheckCmd(ms)
       case other => throw new ArgumentException(s"unknown command $other")
     }

@@ -22,26 +22,34 @@ object XovaApp {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, cmd, fixUvw = true)
+    try run(spark, cmd)
     finally spark.stop()
   }
 
-  /** @param fixUvw the reference's default post-pass: recompute UVW at
-    *   the averaged time centroids (app.py:122-128) unless the user
-    *   asked for averaged coordinates.
+  /** The fixms post-pass (recompute UVW at the averaged time
+    * centroids, app.py:122-128) is the reference default; it is
+    * skipped when the user asked for averaged coordinates
+    * (--average-uvw-coordinates), with the same warning the
+    * reference prints.
     */
-  def run(spark: SparkSession, cmd: Arguments.Command, fixUvw: Boolean): Unit =
+  def run(spark: SparkSession, cmd: Arguments.Command): Unit =
     cmd match {
-      case Arguments.TimechannelCmd(ms, out, args) =>
+      case Arguments.TimechannelCmd(ms, out, args, avgUvw) =>
         val tables = Timechannel.run(spark, ms, out, args)
         println(s"[xova] timechannel: wrote ${tables.mkString(", ")} to $out")
-        if (fixUvw) { Uvw.fixms(spark, out); println("[xova] fixms: UVW recomputed") }
-      case Arguments.BdaCmd(ms, out, args) =>
+        fixOrWarn(spark, out, avgUvw)
+      case Arguments.BdaCmd(ms, out, args, avgUvw) =>
         val tables = Bda.run(spark, ms, out, args)
         println(s"[xova] bda: wrote ${tables.mkString(", ")} to $out")
-        if (fixUvw) { Uvw.fixms(spark, out); println("[xova] fixms: UVW recomputed") }
+        fixOrWarn(spark, out, avgUvw)
       case Arguments.CheckCmd(ms) =>
         val r = Check.run(spark, ms)
         println(s"[xova] check: $ms conforms ($r)")
     }
+
+  private def fixOrWarn(spark: SparkSession, out: String, avgUvw: Boolean): Unit =
+    if (avgUvw)
+      println("[xova] WARNING: output UVWs are averaged coordinates, " +
+        "not recomputed at the new time centroids (app.py:126-128)")
+    else { Uvw.fixms(spark, out); println("[xova] fixms: UVW recomputed") }
 }

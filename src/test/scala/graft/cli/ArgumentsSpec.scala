@@ -72,6 +72,15 @@ class ArgumentsSpec extends AnyFunSuite {
     assert(Arguments.parse(Seq("check", "x.ms")) == Arguments.CheckCmd("x.ms"))
   }
 
+  test("--average-uvw-coordinates disables the fixms post-pass") {
+    val on = Arguments.parse(Seq("timechannel", "x.ms",
+      "--average-uvw-coordinates")).asInstanceOf[Arguments.TimechannelCmd]
+    assert(on.averageUvw)
+    val off = Arguments.parse(Seq("bda", "x.ms"))
+      .asInstanceOf[Arguments.BdaCmd]
+    assert(!off.averageUvw)
+  }
+
   test("-ch channel selection reaches both pipelines' Args") {
     val tc = Arguments.parse(Seq("timechannel", "x.ms", "-ch", "0~3,8"))
       .asInstanceOf[Arguments.TimechannelCmd]
