@@ -39,6 +39,22 @@ object PlanAudit {
     audit("bda.averagedMain",
       Bda.averagedMain(MsTables.main(spark), MsTables.spw(spark),
         MsTables.ddid(spark), Bda.Args()))
+
+    // partition pruning on a WRITTEN output MS: a field selection must
+    // show up as a PartitionFilter, not a data filter
+    val out = "/tmp/graft_audit/tc_out"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    Timechannel.run(spark, SyntheticMs.root, out, Timechannel.Args(
+      timeBinSecs = 60000.0, chanBinSize = 4,
+      dataCols = Seq("DATA" -> "DATA"), force = true, validate = false))
+    val sel = spark.read.parquet(s"$out/main")
+      .filter(org.apache.spark.sql.functions.col("FIELD_ID") === 0)
+    val plan = sel.queryExecution.executedPlan.toString()
+    val pruned = plan.contains("PartitionFilters: [") &&
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("FIELD_ID"))
+    println(s"== output-MS field selection partition-pruned: $pruned")
     spark.stop()
   }
 }

@@ -32,9 +32,19 @@ object MsWriter {
     }
   }
 
-  /** S7/S8: one table of the output MS. */
-  def writeTable(df: DataFrame, outRoot: String, table: String): Unit =
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$outRoot/$table")
+  /** S7/S8: one table of the output MS. `partitionCols` hive-partitions
+    * the layout (used for `main`: the reference's natural group key, so
+    * field/scan selections on the written MS partition-prune at the
+    * source — SURVEY §4 O3). Callers must sort with the partition
+    * columns as a prefix, or the writer inserts its own (unstable)
+    * partition sort and scrambles the within-file TIME order.
+    */
+  def writeTable(df: DataFrame, outRoot: String, table: String,
+                 partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$outRoot/$table")
+  }
 
   /** S9: copy through every subtable of the input MS that the pipeline
     * did not regenerate.

@@ -290,8 +290,10 @@ object Bda {
 
     val outMain = remap(avg, remapDf)
       .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))
-      .sortWithinPartitions("DATA_DESC_ID", "TIME", "ANTENNA1", "ANTENNA2")
-    try MsWriter.writeTable(outMain, outRoot, "main")
+      .sortWithinPartitions("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
+        "TIME", "ANTENNA1", "ANTENNA2")
+    try MsWriter.writeTable(outMain, outRoot, "main",
+      partitionCols = TimeAvg.GroupCols)
     finally avg.unpersist()
     MsWriter.writeTable(newSpw, outRoot, "SPECTRAL_WINDOW")
     MsWriter.writeTable(newDdid, outRoot, "DATA_DESCRIPTION")

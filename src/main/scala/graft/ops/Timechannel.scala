@@ -160,11 +160,15 @@ object Timechannel {
       sel = Flags.selectScans(Flags.selectFields(sel, args.fields), args.scans)
       Chunking.validate(sel, "timechannel")
     }
+    // deterministic output order within files + A3′ output-size hygiene;
+    // the sort leads with the partition columns so the partitioned
+    // writer reuses it (no extra sort, TIME order survives per file)
     val out = averagedMain(main, args)
-      // deterministic output order within files + A3′ output-size hygiene
       .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))
-      .sortWithinPartitions("DATA_DESC_ID", "TIME", "ANTENNA1", "ANTENNA2")
-    MsWriter.writeTable(out, outRoot, "main")
+      .sortWithinPartitions("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
+        "TIME", "ANTENNA1", "ANTENNA2")
+    MsWriter.writeTable(out, outRoot, "main",
+      partitionCols = TimeAvg.GroupCols)
     MsWriter.writeTable(
       averagedSpw(
         selectSpwChannels(

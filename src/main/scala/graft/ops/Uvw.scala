@@ -122,7 +122,18 @@ object Uvw {
         spark.read.parquet(s"$msRoot/ANTENNA"))
       .withColumn("UVW", col("SYNTH_UVW")).drop("SYNTH_UVW")
     val stage = s"$msRoot/main_fixed"
-    fixed.write.mode("overwrite").parquet(stage)
+    // preserve the group-partitioned layout (and its within-file TIME
+    // order) through the rewrite when the input main carries it
+    val partCols = TimeAvg.GroupCols.filter(fixed.columns.contains)
+    val sorted =
+      if (partCols == TimeAvg.GroupCols)
+        fixed.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions((partCols :+ "TIME")
+            .map(org.apache.spark.sql.functions.col): _*)
+      else fixed
+    val w = sorted.write.mode("overwrite")
+    (if (partCols == TimeAvg.GroupCols) w.partitionBy(partCols: _*) else w)
+      .parquet(stage)
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
     val mainPath = new org.apache.hadoop.fs.Path(s"$msRoot/main")
