@@ -32,7 +32,12 @@ object Timechannel {
       respectFlagRow: Boolean = false,
       includeAutoCorrs: Boolean = false,
       force: Boolean = false,
-      validate: Boolean = true) // A7/W1 plan pass (reference default)
+      validate: Boolean = true, // A7/W1 plan pass (reference default)
+      // W2 variant: grid binning (broadcast t0, zero fact-table window)
+      // matches the reference kernel for regular sampling; running
+      // binning reproduces its accumulate-until-full walk exactly for
+      // irregular sampling, at the cost of one baseline-keyed window.
+      runningBins: Boolean = false)
 
   /** Every (chan, corr) matrix column present in `df` that channel
     * selection (P8) must slice in lockstep.
@@ -52,7 +57,8 @@ object Timechannel {
     df = Flags.selectChannels(df, args.channels, matrixCols(df, args))
     df = if (args.respectFlagRow) df.withColumn("FROW", col("FLAG_ROW"))
          else df.withColumn("FROW", Flags.derivedFlagRow)
-    df = TimeAvg.assignGrid(df, args.timeBinSecs)
+    df = if (args.runningBins) TimeAvg.assignRunning(df, args.timeBinSecs)
+         else TimeAvg.assignGrid(df, args.timeBinSecs)
 
     // WEIGHT_SPECTRUM / SIGMA_SPECTRUM are optional MS columns: use WS as
     // the averaging weight and average both spectra through when present,

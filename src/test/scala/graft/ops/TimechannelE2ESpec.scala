@@ -79,6 +79,25 @@ class TimechannelE2ESpec extends SparkSpec {
     assert(wsBad == 0)
   }
 
+  test("runningBins packs gapped sampling by accumulated INTERVAL, grid by wall time") {
+    // one baseline, TIMEs 0/50/60 with INTERVAL 10, bin = 20 s:
+    //  - grid (t0-anchored): floor(t/20) = 0, 2, 3 → three bins
+    //  - running (accumulate-until-full, the reference kernel's walk):
+    //    pre-row cumsum = 0, 10, 20 → bins 0, 0, 1 → TWO bins — the
+    //    gap does not open a new bin until 20 s of integration accrue
+    import VisAggregator.Cpx
+    val rows = Seq(0.0, 50.0, 60.0).map { t =>
+      (t, 10.0, t, 10.0, 1, 2, 0, 0, 0, Seq(0.0, 0.0, 0.0), Seq(1.0),
+        Seq(1.0), Seq(Seq(Cpx(1f, 0f))), Seq(Seq(false)), false)
+    }.toDF("TIME", "INTERVAL", "TIME_CENTROID", "EXPOSURE", "ANTENNA1",
+      "ANTENNA2", "FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "UVW",
+      "WEIGHT", "SIGMA", "DATA", "FLAG", "FLAG_ROW")
+    def run(running: Boolean) = Timechannel.averagedMain(rows,
+      args(20.0, 1).copy(runningBins = running)).count()
+    assert(run(running = false) == 3)
+    assert(run(running = true) == 2)
+  }
+
   test("output channel counts follow the bin size with ragged tails") {
     val out = Timechannel.averagedMain(main, args(60000.0, 3))
     // 16 chans -> ceil(16/3)=6; 32 -> ceil(32/3)=11
