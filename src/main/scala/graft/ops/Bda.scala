@@ -56,7 +56,10 @@ object Bda {
       channels: Seq[Int] = Nil, // P8: 0-based kept channel indices
       respectFlagRow: Boolean = false,
       force: Boolean = false,
-      validate: Boolean = true) // A7/W1 plan pass (reference default)
+      validate: Boolean = true, // A7/W1 plan pass (reference default)
+      // accumulate-until-full walk with the per-baseline bin width
+      // (see Timechannel.Args.runningBins)
+      runningBins: Boolean = false)
 
   /** Solve sinc(x) = target on (0, pi) by bisection (sinc monotonically
     * decreases from 1 to 0 there). Driver-side, once per query.
@@ -153,9 +156,12 @@ object Bda {
     // graft.PlanAudit showed 4 main-table scans before this, 3 after —
     // full pass + sized + t0, the designed shape).
     val t0 = prep0.groupBy(TimeAvg.GroupCols.map(col): _*).agg(min("TIME").as("_T0"))
-    val binned = prep.join(broadcast(t0), TimeAvg.GroupCols)
-      .withColumn("BIN",
-        floor((col("TIME") - col("_T0")) / col("TIME_BIN_SECS")).cast("int"))
+    val binned =
+      if (args.runningBins)
+        TimeAvg.assignRunning(prep, col("TIME_BIN_SECS"))
+      else prep.join(broadcast(t0), TimeAvg.GroupCols)
+        .withColumn("BIN",
+          floor((col("TIME") - col("_T0")) / col("TIME_BIN_SECS")).cast("int"))
 
     // Optional spectrum columns — same handling as Timechannel.
     val hasWs = binned.columns.contains("WEIGHT_SPECTRUM")

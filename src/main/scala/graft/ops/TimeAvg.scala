@@ -41,13 +41,19 @@ object TimeAvg {
   }
 
   /** Accumulate-until-full binning per (group, baseline). */
-  def assignRunning(df: DataFrame, binSecs: Double): DataFrame = {
+  def assignRunning(df: DataFrame, binSecs: Double): DataFrame =
+    assignRunning(df, lit(binSecs))
+
+  /** Column form: per-row (in practice per-baseline — BDA's
+    * decorrelation-derived widths) bin size.
+    */
+  def assignRunning(df: DataFrame, binSecs: Column): DataFrame = {
     val w = Window
       .partitionBy((GroupCols ++ Seq("ANTENNA1", "ANTENNA2")).map(col): _*)
       .orderBy("TIME")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_CUM", sum(col("INTERVAL")).over(w))
-      .withColumn("BIN", floor((col("_CUM") - col("INTERVAL")) / lit(binSecs)).cast("int"))
+      .withColumn("BIN", floor((col("_CUM") - col("INTERVAL")) / binSecs).cast("int"))
       .drop("_CUM")
   }
 

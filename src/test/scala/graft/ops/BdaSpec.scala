@@ -70,6 +70,22 @@ class BdaSpec extends SparkSpec {
     assert(sized.forall(_ == 4)) // 16 / 4 = minNchan
   }
 
+  test("running bins equal grid bins on regularly sampled data (full pipeline)") {
+    // regular sampling: t - t0 == accumulated-INTERVAL-before-row per
+    // baseline, so the two walks must agree bin-for-bin and the whole
+    // averaged output must match bit-for-bit
+    val main = graft.ms.MsTables.main(spark)
+    val spw = graft.ms.MsTables.spw(spark)
+    val ddid = graft.ms.MsTables.ddid(spark)
+    def run(running: Boolean) = Bda.averagedMain(main, spw, ddid,
+      Bda.Args(dataCols = Seq("DATA" -> "DATA"), runningBins = running))
+    val grid = run(running = false)
+    val runn = run(running = true)
+    assert(grid.count() == runn.count())
+    assert(runn.join(grid, runn.columns.toSeq).count() == grid.count(),
+      "running-bin BDA diverges from grid binning on regular sampling")
+  }
+
   test("regenerate emits uniform linspace grids over the original span") {
     val spw = Seq((0, 16,
       (0 until 16).map(i => 1.0e9 + 1.0e8 * (i + 0.5)),
