@@ -135,17 +135,101 @@ object Dedup {
     * each bit's vote is a fold over the token array (bit index is a
     * compile-time literal, so every shift stays a native expression).
     */
-  def withSimhash(docs: DataFrame): DataFrame = {
-    val tokHashes = transform(array_distinct(tokens(col("text"))),
+  def withSimhash(docs: DataFrame): DataFrame =
+    withSimhash(docs, tokens(col("text")))
+
+  /** Generalized form: SimHash over any term-array column (distinct
+    * applied here). Token terms fingerprint vocabulary; shingle terms
+    * fingerprint word order and are the discriminative choice for
+    * near-dup pairing on narrow-vocabulary corpora.
+    */
+  def withSimhash(docs: DataFrame, terms: Column): DataFrame = {
+    val termHashes = transform(array_distinct(terms),
       t => hash60(concat(lit("sh|"), t)))
     val simhash = (0 until 32).map { b =>
       val vote = aggregate(col("_th"), lit(0L), (acc, h) =>
         acc + shiftright(h, b).bitwiseAND(1L) * 2L - 1L)
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    docs.withColumn("_th", tokHashes)
+    docs.withColumn("_th", termHashes)
       .withColumn("simhash", simhash)
       .drop("_th")
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, found without an
+    * all-pairs join via the pigeonhole bucket trick: split the 32-bit
+    * fingerprint into `nChunks` equal chunks — any pair within Hamming
+    * distance < nChunks must agree on at least one whole chunk, so a
+    * bucket self-join on (chunk_id, chunk_value) has 100% recall. This
+    * is EXACT (deterministic recall, unlike probability-banded MinHash);
+    * candidates are then verified with bit_count(xor). Fingerprints are
+    * shingle-grain (word order), not token-grain — on a narrow
+    * vocabulary every doc shares most tokens and token-simhashes
+    * collapse onto a few values, destroying bucket selectivity.
+    * Requires maxHamming < nChunks for the recall guarantee.
+    * Skewed chunk-buckets at corpus scale take the same cap/salt guard
+    * as [[nearDupPairs]] (a bucket of m docs costs m²/2 candidates).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   nChunks: Int = 4): DataFrame = {
+    require(maxHamming < nChunks,
+      s"pigeonhole recall needs maxHamming < nChunks ($maxHamming >= $nChunks)")
+    val width = 32 / nChunks
+    val mask = (1L << width) - 1
+    // (doc_id, simhash) feeds both sides of the bucket join — persist so
+    // the corpus is fingerprinted once, not three times.
+    val sh = withSimhash(docs, shingles(tokens(col("text"))))
+      .select(col("doc_id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkCols = (0 until nChunks).map { c =>
+      struct(lit(c).as("c"),
+        shiftright(col("simhash"), c * width).bitwiseAND(mask).as("cv"))
+    }
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+        explode(array(chunkCols: _*)).as("k"))
+      .select(col("doc_id"), col("simhash"), col("k.c"), col("k.cv"))
+    chunks.as("x").join(chunks.as("y"), Seq("c", "cv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted-index join —
+    * the classic exact-similarity scale path (vs MinHash's probabilistic
+    * one): explode distinct word n-grams to (doc, gram) postings, join
+    * postings on gram, count co-occurrences, Jaccard over the kept-gram
+    * universe. Cost is Σ df² over kept grams, NOT corpus² — bounded by
+    * the document-frequency cap: grams present in more than `maxDf`
+    * docs are stop-grams (boilerplate), excluded from the index the way
+    * every production inverted index drops stopwords. The over-cap gram
+    * set is vocabulary-bounded, hence broadcastable at any corpus size.
+    * Jaccard is computed over the FILTERED universe on both sides of
+    * the oracle contract, so the result is exact, not approximate.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 4, maxDf: Int = 3,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), n))).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val over = grams.groupBy("gram").agg(count(lit(1)).as("_DF"))
+      .filter(col("_DF") > maxDf).select("gram")
+    val kept = grams.join(broadcast(over), Seq("gram"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.as("x").join(kept.as("y"), "gram")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc1", "doc2", "n_inter", "n1", "n2", "jaccard")
   }
 
   /** Embedding-cosine near-duplicate pairs. Two paths:

@@ -35,6 +35,11 @@ object PipelineQueries {
     s"""list_distinct(list_transform(range(0, len($toksSql) - 2),
           i -> $toksSql[i+1] || '_' || $toksSql[i+2] || '_' || $toksSql[i+3]))"""
 
+  /** Distinct word k-grams, joined by '_' (mirrors TextOps.shingles(_, k)). */
+  private def ngramSql(k: Int) =
+    s"""list_distinct(list_transform(range(0, len($toksSql) - ${k - 1}),
+          i -> ${(1 to k).map(j => s"$toksSql[i+$j]").mkString(" || '_' || ")}))"""
+
   /** 60-bit non-negative BIGINT from md5 hex — mirrors TextOps.hash60. */
   private def h60(e: String) =
     s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
@@ -153,6 +158,20 @@ object PipelineQueries {
     // and the only complete answer at low thresholds (cos ≥ 0.45 here).
     "pl_d6_embed_exact" -> ((s, d) =>
       Dedup.embedNearDup(Tables.embeddings(s, d), 0.45)),
+
+    // Exact n-gram Jaccard near-dup via inverted-index join (postings
+    // capped at document frequency 3 — the stop-gram guard fires on
+    // both fixture SFs). Exact over the kept-gram universe, so the
+    // oracle is the same algorithm in SQL, not a ground-truth stand-in.
+    "pl_d7_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), 4, 3, 0.5)),
+
+    // SimHash near-dup pairs via the pigeonhole chunk trick: Hamming
+    // <= 3 over 4 chunks guarantees a shared chunk, so the bucket join
+    // has deterministic 100% recall — the brute-force oracle is a true
+    // gate, not a recall check.
+    "pl_d8_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), 3, 4)),
 
     // ANN baseline: brute-force exact cosine top-k (probes broadcast,
     // corpus streamed — one scan, no shuffle of the big side).
@@ -298,6 +317,49 @@ object PipelineQueries {
           SELECT doc_id,
                  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
           FROM bits GROUP BY 1""",
+
+    // Same inverted-index algorithm in SQL (exact over the kept-gram
+    // universe — the DF cap is part of the operator contract).
+    "pl_d7_ngram_jaccard" ->
+      s"""WITH g AS (
+            SELECT doc_id, unnest(${ngramSql(4)}) AS gram FROM documents),
+          df AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+          kept AS (
+            SELECT g.doc_id, g.gram FROM g JOIN df USING (gram)
+            WHERE df.n <= 3),
+          sz AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM kept GROUP BY doc_id),
+          p AS (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                   CAST(count(*) AS BIGINT) AS n_inter
+            FROM kept a JOIN kept b USING (gram)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT doc1, doc2, n_inter, s1.n AS n1, s2.n AS n2,
+                 n_inter::DOUBLE / (s1.n + s2.n - n_inter) AS jaccard
+          FROM p JOIN sz s1 ON p.doc1 = s1.doc_id
+                 JOIN sz s2 ON p.doc2 = s2.doc_id
+          WHERE n_inter::DOUBLE / (s1.n + s2.n - n_inter) >= 0.5""",
+
+    // Brute-force all-pairs ground truth: valid as a strict gate because
+    // the pigeonhole bucketing has deterministic 100% recall at
+    // maxHamming < nChunks (unlike probability-banded LSH).
+    "pl_d8_simhash_pairs" ->
+      s"""WITH dt AS (
+            SELECT doc_id, unnest($shinglesSql) AS tok FROM documents),
+          bits AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN (${h60("'sh|' || tok")} >> b) & 1 = 1
+                            THEN 1 ELSE -1 END) AS vote
+            FROM dt, (SELECT unnest(range(32)) AS b) GROUP BY 1, 2),
+          sh AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
+            FROM bits GROUP BY 1)
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                 CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.s, b.s)) <= 3""",
 
     "pl_a4_ivf_kmeans" -> {
       val assign = (cents: String) =>

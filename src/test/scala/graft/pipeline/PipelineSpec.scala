@@ -100,6 +100,43 @@ class PipelineSpec extends SparkSpec {
     assert(h.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("ngram Jaccard via inverted index equals brute-force on the kept universe") {
+    // independent brute-force: same DF-capped gram sets, all-pairs intersect
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 4)))
+        .as("gram"))
+    val kept = grams.join(
+      grams.groupBy("gram").count().filter(col("count") > 3).select("gram"),
+      Seq("gram"), "left_anti")
+    val sets = kept.groupBy("doc_id").agg(collect_set("gram").as("g"))
+    val truth = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ni", size(array_intersect(col("a.g"), col("b.g"))))
+      .withColumn("j", col("ni").cast("double") /
+        (size(col("a.g")) + size(col("b.g")) - col("ni")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("j").as("jaccard"))
+    val idx = Dedup.ngramJaccardPairs(docs, 4, 3, 0.5)
+    assert(idx.count() > 0, "no pairs found — threshold/corpus mismatch")
+    assert(idx.select("doc1", "doc2", "jaccard").exceptAll(truth).count() == 0)
+    assert(truth.exceptAll(idx.select("doc1", "doc2", "jaccard")).count() == 0)
+  }
+
+  test("simhash pigeonhole pairs equal brute-force hamming<=3 (exact recall)") {
+    val sh = Dedup.withSimhash(docs,
+      TextOps.shingles(TextOps.tokens(col("text")))).select("doc_id", "simhash")
+    val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("bigint"))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("hamming"))
+    val bucketed = Dedup.simhashPairs(docs, 3, 4)
+    assert(bucketed.exceptAll(truth).count() == 0, "false pair")
+    assert(truth.exceptAll(bucketed).count() == 0,
+      "pigeonhole recall violated — a hamming<=3 pair missed every bucket")
+  }
+
   test("brute-force knn: ranks ordered by cosine, no self-match") {
     val out = Ann.knnBrute(vecs, col("vec_id") < 3, 5).cache()
     assert(out.filter(col("probe_id") === col("neighbor_id")).count() == 0)
