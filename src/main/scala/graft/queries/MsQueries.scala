@@ -56,8 +56,15 @@ object MsQueries {
     * parameterized by data column (P5) and channel bin size (A2).
     * Output grain: (group, baseline, time bin, channel bin, corr).
     */
-  private def visFlat(s: SparkSession, dataCol: String, chanBin: Int): DataFrame = {
-    val p = prepped(s, 60000.0)
+  private def visFlat(s: SparkSession, dataCol: String, chanBin: Int): DataFrame =
+    visFlatFrom(prepped(s, 60000.0), dataCol, chanBin)
+
+  /** Same kernel over an already-prepped frame (FROW + BIN assigned) —
+    * shared by the batch entries and the streaming st2 entry, which
+    * preps via a static T0 pre-pass + stream-static join.
+    */
+  private[queries] def visFlatFrom(p: DataFrame, dataCol: String,
+                                   chanBin: Int): DataFrame = {
     val cells = p
       .select((keys :+ "FROW").map(col) ++ Seq(
         col("FLAG"), col("WEIGHT_SPECTRUM"),
@@ -90,7 +97,7 @@ object MsQueries {
         when(col("n_unflagged") > 0, col("w_eff")).otherwise(col("w_nom")).as("w_den")): _*)
   }
 
-  private def visFlatSql(dataCol: String, chanBin: Int): String =
+  private[queries] def visFlatSql(dataCol: String, chanBin: Int): String =
     s"""${prepSql("60000.0")},
         cells AS (
           SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,

@@ -49,6 +49,44 @@ object StreamingQueries {
       val out = s.table(name).collect()
       s.createDataFrame(
         java.util.Arrays.asList(out: _*), s.table(name).schema)
+    }),
+
+    // The engine's CORE kernel — flag-aware dual-population visibility
+    // averaging (A1+A2, chan_bin=4) — executed by the STREAMING engine:
+    // file-stream the MS main table one parquet file per micro-batch, so
+    // baselines' samples arrive split across batches and the state store
+    // carries half-filled bins between triggers. Grid binning needs the
+    // per-group T0, a global min the streaming engine can't take before
+    // its one allowed aggregation — so T0 comes from a STATIC pre-pass
+    // joined onto the stream (stream-static broadcast join), exactly the
+    // reference's eager chunking pre-scan before the lazy main graph
+    // (xova/apps/xova/app.py:74-75 eager, then 170-195 lazy).
+    // Oracle: the SAME DuckDB SQL as the batch ms_a2_chan_avg entry —
+    // streaming must reproduce the batch kernel bit-for-bit.
+    "st2_stream_visavg" -> ((s, _) => {
+      import graft.ops.Flags
+      val name = "graft_st2_sink"
+      val main = graft.ms.MsTables.main(s) // ensures the fixture exists
+      val groupKey = Seq("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER")
+      val t0 = Flags.filterAutocorr(main)
+        .groupBy(groupKey.map(col): _*).agg(min("TIME").as("T0"))
+      val src = s.readStream.schema(main.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"${graft.ms.SyntheticMs.root}/main")
+      val prep = Flags.filterAutocorr(src)
+        .withColumn("FROW", Flags.derivedFlagRow)
+        .join(broadcast(t0), groupKey)
+        .withColumn("BIN",
+          floor((col("TIME") - col("T0")) / 60000.0).cast("int"))
+      val avg = MsQueries.visFlatFrom(prep, "DATA", 4)
+      s.catalog.dropTempView(name)
+      val q = avg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val out = s.table(name).collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(out: _*), s.table(name).schema)
     })
   )
 
@@ -58,6 +96,10 @@ object StreamingQueries {
                 user_id,
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_sum_c
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    // Identical to the batch A2 oracle — the streaming engine must
+    // reproduce the batch kernel exactly.
+    "st2_stream_visavg" -> MsQueries.visFlatSql("DATA", 4)
   )
 }

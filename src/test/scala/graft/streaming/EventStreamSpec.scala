@@ -82,4 +82,16 @@ class EventStreamSpec extends SparkSpec {
         Seq((7L, 3L, 10.0), (9L, 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming visibility averaging equals the batch kernel bit-for-bit") {
+    // st2 streams the MS main table one file per micro-batch (bins span
+    // batches → real state-store accumulation) and must reproduce the
+    // batch A2 entry exactly.
+    val qs = graft.SparkEntry.queries
+    val streamed = qs("st2_stream_visavg")(spark, "")
+    val batch = qs("ms_a2_chan_avg")(spark, "")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0, "streaming-only rows")
+    assert(batch.exceptAll(streamed).count() == 0, "batch-only rows")
+  }
 }
