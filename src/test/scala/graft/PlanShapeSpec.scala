@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ms.MsTables
+import graft.ops.{Bda, Timechannel}
+import graft.pipeline.{Ann, Dedup}
+
+/** Physical-plan regression guards for the scale properties DESIGN.md
+  * claims: fact-scan counts, no single-partition exchanges on fact
+  * paths, and no all-pairs joins in the sublinear dedup/ANN paths.
+  * These lock in what `graft.PlanAudit` prints, so a plan regression
+  * fails the suite instead of waiting for a human to re-run the audit.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private def mainScans(p: String): Int = p.linesIterator
+    .count(l => l.contains("FileScan") && l.contains("fixtures/ms/main"))
+
+  private def assertNoAllPairs(p: String, what: String): Unit = {
+    assert(!p.contains("CartesianProduct"), s"$what plans a cartesian join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"$what plans a nested-loop join (all-pairs)")
+  }
+
+  private def assertNoGlobalSort(p: String, what: String): Unit =
+    assert(!p.contains("Exchange SinglePartition"),
+      s"$what funnels the fact table through one partition")
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val embs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("timechannel averaging: 2 main-table scans, no global funnel") {
+    val p = plan(Timechannel.averagedMain(MsTables.main(spark),
+      Timechannel.Args(timeBinSecs = 60000.0, chanBinSize = 4,
+        dataCols = Seq("DATA" -> "DATA"))))
+    assert(mainScans(p) == 2, s"expected full pass + t0 pass, got:\n$p")
+    assertNoGlobalSort(p, "timechannel")
+  }
+
+  test("BDA averaging: 3 main-table scans, no global funnel") {
+    val p = plan(Bda.averagedMain(MsTables.main(spark), MsTables.spw(spark),
+      MsTables.ddid(spark), Bda.Args()))
+    assert(mainScans(p) == 3, s"expected full + sized + t0 passes, got:\n$p")
+    assertNoGlobalSort(p, "bda")
+  }
+
+  test("MinHash-LSH dedup never plans an all-pairs join") {
+    val p = plan(Dedup.nearDupPairs(docs, 0.7))
+    assertNoAllPairs(p, "nearDupPairs")
+  }
+
+  test("n-gram Jaccard inverted index never plans an all-pairs join") {
+    val p = plan(Dedup.ngramJaccardPairs(docs, 4, 3, 0.5))
+    assertNoAllPairs(p, "ngramJaccardPairs")
+  }
+
+  test("simhash pigeonhole pairing never plans an all-pairs join") {
+    val p = plan(Dedup.simhashPairs(docs, 3, 4))
+    assertNoAllPairs(p, "simhashPairs")
+  }
+
+  test("embedding near-dup LSH path never plans an all-pairs join") {
+    val p = plan(Dedup.embedNearDup(embs, 0.99, exact = false))
+    assertNoAllPairs(p, "embedNearDup(exact=false)")
+  }
+
+  test("ANN LSH and IVF never plan an all-pairs join over the corpus") {
+    val probe = org.apache.spark.sql.functions.col("vec_id") < 8
+    assertNoAllPairs(plan(Ann.annLsh(embs, probe, 5)), "annLsh")
+    // annIvf's assignment stage is probes × centroid-table by design —
+    // the centroid side is broadcast and bounded by #labels, so a
+    // BroadcastNestedLoopJoin there is fine; what must never appear is
+    // an unbroadcast cartesian over the corpus.
+    val ivf = plan(Ann.annIvf(embs, probe, 5))
+    assert(!ivf.contains("CartesianProduct"), "annIvf plans a cartesian join")
+  }
+
+  test("k-means seeding has no single-partition exchange (TakeOrdered)") {
+    val p = plan(Ann.kmeansClusters(embs, 4, 1))
+    assertNoGlobalSort(p, "kmeansClusters")
+  }
+}
