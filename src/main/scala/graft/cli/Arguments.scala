@@ -136,6 +136,11 @@ object Arguments {
       flag("-dc", "--data-column").map(_.split(',').toSeq)
         .getOrElse(Seq("CORRECTED_DATA:DATA")))
     val intFields = fields.collect { case Left(i) => i }
+    // -rc/-grc (arguments.py:94-101): write-side chunk granularity —
+    // see Timechannel.Args.rowChunks for the Spark mapping.
+    val rowChunks = flag("-rc", "--row-chunks").map(_.toInt).getOrElse(10000)
+    val groupRowChunks =
+      flag("-grc", "--group-row-chunks").map(_.toInt).getOrElse(4)
 
     cmd match {
       case "timechannel" => TimechannelCmd(ms, output, Timechannel.Args(
@@ -145,7 +150,8 @@ object Arguments {
         channels = channels,
         respectFlagRow = boolFlag("-rfr", "--respect-flag-row"),
         includeAutoCorrs = boolFlag("--include-auto-correlations"),
-        force = boolFlag("--force")),
+        force = boolFlag("--force"),
+        rowChunks = rowChunks, groupRowChunks = groupRowChunks),
         averageUvw = boolFlag("--average-uvw-coordinates"))
       case "bda" => BdaCmd(ms, output, Bda.Args(
         decorrelation = flag("-d", "--decorrelation").map(_.toDouble).getOrElse(0.99),
@@ -156,7 +162,8 @@ object Arguments {
         dataCols = dataCols, fields = intFields, scans = scans,
         channels = channels,
         respectFlagRow = boolFlag("-rfr", "--respect-flag-row"),
-        force = boolFlag("--force")),
+        force = boolFlag("--force"),
+        rowChunks = rowChunks, groupRowChunks = groupRowChunks),
         averageUvw = boolFlag("--average-uvw-coordinates"))
       case "check" => CheckCmd(ms)
       case other => throw new ArgumentException(s"unknown command $other")

@@ -40,8 +40,11 @@ object MsWriter {
     * partition sort and scrambles the within-file TIME order.
     */
   def writeTable(df: DataFrame, outRoot: String, table: String,
-                 partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.ErrorIfExists)
+                 partitionCols: Seq[String] = Nil,
+                 maxRecordsPerFile: Long = 0): Unit = {
+    var w = df.write.mode(SaveMode.ErrorIfExists)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$outRoot/$table")
   }

@@ -59,7 +59,10 @@ object Bda {
       validate: Boolean = true, // A7/W1 plan pass (reference default)
       // accumulate-until-full walk with the per-baseline bin width
       // (see Timechannel.Args.runningBins)
-      runningBins: Boolean = false)
+      runningBins: Boolean = false,
+      // write-side chunk granularity (see Timechannel.Args.rowChunks)
+      rowChunks: Int = 10000,
+      groupRowChunks: Int = 4)
 
   /** Solve sinc(x) = target on (0, pi) by bisection (sinc monotonically
     * decreases from 1 to 0 there). Driver-side, once per query.
@@ -299,7 +302,8 @@ object Bda {
       .sortWithinPartitions("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
         "TIME", "ANTENNA1", "ANTENNA2")
     try MsWriter.writeTable(outMain, outRoot, "main",
-      partitionCols = TimeAvg.GroupCols)
+      partitionCols = TimeAvg.GroupCols,
+      maxRecordsPerFile = args.rowChunks.toLong * args.groupRowChunks)
     finally avg.unpersist()
     MsWriter.writeTable(newSpw, outRoot, "SPECTRAL_WINDOW")
     MsWriter.writeTable(newDdid, outRoot, "DATA_DESCRIPTION")

@@ -37,7 +37,14 @@ object Timechannel {
       // matches the reference kernel for regular sampling; running
       // binning reproduces its accumulate-until-full walk exactly for
       // irregular sampling, at the cost of one baseline-keyed window.
-      runningBins: Boolean = false)
+      runningBins: Boolean = false,
+      // -rc/-grc (arguments.py:94-101): the reference computes in
+      // rowChunks-row chunks and merges groupRowChunks of them per
+      // write. Spark's read/compute granularity is maxPartitionBytes +
+      // AQE; the knobs' OBSERVABLE effect — written chunk size — maps
+      // to maxRecordsPerFile = rowChunks * groupRowChunks on `main`.
+      rowChunks: Int = 10000,
+      groupRowChunks: Int = 4)
 
   /** Every (chan, corr) matrix column present in `df` that channel
     * selection (P8) must slice in lockstep.
@@ -174,7 +181,8 @@ object Timechannel {
       .sortWithinPartitions("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
         "TIME", "ANTENNA1", "ANTENNA2")
     MsWriter.writeTable(out, outRoot, "main",
-      partitionCols = TimeAvg.GroupCols)
+      partitionCols = TimeAvg.GroupCols,
+      maxRecordsPerFile = args.rowChunks.toLong * args.groupRowChunks)
     MsWriter.writeTable(
       averagedSpw(
         selectSpwChannels(

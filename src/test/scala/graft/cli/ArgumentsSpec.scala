@@ -61,6 +61,15 @@ class ArgumentsSpec extends AnyFunSuite {
     assert(cmd.args.force && cmd.args.dataCols == Seq("DATA" -> "DATA"))
   }
 
+  test("-rc/-grc chunk knobs reach both pipelines' Args") {
+    val tc = Arguments.parse(Seq("timechannel", "x.ms", "-rc", "500",
+      "-grc", "2")).asInstanceOf[Arguments.TimechannelCmd]
+    assert(tc.args.rowChunks == 500 && tc.args.groupRowChunks == 2)
+    val bda = Arguments.parse(Seq("bda", "x.ms", "--row-chunks", "1000"))
+      .asInstanceOf[Arguments.BdaCmd]
+    assert(bda.args.rowChunks == 1000 && bda.args.groupRowChunks == 4)
+  }
+
   test("bda command line") {
     val cmd = Arguments.parse(Seq("bda", "x.ms", "-d", "0.95",
       "-fov", "5.0", "-mc", "4")).asInstanceOf[Arguments.BdaCmd]

@@ -79,6 +79,20 @@ class TimechannelE2ESpec extends SparkSpec {
     assert(wsBad == 0)
   }
 
+  test("-rc/-grc bound written chunk sizes (maxRecordsPerFile mapping)") {
+    val out = "/tmp/graft_test/tc_rowchunks"
+    Timechannel.run(spark, graft.ms.SyntheticMs.root, out,
+      args(60000.0, 4).copy(force = true, rowChunks = 100, groupRowChunks = 2))
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/main"))
+      .toArray.toSeq.map(_.toString).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // every written file must hold <= rowChunks * groupRowChunks rows
+    val over = files.count(f => spark.read.parquet(f).count() > 200)
+    assert(over == 0, s"$over files exceed the -rc*-grc row bound")
+    // and the bound actually bit: output rows >> 200 forces multiple files
+    assert(files.length > 1)
+  }
+
   test("runningBins packs gapped sampling by accumulated INTERVAL, grid by wall time") {
     // one baseline, TIMEs 0/50/60 with INTERVAL 10, bin = 20 s:
     //  - grid (t0-anchored): floor(t/20) = 0, 2, 3 → three bins
