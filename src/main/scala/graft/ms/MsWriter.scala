@@ -50,7 +50,10 @@ object MsWriter {
   }
 
   /** S9: copy through every subtable of the input MS that the pipeline
-    * did not regenerate.
+    * did not regenerate. The ~9 subtables are tiny independent writes to
+    * distinct directories, so they run as CONCURRENT Spark jobs — on a
+    * cluster this collapses ~9 sequential driver→executor round-trips
+    * into one wave (and locally it hides per-job scheduling overhead).
     */
   def passthrough(spark: SparkSession, inRoot: String, outRoot: String): Seq[String] = {
     val in = Paths.get(inRoot)
@@ -59,9 +62,13 @@ object MsWriter {
       .map(_.getFileName.toString)
       .filterNot(Regenerated)
       .sorted
-    tables.foreach { t =>
-      writeTable(spark.read.parquet(s"$inRoot/$t"), outRoot, t)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writes = tables.map { t =>
+      Future(writeTable(spark.read.parquet(s"$inRoot/$t"), outRoot, t))
     }
+    Await.result(Future.sequence(writes), Duration.Inf)
     tables
   }
 }
