@@ -301,13 +301,22 @@ object Bda {
       .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))
       .sortWithinPartitions("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
         "TIME", "ANTENNA1", "ANTENNA2")
-    try MsWriter.writeTable(outMain, outRoot, "main",
-      partitionCols = TimeAvg.GroupCols,
-      maxRecordsPerFile = args.rowChunks.toLong * args.groupRowChunks)
-    finally avg.unpersist()
-    MsWriter.writeTable(newSpw, outRoot, "SPECTRAL_WINDOW")
-    MsWriter.writeTable(newDdid, outRoot, "DATA_DESCRIPTION")
-    val passed = MsWriter.passthrough(spark, inRoot, outRoot)
+    // tiny subtable writes overlap the big main write (distinct dirs)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val side = Future {
+      MsWriter.writeTable(newSpw, outRoot, "SPECTRAL_WINDOW")
+      MsWriter.writeTable(newDdid, outRoot, "DATA_DESCRIPTION")
+      MsWriter.passthrough(spark, inRoot, outRoot)
+    }
+    val passed =
+      try {
+        MsWriter.writeTable(outMain, outRoot, "main",
+          partitionCols = TimeAvg.GroupCols,
+          maxRecordsPerFile = args.rowChunks.toLong * args.groupRowChunks)
+        Await.result(side, Duration.Inf)
+      } finally avg.unpersist()
     Seq("main", "SPECTRAL_WINDOW", "DATA_DESCRIPTION") ++ passed
   }
 }

@@ -180,18 +180,26 @@ object Timechannel {
       .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))
       .sortWithinPartitions("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
         "TIME", "ANTENNA1", "ANTENNA2")
+    // The tiny regenerated-subtable + passthrough writes overlap the big
+    // main-table write as concurrent jobs (distinct directories).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val side = Future {
+      MsWriter.writeTable(
+        averagedSpw(
+          selectSpwChannels(
+            spark.read.parquet(s"$inRoot/SPECTRAL_WINDOW"), args.channels),
+          args.chanBinSize),
+        outRoot, "SPECTRAL_WINDOW")
+      MsWriter.writeTable(
+        spark.read.parquet(s"$inRoot/DATA_DESCRIPTION"), outRoot, "DATA_DESCRIPTION")
+      MsWriter.passthrough(spark, inRoot, outRoot)
+    }
     MsWriter.writeTable(out, outRoot, "main",
       partitionCols = TimeAvg.GroupCols,
       maxRecordsPerFile = args.rowChunks.toLong * args.groupRowChunks)
-    MsWriter.writeTable(
-      averagedSpw(
-        selectSpwChannels(
-          spark.read.parquet(s"$inRoot/SPECTRAL_WINDOW"), args.channels),
-        args.chanBinSize),
-      outRoot, "SPECTRAL_WINDOW")
-    MsWriter.writeTable(
-      spark.read.parquet(s"$inRoot/DATA_DESCRIPTION"), outRoot, "DATA_DESCRIPTION")
-    val passed = MsWriter.passthrough(spark, inRoot, outRoot)
+    val passed = Await.result(side, Duration.Inf)
     Seq("main", "SPECTRAL_WINDOW", "DATA_DESCRIPTION") ++ passed
   }
 }
