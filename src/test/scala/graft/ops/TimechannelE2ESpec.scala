@@ -79,6 +79,45 @@ class TimechannelE2ESpec extends SparkSpec {
     assert(wsBad == 0)
   }
 
+  test("absent WEIGHT_SPECTRUM falls back to broadcast WEIGHT exactly") {
+    // the reference's try/except optional-column path (averaging.py:
+    // 241-248): without WS the kernel weights each (chan,corr) cell by
+    // the per-corr WEIGHT. Constructing WS := WEIGHT broadcast over chan
+    // must therefore reproduce the no-WS result bit-for-bit.
+    val noWs = Timechannel.averagedMain(
+      main.drop("WEIGHT_SPECTRUM", "SIGMA_SPECTRUM"), args(60000.0, 4))
+    assert(!noWs.columns.contains("WEIGHT_SPECTRUM") &&
+      !noWs.columns.contains("SIGMA_SPECTRUM"))
+    val broadcastWs = Timechannel.averagedMain(
+      main.drop("SIGMA_SPECTRUM")
+        .withColumn("WEIGHT_SPECTRUM",
+          transform(col("DATA"), _ => col("WEIGHT"))),
+      args(60000.0, 4))
+    val key = Seq("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
+      "ANTENNA1", "ANTENNA2", "TIME")
+    val j = noWs.as("a").join(
+      broadcastWs.select((key.map(col) :+ col("DATA").as("DATA_B")): _*).as("b"), key)
+    assert(j.count() == noWs.count())
+    assert(j.filter(col("DATA") =!= col("DATA_B")).count() == 0,
+      "WEIGHT fallback diverges from explicit broadcast WEIGHT_SPECTRUM")
+  }
+
+  test("multiple data columns average in ONE pass with independent results") {
+    val multi = Timechannel.averagedMain(main, args(60000.0, 4).copy(
+      dataCols = Seq("DATA" -> "OUT_A", "CORRECTED_DATA" -> "OUT_B")))
+    assert(multi.columns.contains("OUT_A") && multi.columns.contains("OUT_B"))
+    val key = Seq("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
+      "ANTENNA1", "ANTENNA2", "TIME")
+    def single(from: String) = Timechannel.averagedMain(main,
+      args(60000.0, 4).copy(dataCols = Seq(from -> "X")))
+      .select((key.map(col) :+ col("X")): _*)
+    val a = multi.as("m").join(single("DATA").as("s"), key)
+      .filter(col("OUT_A") =!= col("X")).count()
+    val b = multi.as("m").join(single("CORRECTED_DATA").as("s"), key)
+      .filter(col("OUT_B") =!= col("X")).count()
+    assert(a == 0 && b == 0, "multi-column pass differs from single-column runs")
+  }
+
   test("-rc/-grc bound written chunk sizes (maxRecordsPerFile mapping)") {
     val out = "/tmp/graft_test/tc_rowchunks"
     Timechannel.run(spark, graft.ms.SyntheticMs.root, out,
