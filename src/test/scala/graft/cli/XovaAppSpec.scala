@@ -75,4 +75,14 @@ class XovaAppSpec extends SparkSpec {
   test("E3: xova check passes on the fixture MS") {
     XovaApp.run(spark, Arguments.parse(Seq("check", ms)))
   }
+
+  test("E2 then E3: a written BDA output MS passes its own conformance check") {
+    // the regenerated ragged SPW/DDID tables must describe the written
+    // ragged DATA shapes exactly — check closes the product loop
+    val out = "/tmp/graft_test/app_bda_check"
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    XovaApp.run(spark, Arguments.parse(Seq(
+      "bda", ms, "-dc", "DATA:DATA", "-o", out, "--force")))
+    XovaApp.run(spark, Arguments.parse(Seq("check", out)))
+  }
 }

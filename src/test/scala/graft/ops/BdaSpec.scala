@@ -70,6 +70,27 @@ class BdaSpec extends SparkSpec {
     assert(sized.forall(_ == 4)) // 16 / 4 = minNchan
   }
 
+  test("BDA without WEIGHT_SPECTRUM weights by broadcast WEIGHT exactly") {
+    import org.apache.spark.sql.functions._
+    val main = graft.ms.MsTables.main(spark)
+    val spw = graft.ms.MsTables.spw(spark)
+    val ddid = graft.ms.MsTables.ddid(spark)
+    val a = Bda.Args(dataCols = Seq("DATA" -> "DATA"))
+    val noWs = Bda.averagedMain(
+      main.drop("WEIGHT_SPECTRUM", "SIGMA_SPECTRUM"), spw, ddid, a)
+    assert(!noWs.columns.contains("WEIGHT_SPECTRUM") &&
+      !noWs.columns.contains("SIGMA_SPECTRUM"))
+    val bcast = Bda.averagedMain(
+      main.drop("SIGMA_SPECTRUM").withColumn("WEIGHT_SPECTRUM",
+        transform(col("DATA"), _ => col("WEIGHT"))), spw, ddid, a)
+    val key = Seq("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
+      "ANTENNA1", "ANTENNA2", "TIME")
+    val j = noWs.as("x").join(
+      bcast.select((key.map(col) :+ col("DATA").as("DATA_B")): _*).as("y"), key)
+    assert(j.count() == noWs.count())
+    assert(j.filter(col("DATA") =!= col("DATA_B")).count() == 0)
+  }
+
   test("running bins equal grid bins on regularly sampled data (full pipeline)") {
     // regular sampling: t - t0 == accumulated-INTERVAL-before-row per
     // baseline, so the two walks must agree bin-for-bin and the whole
