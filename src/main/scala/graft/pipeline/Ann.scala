@@ -203,7 +203,15 @@ object Ann {
     * Scale: each round = one broadcast of k centroid rows + one window
     * by vec_id; centroid recompute is a (cluster, dim) aggregation.
     */
-  def kmeansClusters(vectors: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kmeansClusters(vectors: DataFrame, k: Int, rounds: Int): DataFrame =
+    kmeansModel(vectors, k, rounds)._1.select("vec_id", "cluster")
+
+  /** The trainable form: returns BOTH the final assignment (vec_id, iv,
+    * cluster) and the centroid table that produced it (c_id, n, sv) —
+    * the pair an IVF index needs (lists + quantizer must be mutually
+    * consistent, see [[annIvfKmeans]]).
+    */
+  def kmeansModel(vectors: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
     val v = withScaled(vectors).select("vec_id", "iv")
     // seed centroids: n = 1, sv = iv. orderBy+limit compiles to
     // TakeOrderedAndProject (per-partition top-k, k-row merge on the
@@ -219,7 +227,9 @@ object Ann {
       .select((col("_rk") - 1).as("c_id"), lit(1L).as("n"), col("iv").as("sv"))
 
     var assigned: DataFrame = null
+    var lastCent = cent
     for (_ <- 0 until rounds) {
+      lastCent = cent
       val dist = v.crossJoin(broadcast(cent))
         .withColumn("d2", ratD2(col("iv"), col("sv"), col("n")))
       val wA = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)
@@ -235,7 +245,42 @@ object Ann {
           transform(array_sort(collect_list(struct(col("d"), col("s")))),
             r => r("s")).as("sv"))
     }
-    assigned.select("vec_id", "cluster")
+    (assigned, lastCent)
+  }
+
+  /** IVF over the TRAINED k-means quantizer — the end-to-end form that
+    * replaces annIvf's label stand-in: inverted lists are the corpus's
+    * final k-means assignment, probes quantize against the SAME centroid
+    * table that produced those lists, then search only their list.
+    * Scale shape is identical to annIvf (k centroid rows broadcast, one
+    * list scanned per probe); training adds `rounds` bounded
+    * broadcast+aggregate passes. Returns
+    * (probe_id, assigned_cluster, rank, neighbor_id, cos).
+    */
+  def annIvfKmeans(vectors: DataFrame, probeFilter: Column, topk: Int,
+                   k: Int = 8, rounds: Int = 2): DataFrame = {
+    val v = withScaled(vectors)
+    val (assigned, cent) = kmeansModel(vectors, k, rounds)
+    val lists = v.select("vec_id", "iv", "norm2")
+      .join(assigned.select("vec_id", "cluster"), "vec_id")
+    val probes = v.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
+        col("norm2").as("p_norm2"))
+    val dist = probes.crossJoin(broadcast(cent))
+      .withColumn("d2", ratD2(col("p_iv"), col("sv"), col("n")))
+    val wA = Window.partitionBy("probe_id").orderBy(col("d2").asc, col("c_id").asc)
+    val pAssigned = dist.withColumn("_rk", row_number().over(wA))
+      .filter(col("_rk") === 1)
+      .select(col("probe_id"), col("p_iv"), col("p_norm2"),
+        col("c_id").as("assigned_cluster"))
+    val scored = lists.join(broadcast(pAssigned),
+        col("cluster") === col("assigned_cluster") &&
+          col("vec_id") =!= col("probe_id"))
+      .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
+      .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
+    topK(scored, topk)
+      .select(col("probe_id"), col("assigned_cluster"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
   private val Window = org.apache.spark.sql.expressions.Window

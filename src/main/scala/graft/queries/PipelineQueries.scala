@@ -78,6 +78,38 @@ object PipelineQueries {
             (a, b) -> a + b)
         END"""
 
+  /** Deterministic k-means CTE chain (k=8, 2 Lloyd rounds) mirroring
+    * Ann.kmeansModel: v → seeds → r1 (assign vs seeds) → c1 (recompute)
+    * → r2 (assign vs c1). r2 is the final assignment, c1 the centroid
+    * table that produced it. Shared by pl_a4 and pl_a5.
+    */
+  private val kmeansCtesSql: String = {
+    val assign = (cents: String) =>
+      s"""SELECT vec_id, cluster FROM (
+            SELECT v.vec_id, c.c_id AS cluster,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     ${ratD2Sql("v.iv", "c.sv", "c.n")} ASC, c.c_id ASC) AS rk
+            FROM v, $cents c) WHERE rk = 1"""
+    s"""$vSql,
+        seeds AS (
+          SELECT CAST(rn - 1 AS INTEGER) AS c_id, 1::BIGINT AS n, iv AS sv
+          FROM (SELECT *, row_number() OVER (ORDER BY
+                  ${h60("'km|' || vec_id")} ASC, vec_id ASC) AS rn FROM v)
+          WHERE rn <= 8),
+        r1 AS (${assign("seeds")}),
+        c1 AS (
+          SELECT c_id, max(cn) AS n, list(s ORDER BY d) AS sv
+          FROM (
+            SELECT r1.cluster AS c_id, dd.d,
+                   CAST(sum(v.iv[dd.d+1]) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS cn
+            FROM r1 JOIN v USING (vec_id),
+                 (SELECT unnest(range(64)) AS d) dd
+            GROUP BY 1, 2)
+          GROUP BY 1),
+        r2 AS (${assign("c1")})"""
+  }
+
   /** Brute-force verified near-dup pairs (ground truth for d2/d3). */
   private val truthPairsSql =
     s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
@@ -191,7 +223,12 @@ object PipelineQueries {
     // exact rational distances) — the cluster assignment that replaces
     // the label stand-in at scale.
     "pl_a4_ivf_kmeans" -> ((s, d) =>
-      Ann.kmeansClusters(Tables.embeddings(s, d), 8, 2))
+      Ann.kmeansClusters(Tables.embeddings(s, d), 8, 2)),
+
+    // End-to-end trained IVF: inverted lists = the k-means assignment,
+    // probes quantize against the SAME centroids, search one list.
+    "pl_a5_ann_ivf_trained" -> ((s, d) =>
+      Ann.annIvfKmeans(Tables.embeddings(s, d), probeF, K, 8, 2))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -362,31 +399,40 @@ object PipelineQueries {
           WHERE bit_count(xor(a.s, b.s)) <= 3""",
 
     "pl_a4_ivf_kmeans" -> {
-      val assign = (cents: String) =>
-        s"""SELECT vec_id, cluster FROM (
-              SELECT v.vec_id, c.c_id AS cluster,
-                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                       ${ratD2Sql("v.iv", "c.sv", "c.n")} ASC, c.c_id ASC) AS rk
-              FROM v, $cents c) WHERE rk = 1"""
-      s"""WITH $vSql,
-          seeds AS (
-            SELECT CAST(rn - 1 AS INTEGER) AS c_id, 1::BIGINT AS n, iv AS sv
-            FROM (SELECT *, row_number() OVER (ORDER BY
-                    ${h60("'km|' || vec_id")} ASC, vec_id ASC) AS rn FROM v)
-            WHERE rn <= 8),
-          r1 AS (${assign("seeds")}),
-          c1 AS (
-            SELECT c_id, max(cn) AS n, list(s ORDER BY d) AS sv
-            FROM (
-              SELECT r1.cluster AS c_id, dd.d,
-                     CAST(sum(v.iv[dd.d+1]) AS BIGINT) AS s,
-                     CAST(count(*) AS BIGINT) AS cn
-              FROM r1 JOIN v USING (vec_id),
-                   (SELECT unnest(range(64)) AS d) dd
-              GROUP BY 1, 2)
-            GROUP BY 1),
-          r2 AS (${assign("c1")})
+      s"""WITH $kmeansCtesSql
           SELECT vec_id, cluster FROM r2""" },
+
+    // Same k-means CTE chain (identical seeds/rounds), then the IVF
+    // search of pl_a3 with c1 as the quantizer and r2 as the lists —
+    // lists and quantizer mutually consistent like the Spark side.
+    "pl_a5_ann_ivf_trained" ->
+      s"""WITH $kmeansCtesSql,
+          probes AS (
+            SELECT vec_id AS probe_id, iv AS p_iv, norm2 AS p_norm2
+            FROM v WHERE vec_id < 8),
+          pdist AS (
+            SELECT p.probe_id, p.p_iv, p.p_norm2, c.c_id,
+                   ${ratD2Sql("p.p_iv", "c.sv", "c.n")} AS d2
+            FROM probes p, c1 c),
+          passigned AS (
+            SELECT probe_id, p_iv, p_norm2, c_id AS assigned_cluster
+            FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                               ORDER BY d2 ASC, c_id ASC) AS rk
+                  FROM pdist) WHERE rk = 1),
+          scored AS (
+            SELECT a.probe_id, a.assigned_cluster, vv.vec_id AS neighbor_id,
+                   ${dotSql("vv.iv", "a.p_iv")}::DOUBLE
+                     / (sqrt(a.p_norm2::DOUBLE) * sqrt(vv.norm2::DOUBLE)) AS cos
+            FROM r2 JOIN v vv USING (vec_id)
+            JOIN passigned a
+              ON r2.cluster = a.assigned_cluster AND vv.vec_id <> a.probe_id),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, assigned_cluster, CAST(rank AS BIGINT) AS rank,
+                 neighbor_id, round(cos, 6) AS cos
+          FROM ranked WHERE rank <= $K""",
 
     "pl_a1_knn_brute" ->
       s"""WITH $vSql,

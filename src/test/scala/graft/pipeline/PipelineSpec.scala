@@ -174,6 +174,25 @@ class PipelineSpec extends SparkSpec {
     assert(withLabel.filter(col("label") =!= col("assigned_label")).count() == 0)
   }
 
+  test("trained IVF: probe quantization agrees with its own corpus list") {
+    // probes are corpus members, so each probe's assigned cluster must
+    // equal the k-means assignment of that same vector, and every
+    // returned neighbor must come from that cluster's list
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val res = Ann.annIvfKmeans(embs, col("vec_id") < 8, 5, 4, 2)
+    val clusters = Ann.kmeansClusters(embs, 4, 2)
+    val probeSelf = res.select(col("probe_id").as("vec_id"),
+        col("assigned_cluster")).distinct()
+      .join(clusters, "vec_id")
+      .filter(col("assigned_cluster") =!= col("cluster")).count()
+    assert(probeSelf == 0, "probe quantized to a different cluster than itself")
+    val strays = res.join(
+      clusters.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .filter(col("cluster") =!= col("assigned_cluster")).count()
+    assert(strays == 0, "neighbor returned from a foreign inverted list")
+    assert(res.count() > 0)
+  }
+
   test("language id: perfect on a corpus with distinctive vocabularies") {
     // Each lang has its own vocabulary plus one shared token: profile
     // scoring must recover every label. (The driver's synthetic corpus
