@@ -228,7 +228,13 @@ object PipelineQueries {
     // End-to-end trained IVF: inverted lists = the k-means assignment,
     // probes quantize against the SAME centroids, search one list.
     "pl_a5_ann_ivf_trained" -> ((s, d) =>
-      Ann.annIvfKmeans(Tables.embeddings(s, d), probeF, K, 8, 2))
+      Ann.annIvfKmeans(Tables.embeddings(s, d), probeF, K, 8, 2)),
+
+    // The composed corpus filter: quality ∧ exact-keeper ∧ not a
+    // near-dup pair loser — the operators chained as a real pretraining
+    // data run would chain them.
+    "pl_p1_corpus_filter" -> ((s, d) =>
+      graft.pipeline.CorpusFilter.kept(Tables.documents(s, d), 0.7))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -433,6 +439,25 @@ object PipelineQueries {
           SELECT probe_id, assigned_cluster, CAST(rank AS BIGINT) AS rank,
                  neighbor_id, round(cos, 6) AS cos
           FROM ranked WHERE rank <= $K""",
+
+    // Composes the pl_t2 quality CTE, the pl_d1 keeper rule, and the
+    // brute-force verified-pair ground truth (LSH recall is 100% on
+    // this corpus, so the greedy pairwise drop matches exactly).
+    "pl_p1_corpus_filter" ->
+      s"""WITH $truthPairsSql,
+          q AS (
+            SELECT doc_id,
+                   CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter($toksSql, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+            FROM documents),
+          ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+          SELECT doc_id, n_tokens FROM q
+          WHERE n_tokens >= 20 AND n_tokens <= 95
+            AND n_distinct::DOUBLE / n_tokens >= 0.45
+            AND n_stop::DOUBLE / n_tokens <= 0.25
+            AND doc_id IN (SELECT doc_id FROM ek)
+            AND doc_id NOT IN (SELECT doc2 FROM verified)""",
 
     "pl_a1_knn_brute" ->
       s"""WITH $vSql,

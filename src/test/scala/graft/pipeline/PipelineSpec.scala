@@ -174,6 +174,20 @@ class PipelineSpec extends SparkSpec {
     assert(withLabel.filter(col("label") =!= col("assigned_label")).count() == 0)
   }
 
+  test("corpus filter: drops low-quality, exact-dup copies, near-dup losers") {
+    val good = (1 to 25).map(i => s"w$i").mkString(" ") // 25 distinct tokens
+    val near = good.replace("w25", "w99") // near-dup of doc 0 (J >> 0.7)
+    val short = "w1 w2 w3" // fails n_tokens >= 20
+    val other = (1 to 25).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, good), (1L, near), (2L, good), // 1 = near-dup loser, 2 = exact copy
+      (3L, short), (4L, other)).toDF("doc_id", "text")
+    val kept = graft.pipeline.CorpusFilter.kept(docs, 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 4L),
+      s"expected quality+keeper survivors {0, 4}, got $kept")
+  }
+
   test("trained IVF: probe quantization agrees with its own corpus list") {
     // probes are corpus members, so each probe's assigned cluster must
     // equal the k-means assignment of that same vector, and every
