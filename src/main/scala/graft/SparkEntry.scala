@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.MsQueries.queries ++
       graft.queries.BdaQueries.queries ++
       graft.queries.UvwQueries.queries ++
+      graft.queries.EventQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.StreamingQueries.queries
@@ -32,6 +33,7 @@ object SparkEntry {
       graft.queries.MsQueries.oracleSql ++
       graft.queries.BdaQueries.oracleSql ++
       graft.queries.UvwQueries.oracleSql ++
+      graft.queries.EventQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.StreamingQueries.oracleSql

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics operators (extension beyond reference parity —
+  * the training-data side of the engine): gap-based sessionization and
+  * an as-of join, both expressed as single-shuffle declarative plans.
+  *
+  * Scale notes (100 TB): both operators shuffle ONCE on `user_id` and
+  * never buffer more than a running window frame per key.
+  * Sessionization uses the native `session_window` aggregation (Spark
+  * merges events exactly `gap` apart — verified: events at 0/10/20 s
+  * with a 10 s gap form ONE session — so the equivalent gap-and-island
+  * formulation breaks strictly on `diff > gap`). The as-of join is the
+  * union-tag + running-`last` composition: no join node at all, so
+  * there is nothing to skew — the classic MERGE-sort as-of plan.
+  */
+object EventOps {
+
+  /** Gap-based sessions per user. Input contract: `user_id` (long),
+    * `TS` (timestamp), `cents` (long, integer-lifted value). Output:
+    * one row per (user_id, session_id) with `s_start_us`/`s_end_us`
+    * (first/last event, epoch micros), `n_events`, `value_cents`.
+    *
+    * `session_window` end is last-event + gap, so the last-event time
+    * is recovered exactly by subtracting the gap. The per-user ordinal
+    * `session_id` comes from a user-partitioned window — bounded by
+    * sessions-per-user, never a global sort.
+    */
+  def sessionize(ev: DataFrame, gapSeconds: Long): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val sessions = ev
+      .groupBy(session_window(col("TS"), s"$gapSeconds seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start_us"),
+        (unix_micros(col("session_window.end")) - gapUs).as("s_end_us"),
+        col("n_events"),
+        col("value_cents"))
+    val w = Window.partitionBy("user_id").orderBy("s_start_us")
+    sessions.withColumn("session_id", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** As-of join over one event log: attribute each `rightType` event to
+    * the latest `leftType` event of the same user at or before it
+    * (classic click→purchase attribution). Emits the `rightType` rows
+    * (`user_id`, `event_id`, `ts`) with nullable `match_id`/`match_ts`.
+    *
+    * Composition instead of a join: union-tag both populations, one
+    * window ordered by (ts, tag) — left sorts before right on ties, so
+    * the match is inclusive (`match_ts <= ts`) — and a running
+    * `last(..., ignoreNulls)` carries the latest left row forward.
+    * (user_id, ts) is unique in the fixture, so ties never make the
+    * carried value ambiguous.
+    */
+  def asofAttribute(events: DataFrame, leftType: String,
+                    rightType: String): DataFrame = {
+    val ev = events
+      .where(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === rightType, 1).otherwise(0).as("tag"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("match_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("match_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("match_id"), col("match_ts"))
+  }
+}

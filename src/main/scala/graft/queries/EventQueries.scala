@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.EventOps
+
+/** Event-log analytics entries (sessionization, as-of join) over the
+  * `events` table. Exactness: `ts` is epoch-nanos Long (nanosAsLong)
+  * and the fixture is micro-grain, so `ts div 1000` == DuckDB
+  * `epoch_us(ts)` exactly; `value` sits on a 1/100 grid → cents are
+  * integer-lifted. All session/attribution arithmetic is pure integer.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 4-hour inactivity gap (micros). */
+  private val GapSeconds = 14400L
+
+  val queries: Map[String, Q] = Map(
+    // Gap-based sessionization via the NATIVE session_window
+    // aggregation (one shuffle on user_id; per-user ordinal window).
+    "ev1_sessionize" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("TS"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      EventOps.sessionize(ev, GapSeconds)
+    }),
+
+    // As-of join: latest click at-or-before each purchase, per user —
+    // the union-tag + running-last composition (no join node).
+    "aj1_asof_join" -> ((s, d) =>
+      EventOps.asofAttribute(Tables.events(s, d), "click", "purchase")
+        .select(
+          col("user_id"),
+          col("event_id").as("purchase_id"),
+          expr("ts div 1000").as("purchase_us"),
+          coalesce(col("match_id"), lit(-1L)).as("click_id"),
+          coalesce(expr("match_ts div 1000"), lit(-1L)).as("click_us")))
+  )
+
+  /** Gap-and-island mirror of [[EventOps.sessionize]]: Spark's
+    * session_window MERGES events exactly `gap` apart, so the break
+    * condition is strictly `diff > gap`. Shared with the streaming
+    * sessionizer entry (st3), which must reproduce it bit-for-bit.
+    */
+  val sessionizeOracleSql: String =
+    s"""WITH m AS (
+          SELECT user_id, epoch_us(ts) AS tu,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts)
+                      > ${GapSeconds * 1000000L} THEN 1 ELSE 0 END AS brk
+          FROM events),
+        g AS (
+          SELECT user_id, tu, cents,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+                                ROWS UNBOUNDED PRECEDING) AS sess
+          FROM m)
+        SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+               CAST(min(tu) AS BIGINT) AS s_start_us,
+               CAST(max(tu) AS BIGINT) AS s_end_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM g GROUP BY user_id, sess"""
+
+  val oracleSql: Map[String, String] = Map(
+    "ev1_sessionize" -> sessionizeOracleSql,
+
+    // DuckDB's native ASOF JOIN is the independent ground truth for
+    // the window composition ((user_id, ts) is unique → deterministic).
+    "aj1_asof_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+                CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+                coalesce(c.event_id, -1) AS click_id,
+                coalesce(CAST(epoch_us(c.ts) AS BIGINT), -1) AS click_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts"""
+  )
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Ann, Dedup, TextOps}
+import graft.pipeline.{Ann, Dedup, Sketches, TextOps}
 
 /** LLM-training-data pipeline operators over the driver's `documents` and
   * `embeddings` tables, each with an exactly-matching DuckDB oracle.
@@ -234,7 +234,19 @@ object PipelineQueries {
     // near-dup pair loser — the operators chained as a real pretraining
     // data run would chain them.
     "pl_p1_corpus_filter" -> ((s, d) =>
-      graft.pipeline.CorpusFilter.kept(Tables.documents(s, d), 0.7))
+      graft.pipeline.CorpusFilter.kept(Tables.documents(s, d), 0.7)),
+
+    // KMV distinct-count sketch over the corpus token domain — the
+    // deterministic sketch the engine runs where exact count(distinct)
+    // is unaffordable; the entry carries the exact count alongside so
+    // the row itself shows estimate-vs-truth.
+    "pl_k1_kmv_distinct" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      Sketches.kmvDistinct(
+        toks, TextOps.hash60(concat(lit("kmv|"), col("tok"))), 256)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -458,6 +470,23 @@ object PipelineQueries {
             AND n_stop::DOUBLE / n_tokens <= 0.25
             AND doc_id IN (SELECT doc_id FROM ek)
             AND doc_id NOT IN (SELECT doc2 FROM verified)""",
+
+    // KMV sketch: k smallest 60-bit token hashes; estimate
+    // (k-1)*2^60/kth in identical IEEE double steps on both engines
+    // ((k-1)*2^60 is exactly representable; one division; one round).
+    "pl_k1_kmv_distinct" ->
+      s"""WITH h AS (
+            SELECT DISTINCT ${h60("'kmv|' || tok")} AS h
+            FROM (SELECT unnest($toksSql) AS tok FROM documents) t
+            WHERE tok <> ''),
+          k AS (
+            SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS k_eff
+            FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
+          e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h)
+          SELECT e.n_exact, k.kth_hash, k.k_eff,
+                 CAST(round((CAST(k.k_eff - 1 AS DOUBLE) * 1152921504606846976.0)
+                            / CAST(k.kth_hash AS DOUBLE)) AS BIGINT) AS kmv_est
+          FROM e, k""",
 
     "pl_a1_knn_brute" ->
       s"""WITH $vSql,

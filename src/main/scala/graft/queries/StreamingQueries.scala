@@ -87,6 +87,67 @@ object StreamingQueries {
       val out = s.table(name).collect()
       s.createDataFrame(
         java.util.Arrays.asList(out: _*), s.table(name).schema)
+    }),
+
+    // Stateful sessionization via flatMapGroupsWithState: the real
+    // streaming engine carries ONE open session per user in the state
+    // store across micro-batches and emits each session the moment the
+    // gap rule closes it (Append mode). Two-phase file stream: batch 1
+    // is the events table, batch 2 per-user `__flush` sentinels that
+    // force the final open sessions out (a finite file stream never
+    // fires an event-time timeout for the last session otherwise).
+    // Oracle: the SAME gap-and-island SQL as the batch ev1 entry — the
+    // streaming path must reproduce the batch sessionizer bit-for-bit.
+    "st3_stream_sessions" -> ((s, d) => {
+      import s.implicits._
+      import java.io.File
+      import java.nio.file.{Files, Paths}
+      val name = "graft_st3_sink"
+      val schema = Tables.events(s, d).schema
+      val tmp = Files.createTempDirectory("graft_st3").toFile
+      val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
+      Files.copy(Paths.get(s"$d/events.parquet"),
+        new File(streamDir, "000_events.parquet").toPath)
+      val src = s.readStream.schema(schema).parquet(streamDir.getAbsolutePath)
+      val evs = src.select(
+          col("user_id"),
+          expr("ts div 1000").as("tu"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          (col("event_type") === "__flush").as("flush"))
+        .as[graft.streaming.EventStream.SessEvent]
+      val sessions =
+        graft.streaming.EventStream.sessionize(evs, 14400L * 1000000L)
+      s.catalog.dropTempView(name)
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // flush sentinels: one far-future row per user (ts well beyond
+        // any gap; the sessionizer closes without opening a session)
+        val sentinel = Tables.events(s, d).select(col("user_id")).distinct()
+          .select(
+            lit(-1L).as("event_id"),
+            lit(Long.MaxValue / 2).as("ts"),
+            col("user_id"),
+            lit("__flush").as("event_type"),
+            lit(0.0).as("value"),
+            lit(null).cast("string").as("props"))
+        val staging = new File(tmp, "staging")
+        sentinel.coalesce(1).write.parquet(staging.getAbsolutePath)
+        staging.listFiles().filter(_.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            Files.move(f.toPath,
+              new File(streamDir, f"001_flush_$i%03d.parquet").toPath)
+          }
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(name).collect()
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+      s.createDataFrame(
+        java.util.Arrays.asList(out: _*), s.table(name).schema)
     })
   )
 
@@ -100,6 +161,10 @@ object StreamingQueries {
 
     // Identical to the batch A2 oracle — the streaming engine must
     // reproduce the batch kernel exactly.
-    "st2_stream_visavg" -> MsQueries.visFlatSql("DATA", 4)
+    "st2_stream_visavg" -> MsQueries.visFlatSql("DATA", 4),
+
+    // Identical to the batch ev1 oracle — the stateful streaming
+    // sessionizer must reproduce the batch session_window plan exactly.
+    "st3_stream_sessions" -> EventQueries.sessionizeOracleSql
   )
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators (extension beyond reference parity —
   * the reference is strictly batch, SURVEY §2.9; these cover the
@@ -31,6 +31,62 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("user_id"),
         col("n_events"), col("sum_value"))
+
+  case class SessEvent(user_id: Long, tu: Long, cents: Long, flush: Boolean)
+  case class SessState(start: Long, last: Long, n: Long, cents: Long,
+                       nextId: Long)
+  case class Session(user_id: Long, session_id: Long, s_start_us: Long,
+                     s_end_us: Long, n_events: Long, value_cents: Long)
+
+  /** Incremental gap-based sessionization via flatMapGroupsWithState —
+    * the streaming form of [[graft.ops.EventOps.sessionize]] (same
+    * strictly-greater-than-gap break rule, so the two are
+    * bit-identical). State per user is ONE open session (start, last,
+    * n, cents) plus the next session ordinal; a closed session is
+    * emitted the moment an event lands beyond the gap (Append mode),
+    * so state never grows with history. Events whose `flush` flag is
+    * set (sentinel rows the caller appends after the real stream) close
+    * and emit the open session without opening another — the
+    * end-of-stream flush a pure watermark timeout can't express with a
+    * finite file stream.
+    *
+    * Within a micro-batch the group's rows are buffered and sorted by
+    * event time (bounded by batch size, not history); across batches
+    * the caller must deliver files in event-time order, which the
+    * entry's two-phase (data, then flush) layout guarantees.
+    */
+  def sessionize(events: Dataset[SessEvent], gapUs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val sorted = rows.toArray.sortBy(_.tu)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var st = state.getOption.orNull
+          var flushed = false
+          sorted.foreach { e =>
+            if (e.flush) {
+              if (st != null) {
+                out += Session(user, st.nextId, st.start, st.last, st.n, st.cents)
+                st = null
+              }
+              flushed = true
+            } else if (st == null) {
+              st = SessState(e.tu, e.tu, 1L, e.cents, 0L)
+            } else if (e.tu - st.last > gapUs) {
+              out += Session(user, st.nextId, st.start, st.last, st.n, st.cents)
+              st = SessState(e.tu, e.tu, 1L, e.cents, st.nextId + 1)
+            } else {
+              st = st.copy(last = e.tu, n = st.n + 1, cents = st.cents + e.cents)
+            }
+          }
+          if (st != null) state.update(st)
+          else if (flushed && state.exists) state.remove()
+          out.iterator
+      }
+  }
 
   /** Arbitrary stateful processing: running per-user totals via
     * mapGroupsWithState (the custom-state escape hatch for semantics

@@ -84,4 +84,34 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(Ann.kmeansClusters(embs, 4, 1))
     assertNoGlobalSort(p, "kmeansClusters")
   }
+
+  test("sessionize and as-of join: one user-keyed shuffle, no join node") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = events.select(col("user_id"),
+      timestamp_micros(expr("ts div 1000")).as("TS"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val ps = plan(graft.ops.EventOps.sessionize(ev, 14400))
+    assertNoGlobalSort(ps, "sessionize")
+    val pa = plan(graft.ops.EventOps.asofAttribute(events, "click", "purchase"))
+    assertNoGlobalSort(pa, "asofAttribute")
+    assert(!pa.contains("Join"), "as-of composition must not plan a join")
+  }
+
+  test("KMV k-minimum pass is TakeOrdered, not a global sort") {
+    import org.apache.spark.sql.functions._
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val p = plan(graft.pipeline.Sketches.kmvDistinct(
+      toks, graft.pipeline.TextOps.hash60(concat(lit("k|"), col("tok"))),
+      64, withExact = false))
+    // kmvDistinct materializes (one-row sketch); audit the pre-collect
+    // plan of the k-min aggregate instead
+    val kmin = toks
+      .select(graft.pipeline.TextOps.hash60(concat(lit("k|"), col("tok"))).as("h"))
+      .distinct().orderBy("h").limit(64)
+    val pk = plan(kmin)
+    assert(pk.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$pk")
+    assert(p.nonEmpty)
+  }
 }

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipeline.{Sketches, TextOps}
+
+/** Value-level semantics of the event-analytics operators, including
+  * the batch ≡ streaming sessionizer equivalence on real fixture data.
+  */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("sessionize: exactly-gap events merge, beyond-gap events split") {
+    // u1: 0s, 10s, 20s with a 10s gap — one session (verified Spark
+    // session_window semantics: merge at exactly gap).
+    // u2: 0s then 10s + 1µs — two sessions.
+    val ev = Seq(
+      (1L, 0L, 5L), (1L, 10000000L, 7L), (1L, 20000000L, 9L),
+      (2L, 0L, 1L), (2L, 10000001L, 2L))
+      .toDF("user_id", "us", "cents")
+      .select(col("user_id"), timestamp_micros(col("us")).as("TS"),
+        col("cents"))
+    val out = EventOps.sessionize(ev, 10L)
+      .select("user_id", "session_id", "s_start_us", "s_end_us",
+        "n_events", "value_cents")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 20000000L, 3L, 21L),
+      (2L, 0L, 0L, 0L, 1L, 1L),
+      (2L, 1L, 10000001L, 10000001L, 1L, 2L)))
+  }
+
+  test("asofAttribute: inclusive tie, no-prior-left null, latest wins") {
+    val ev = Seq(
+      // user 1: purchase before any click → null match
+      (1L, 50L, 3L, "purchase"),
+      // click and purchase at the SAME ts → click attributed (inclusive)
+      (1L, 100L, 1L, "click"), (1L, 100L, 2L, "purchase"),
+      // later purchase picks the LATEST prior click, not the first
+      (1L, 200L, 4L, "click"), (1L, 300L, 5L, "purchase"),
+      // other types are ignored entirely
+      (1L, 250L, 6L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventOps.asofAttribute(ev, "click", "purchase")
+      .select(col("event_id"), coalesce(col("match_id"), lit(-1L)))
+      .as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((2L, 1L), (3L, -1L), (5L, 4L)))
+  }
+
+  test("streaming sessionizer ≡ batch session_window on the fixture") {
+    val batch = graft.queries.EventQueries.queries("ev1_sessionize")(spark, sfDir)
+    val stream = graft.queries.StreamingQueries.queries("st3_stream_sessions")(spark, sfDir)
+    val cols = Seq("user_id", "session_id", "s_start_us", "s_end_us",
+      "n_events", "value_cents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val b = rows(batch)
+    assert(b.nonEmpty && b == rows(stream))
+  }
+
+  test("KMV sketch: estimate within 15% of a known distinct count") {
+    val n = 5000
+    val toks = (0 until n).map(i => s"tok_$i").toDF("tok")
+    val row = Sketches.kmvDistinct(
+      toks, TextOps.hash60(concat(lit("kmv|"), col("tok"))), 256)
+      .select("n_exact", "k_eff", "kmv_est")
+      .as[(Long, Long, Long)].head()
+    assert(row._1 == n) // md5-60bit collision-free at this size
+    assert(row._2 == 256L)
+    assert(math.abs(row._3 - n).toDouble / n < 0.15,
+      s"KMV estimate ${row._3} too far from $n")
+  }
+}
