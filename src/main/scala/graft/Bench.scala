@@ -14,6 +14,10 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional entry-name args: `runMain graft.Bench ms_a6_spw_regen ...`
+    // times just those entries (cold AND warm printed) so a single
+    // regression is bisectable without the full suite (VERDICT r4 #9).
+    val only: Set[String] = args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,28 +29,40 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(name: String): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
-        }
-        (System.nanoTime() - t0) / 1e9
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
       }
-      once() // cold: JIT + parquet footers + session lazy init
-      once() // warm: the number we report
+      (System.nanoTime() - t0) / 1e9
+    }
+    def time(name: String): Double = {
+      val cold = once(name) // cold: JIT + parquet footers + session lazy init
+      val warm = once(name) // warm: the number we report
+      if (only.nonEmpty) println(f"[bench] $name cold=$cold%.3f warm=$warm%.3f")
+      warm
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> time(n))
+    val names =
+      if (only.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+      else {
+        val missing = only -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"unknown bench entries: ${missing.mkString(", ")}")
+        only.toSeq.sorted
+      }
+    val results = names.map(n => n -> time(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("/root/repo/BENCH.json"), json + "\n")
+    // Single-entry runs are bisection probes; never clobber the pinned
+    // full-suite BENCH.json with a partial result.
+    if (only.isEmpty)
+      Files.writeString(Paths.get("/root/repo/BENCH.json"), json + "\n")
     println(json)
     spark.stop()
   }
