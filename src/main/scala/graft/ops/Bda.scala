@@ -80,11 +80,12 @@ object Bda {
     (lo + hi) / 2
   }
 
-  /** Per-(group, baseline) sizing: TIME_BIN_SECS + CHAN_BIN columns.
-    * Input must carry UVW, INTERVAL and the J1-joined SPW metadata
-    * (NUM_CHAN, CHAN_WIDTH_0, FREQ_MAX).
+  /** Per-(group, baseline) sizing frame — one TINY row per baseline with
+    * NUM_CHAN (input), TIME_BIN_SECS and CHAN_BIN. Input must carry UVW,
+    * INTERVAL and the J1-joined SPW metadata (NUM_CHAN, CHAN_WIDTH_0,
+    * FREQ_MAX). One column-pruned scan of the fact table.
     */
-  def withBinParams(df: DataFrame, args: Args): DataFrame = {
+  def binParams(df: DataFrame, args: Args): DataFrame = {
     val xStar = sincInv(math.sqrt(args.decorrelation))
     val sinFov = math.sin(math.toRadians(args.maxFovDeg))
     val keys = TimeAvg.GroupCols ++ Seq("ANTENNA1", "ANTENNA2")
@@ -95,7 +96,7 @@ object Bda {
     // scalars are constant per group (DATA_DESC_ID is a group key), so
     // they ride along as first(...) — ONE scan of the fact table sizes
     // every baseline (a second distinct() over df would rescan it).
-    val sized = df
+    df
       .groupBy(keys.map(col): _*)
       .agg(max(bl).as("BL_MAX"), min(col("INTERVAL")).as("DT_MIN"),
         first(col("FREQ_MAX")).as("FREQ_MAX"),
@@ -117,10 +118,17 @@ object Bda {
             (d === 1 ||
               (d.cast("double") * col("CHAN_WIDTH_0") <= col("DNU_MAX") &&
                 col("NUM_CHAN") / d >= args.minNchan)))).cast("int"))
-      .select((keys.map(col) :+ col("TIME_BIN_SECS") :+ col("CHAN_BIN")): _*)
-
-    df.join(broadcast(sized), keys)
+      .select((keys.map(col) :+ col("NUM_CHAN") :+
+        col("TIME_BIN_SECS") :+ col("CHAN_BIN")): _*)
   }
+
+  /** Join the per-baseline sizing back onto the fact table (NUM_CHAN is
+    * dropped from the broadcast side — the fact frame already has it).
+    */
+  def withBinParams(df: DataFrame, args: Args): DataFrame =
+    df.join(
+      broadcast(binParams(df, args).drop("NUM_CHAN")),
+      TimeAvg.GroupCols ++ Seq("ANTENNA1", "ANTENNA2"))
 
   /** J1 + selection/flag prep: join SPW channel metadata onto the main
     * table (averaging.py:306-308) and derive FROW.
@@ -220,6 +228,23 @@ object Bda {
       .join(broadcast(ddid), "DATA_DESC_ID")
       .select("DATA_DESC_ID", "SPECTRAL_WINDOW_ID", "POLARIZATION_ID", "NUM_CHAN")
 
+  /** A5 from the sizing frame alone. CHAN_BIN is by construction a
+    * divisor of NUM_CHAN, so every output row of a baseline carries
+    * exactly NUM_CHAN / CHAN_BIN channels — the distinct channelisation
+    * set is fully determined by the per-baseline sizing frame. This
+    * avoids materialising the averaged DATA/WEIGHT_SPECTRUM/
+    * SIGMA_SPECTRUM arrays just to read their lengths: one column-pruned
+    * fact scan + a tiny distinct instead of the full averaging shuffle.
+    */
+  def channelisationsSized(main: DataFrame, spw: DataFrame, ddid: DataFrame,
+                           args: Args): DataFrame =
+    binParams(prepared(main, spw, ddid, args), args)
+      .select(col("DATA_DESC_ID"),
+        (col("NUM_CHAN") / col("CHAN_BIN")).cast("int").as("NUM_CHAN"))
+      .distinct()
+      .join(broadcast(ddid), "DATA_DESC_ID")
+      .select("DATA_DESC_ID", "SPECTRAL_WINDOW_ID", "POLARIZATION_ID", "NUM_CHAN")
+
   /** A6 + F3: regenerate SPW + DDID rows for each distinct
     * (spw, nchan_out) and build the {(old_ddid, nchan) -> new_ddid} map
     * (averaging.py:436-542). Driver-side: cardinality = #SPWs x
@@ -287,17 +312,20 @@ object Bda {
           args.scans),
         "bda")
 
-    // A5 collects a distinct set from `avg` and the J2 write re-reads it:
-    // persist so the expensive averaging shuffle runs once, not twice.
-    val avg = averagedMain(main, spw, ddid, args).persist()
-    val chanls = channelisations(avg, ddid).collect()
+    // A5 from the sizing frame (channelisationsSized): the distinct
+    // channelisation set is determined by the tiny per-baseline sizing
+    // frame, so the expensive averaging shuffle runs exactly ONCE — at
+    // write time — and nothing forces the full averaged table into the
+    // storage layer (the old path persisted `avg` across two actions,
+    // which at 100 TB means caching the whole output MS).
+    val chanls = channelisationsSized(main, spw, ddid, args).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
     // regenerate from the channel-selected SPW so the new grids span
     // exactly the channels that were averaged
     val (newSpw, newDdid, remapDf) = regenerate(spark, chanls,
       Timechannel.selectSpwChannels(spw, args.channels))
 
-    val outMain = remap(avg, remapDf)
+    val outMain = remap(averagedMain(main, spw, ddid, args), remapDf)
       .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))
       .sortWithinPartitions("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
         "TIME", "ANTENNA1", "ANTENNA2")
@@ -310,13 +338,10 @@ object Bda {
       MsWriter.writeTable(newDdid, outRoot, "DATA_DESCRIPTION")
       MsWriter.passthrough(spark, inRoot, outRoot)
     }
-    val passed =
-      try {
-        MsWriter.writeTable(outMain, outRoot, "main",
-          partitionCols = TimeAvg.GroupCols,
-          maxRecordsPerFile = args.rowChunks.toLong * args.groupRowChunks)
-        Await.result(side, Duration.Inf)
-      } finally avg.unpersist()
+    MsWriter.writeTable(outMain, outRoot, "main",
+      partitionCols = TimeAvg.GroupCols,
+      maxRecordsPerFile = args.rowChunks.toLong * args.groupRowChunks)
+    val passed = Await.result(side, Duration.Inf)
     Seq("main", "SPECTRAL_WINDOW", "DATA_DESCRIPTION") ++ passed
   }
 }

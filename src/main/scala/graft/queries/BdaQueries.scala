@@ -109,20 +109,20 @@ object BdaQueries {
           sum(size(filter(flatten(col("FLAG")), x => x)).cast("long")).as("n_flag_cells"))
     }),
 
-    // A5: distinct channelisations of the BDA output.
+    // A5: distinct channelisations of the BDA output, derived from the
+    // sizing frame (CHAN_BIN divides NUM_CHAN, so the output counts are
+    // NUM_CHAN / CHAN_BIN — no need to materialize the averaged arrays;
+    // the oracle computes the same way, NCHAN_IN // chan_bin).
     // Reference: xova/apps/xova/averaging.py:409-433.
-    "ms_a5_bda_channelisations" -> ((s, _) => {
-      val avg = Bda.averagedMain(MsTables.main(s), MsTables.spw(s),
-        MsTables.ddid(s), sizingArgs)
-      Bda.channelisations(avg, MsTables.ddid(s))
-    }),
+    "ms_a5_bda_channelisations" -> ((s, _) =>
+      Bda.channelisationsSized(MsTables.main(s), MsTables.spw(s),
+        MsTables.ddid(s), sizingArgs)),
 
     // A6 + F3: regenerated SPECTRAL_WINDOW rows — linspace grid scalars.
     // Reference: xova/apps/xova/averaging.py:436-542.
     "ms_a6_spw_regen" -> ((s, _) => {
-      val avg = Bda.averagedMain(MsTables.main(s), MsTables.spw(s),
-        MsTables.ddid(s), sizingArgs)
-      val chanls = Bda.channelisations(avg, MsTables.ddid(s)).collect()
+      val chanls = Bda.channelisationsSized(MsTables.main(s), MsTables.spw(s),
+        MsTables.ddid(s), sizingArgs).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
       val (newSpw, _, _) = Bda.regenerate(s, chanls, MsTables.spw(s))
       newSpw.select(
