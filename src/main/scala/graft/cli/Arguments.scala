@@ -104,7 +104,7 @@ object Arguments {
       var bools = Set.empty[String]
       val boolFlags = Set("--force", "--respect-flag-row", "-rfr",
         "--include-auto-correlations", "--average-uvw-coordinates",
-        "--boring")
+        "--running-bins", "--boring")
       var i = 0
       while (i < rest.length) {
         val a = rest(i)
@@ -151,6 +151,10 @@ object Arguments {
         respectFlagRow = boolFlag("-rfr", "--respect-flag-row"),
         includeAutoCorrs = boolFlag("--include-auto-correlations"),
         force = boolFlag("--force"),
+        // accumulate-until-full walk, the reference kernel's default
+        // (chunking.py:107-166); grid binning stays OUR default because
+        // it needs no fact-table window (see Timechannel.Args)
+        runningBins = boolFlag("--running-bins"),
         rowChunks = rowChunks, groupRowChunks = groupRowChunks),
         averageUvw = boolFlag("--average-uvw-coordinates"))
       case "bda" => BdaCmd(ms, output, Bda.Args(
@@ -162,7 +166,9 @@ object Arguments {
         dataCols = dataCols, fields = intFields, scans = scans,
         channels = channels,
         respectFlagRow = boolFlag("-rfr", "--respect-flag-row"),
+        includeAutoCorrs = boolFlag("--include-auto-correlations"),
         force = boolFlag("--force"),
+        runningBins = boolFlag("--running-bins"),
         rowChunks = rowChunks, groupRowChunks = groupRowChunks),
         averageUvw = boolFlag("--average-uvw-coordinates"))
       case "check" => CheckCmd(ms)

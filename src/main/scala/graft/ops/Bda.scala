@@ -55,6 +55,11 @@ object Bda {
       scans: Seq[Int] = Nil,
       channels: Seq[Int] = Nil, // P8: 0-based kept channel indices
       respectFlagRow: Boolean = false,
+      // --include-auto-correlations is shared across both subcommands in
+      // the reference (parent parser arguments.py:111-114, TAQL applied
+      // at app.py:165,178); autocorr baselines have |uv| = 0, so the
+      // sizing guards the BL_MAX = 0 divide (see binParams).
+      includeAutoCorrs: Boolean = false,
       force: Boolean = false,
       validate: Boolean = true, // A7/W1 plan pass (reference default)
       // accumulate-until-full walk with the per-baseline bin width
@@ -102,13 +107,19 @@ object Bda {
         first(col("FREQ_MAX")).as("FREQ_MAX"),
         first(col("CHAN_WIDTH_0")).as("CHAN_WIDTH_0"),
         first(col("NUM_CHAN")).as("NUM_CHAN"))
+      // Autocorrelations (|uv| = 0) don't smear: no decorrelation limit,
+      // so both bounds degenerate to "unconstrained" (the time cap and
+      // min_nchan floor still apply). Guarded explicitly rather than
+      // relying on IEEE x/0 = Inf so the oracle SQL can mirror it.
       .withColumn("DT_RAW",
-        lit(xStar) * (lit(SpeedOfLight) / col("FREQ_MAX")) /
-          (lit(math.Pi * EarthOmega * sinFov) * col("BL_MAX")))
+        when(col("BL_MAX") === 0, lit(Double.MaxValue)).otherwise(
+          lit(xStar) * (lit(SpeedOfLight) / col("FREQ_MAX")) /
+            (lit(math.Pi * EarthOmega * sinFov) * col("BL_MAX"))))
       .withColumn("TIME_BIN_SECS",
         greatest(least(col("DT_RAW"), lit(args.timeBinCapSecs)), col("DT_MIN")))
       .withColumn("DNU_MAX",
-        lit(xStar * SpeedOfLight / (math.Pi * sinFov)) / col("BL_MAX"))
+        when(col("BL_MAX") === 0, lit(Double.MaxValue)).otherwise(
+          lit(xStar * SpeedOfLight / (math.Pi * sinFov)) / col("BL_MAX")))
       // largest divisor of NUM_CHAN with divisor*chan_width <= dnu_max
       // and nchan/divisor >= min_nchan (divisor 1 always allowed)
       .withColumn("CHAN_BIN",
@@ -134,7 +145,7 @@ object Bda {
     * table (averaging.py:306-308) and derive FROW.
     */
   def prepared(main: DataFrame, spw: DataFrame, ddid: DataFrame, args: Args): DataFrame = {
-    var df = Flags.filterAutocorr(main)
+    var df = if (args.includeAutoCorrs) main else Flags.filterAutocorr(main)
     df = Flags.selectFields(df, args.fields)
     df = Flags.selectScans(df, args.scans)
     // P8 before FROW, on main AND the SPW metadata the sizing consumes
@@ -305,12 +316,13 @@ object Bda {
     val spw = spark.read.parquet(s"$inRoot/SPECTRAL_WINDOW")
     val ddid = spark.read.parquet(s"$inRoot/DATA_DESCRIPTION")
     // E2 step 2 (app.py:74-75): eager plan-stats + monotonicity gate
-    if (args.validate)
+    if (args.validate) {
+      var sel = main
+      if (!args.includeAutoCorrs) sel = Flags.filterAutocorr(sel)
       Chunking.validate(
-        Flags.selectScans(
-          Flags.selectFields(Flags.filterAutocorr(main), args.fields),
-          args.scans),
+        Flags.selectScans(Flags.selectFields(sel, args.fields), args.scans),
         "bda")
+    }
 
     // A5 from the sizing frame (channelisationsSized): the distinct
     // channelisation set is determined by the tiny per-baseline sizing

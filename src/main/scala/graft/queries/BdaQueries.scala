@@ -29,6 +29,12 @@ object BdaQueries {
     timeBinCapSecs = 90000.0, minNchan = 1, dataCols = Seq("DATA" -> "DATA"))
   val raggedArgs = Bda.Args(decorrelation = 0.99, maxFovDeg = 0.0057,
     timeBinCapSecs = 90000.0, minNchan = 2, dataCols = Seq("DATA" -> "DATA"))
+  /** --include-auto-correlations for bda (arguments.py:111-114,
+    * app.py:178): autocorr baselines have |uv| = 0, exercising the
+    * BL_MAX = 0 sizing guard (time bin degenerates to the cap, channel
+    * factor to the min_nchan floor).
+    */
+  val autocorrArgs = raggedArgs.copy(includeAutoCorrs = true)
 
   /** The SQL mirror of Bda.withBinParams + prepared: CTEs `p` (filtered
     * main + FROW), `meta` (per-DDID SPW scalars), `sized` (per-baseline
@@ -39,9 +45,11 @@ object BdaQueries {
     val sinFov = math.sin(math.toRadians(a.maxFovDeg))
     val kTime = math.Pi * Bda.EarthOmega * sinFov
     val kChan = xStar * Bda.SpeedOfLight / (math.Pi * sinFov)
+    val autoFilter =
+      if (a.includeAutoCorrs) "" else " WHERE ANTENNA1 <> ANTENNA2"
     s"""m AS (
           SELECT *, list_aggregate(flatten(FLAG), 'bool_and') AS FROW
-          FROM ${rp("main")} WHERE ANTENNA1 <> ANTENNA2),
+          FROM ${rp("main")}$autoFilter),
         meta AS (
           SELECT d.DATA_DESC_ID, s.NUM_CHAN, s.TOTAL_BANDWIDTH,
                  s.CHAN_WIDTH[1] AS cw0, list_max(s.CHAN_FREQ) AS fmax
@@ -59,12 +67,15 @@ object BdaQueries {
           FROM p GROUP BY 1, 2, 3, 4, 5),
         sz AS (
           SELECT *,
-                 greatest(least(($xStar * (${Bda.SpeedOfLight} / fmax))
-                                  / ($kTime * bl_max),
+                 greatest(least(CASE WHEN bl_max = 0 THEN ${Double.MaxValue}
+                                ELSE ($xStar * (${Bda.SpeedOfLight} / fmax))
+                                  / ($kTime * bl_max) END,
                                 ${a.timeBinCapSecs}), dt_min) AS time_bin_secs,
                  CAST(list_max(list_filter(range(1, NCHAN_IN + 1),
                    d -> NCHAN_IN % d = 0 AND
-                        (d = 1 OR (d * cw0 <= $kChan / bl_max
+                        (d = 1 OR (d * cw0 <= CASE WHEN bl_max = 0
+                                     THEN ${Double.MaxValue}
+                                     ELSE $kChan / bl_max END
                                    AND NCHAN_IN / d >= ${a.minNchan}))))
                    AS INTEGER) AS chan_bin
           FROM sized),
@@ -83,6 +94,59 @@ object BdaQueries {
     Bda.withBinParams(
       Bda.prepared(MsTables.main(s), MsTables.spw(s), MsTables.ddid(s), a), a)
 
+  /** Per-DDID exact stats over the ragged averaged main table (A4 stage
+    * 2), shared by the ragged and autocorr entries. `n_autocorr_rows`
+    * proves the autocorr population is present (or absent) in the
+    * averaged OUTPUT, not just the input.
+    */
+  private def raggedStats(s: SparkSession, a: Bda.Args): DataFrame =
+    Bda.averagedMain(MsTables.main(s), MsTables.spw(s), MsTables.ddid(s), a)
+      .groupBy("DATA_DESC_ID")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("ANTENNA1") === col("ANTENNA2"), 1L).otherwise(0L))
+          .as("n_autocorr_rows"),
+        sum(col("INTERVAL")).as("interval_total"),
+        sum(when(col("FLAG_ROW"), 1L).otherwise(0L)).as("n_flagged_rows"),
+        sum(col("NUM_CHAN").cast("long")).as("nchan_out_sum"),
+        sum(size(flatten(col("FLAG"))).cast("long")).as("n_cells"),
+        sum(size(filter(flatten(col("FLAG")), x => x)).cast("long")).as("n_flag_cells"))
+
+  /** The DuckDB mirror of [[raggedStats]]. */
+  private def raggedOracleSql(a: Bda.Args): String =
+    s"""WITH ${sizedSql(a)},
+        bins AS (
+          SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+                 any_value(NCHAN_IN // chan_bin) AS nchan_out,
+                 count(*) FILTER (NOT FROW) AS n_eff,
+                 sum(INTERVAL) AS interval_sum
+          FROM b GROUP BY 1, 2, 3, 4, 5, 6),
+        cells AS (
+          SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+                 CAST(c.chan // chan_bin AS INTEGER) AS cb,
+                 CAST(k.corr AS INTEGER) AS corr,
+                 (count(*) FILTER (NOT FROW AND NOT FLAG[c.chan+1][k.corr+1]) = 0) AS flag_out
+          FROM b,
+               LATERAL (SELECT unnest(range(len(DATA))) AS chan) c,
+               LATERAL (SELECT unnest(range(len(DATA[1]))) AS corr) k
+          GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+        flagcnt AS (
+          SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(count(*) FILTER (flag_out) AS BIGINT) AS n_flag_cells
+          FROM cells GROUP BY 1, 2, 3, 4, 5, 6)
+        SELECT DATA_DESC_ID,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (ANTENNA1 = ANTENNA2) AS BIGINT) AS n_autocorr_rows,
+               sum(interval_sum) AS interval_total,
+               CAST(count(*) FILTER (n_eff = 0) AS BIGINT) AS n_flagged_rows,
+               CAST(sum(nchan_out) AS BIGINT) AS nchan_out_sum,
+               CAST(sum(n_cells) AS BIGINT) AS n_cells,
+               CAST(sum(n_flag_cells) AS BIGINT) AS n_flag_cells
+        FROM bins
+        JOIN flagcnt USING (FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN)
+        GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
     // A4 stage 1: per-baseline decorrelation sizing — time bin width and
     // channel factorisation vary with |uv|.
@@ -96,18 +160,15 @@ object BdaQueries {
     // A4 stage 2: the ragged averaged main table — per-DDID exact stats
     // (row counts, INTERVAL conservation, per-cell flag semantics,
     // per-row output channel counts).
-    "ms_a4_bda_ragged" -> ((s, _) => {
-      val avg = Bda.averagedMain(MsTables.main(s), MsTables.spw(s),
-        MsTables.ddid(s), raggedArgs)
-      avg.groupBy("DATA_DESC_ID")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(col("INTERVAL")).as("interval_total"),
-          sum(when(col("FLAG_ROW"), 1L).otherwise(0L)).as("n_flagged_rows"),
-          sum(col("NUM_CHAN").cast("long")).as("nchan_out_sum"),
-          sum(size(flatten(col("FLAG"))).cast("long")).as("n_cells"),
-          sum(size(filter(flatten(col("FLAG")), x => x)).cast("long")).as("n_flag_cells"))
-    }),
+    "ms_a4_bda_ragged" -> ((s, _) => raggedStats(s, raggedArgs)),
+
+    // P1 inverse for bda: --include-auto-correlations keeps the
+    // ANTENNA1 = ANTENNA2 baselines. |uv| = 0 exercises the BL_MAX = 0
+    // sizing guard: time bin degenerates to the cap, channel factor to
+    // the min_nchan floor; n_autocorr_rows > 0 proves the population
+    // survives into the averaged output.
+    // Reference: xova/apps/xova/arguments.py:111-114, app.py:178.
+    "ms_a4_bda_autocorr" -> ((s, _) => raggedStats(s, autocorrArgs)),
 
     // A5: distinct channelisations of the BDA output, derived from the
     // sizing frame (CHAN_BIN divides NUM_CHAN, so the output counts are
@@ -155,38 +216,9 @@ object BdaQueries {
                  ANTENNA2, time_bin_secs AS TIME_BIN_SECS, chan_bin AS CHAN_BIN
           FROM b""",
 
-    "ms_a4_bda_ragged" ->
-      s"""WITH ${sizedSql(raggedArgs)},
-          bins AS (
-            SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
-                   any_value(NCHAN_IN // chan_bin) AS nchan_out,
-                   count(*) FILTER (NOT FROW) AS n_eff,
-                   sum(INTERVAL) AS interval_sum
-            FROM b GROUP BY 1, 2, 3, 4, 5, 6),
-          cells AS (
-            SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
-                   CAST(c.chan // chan_bin AS INTEGER) AS cb,
-                   CAST(k.corr AS INTEGER) AS corr,
-                   (count(*) FILTER (NOT FROW AND NOT FLAG[c.chan+1][k.corr+1]) = 0) AS flag_out
-            FROM b,
-                 LATERAL (SELECT unnest(range(len(DATA))) AS chan) c,
-                 LATERAL (SELECT unnest(range(len(DATA[1]))) AS corr) k
-            GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-          flagcnt AS (
-            SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
-                   CAST(count(*) AS BIGINT) AS n_cells,
-                   CAST(count(*) FILTER (flag_out) AS BIGINT) AS n_flag_cells
-            FROM cells GROUP BY 1, 2, 3, 4, 5, 6)
-          SELECT DATA_DESC_ID,
-                 CAST(count(*) AS BIGINT) AS n_rows,
-                 sum(interval_sum) AS interval_total,
-                 CAST(count(*) FILTER (n_eff = 0) AS BIGINT) AS n_flagged_rows,
-                 CAST(sum(nchan_out) AS BIGINT) AS nchan_out_sum,
-                 CAST(sum(n_cells) AS BIGINT) AS n_cells,
-                 CAST(sum(n_flag_cells) AS BIGINT) AS n_flag_cells
-          FROM bins
-          JOIN flagcnt USING (FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN)
-          GROUP BY 1""",
+    "ms_a4_bda_ragged" -> raggedOracleSql(raggedArgs),
+
+    "ms_a4_bda_autocorr" -> raggedOracleSql(autocorrArgs),
 
     "ms_a5_bda_channelisations" ->
       s"""WITH ${sizedSql(sizingArgs)}

@@ -90,6 +90,28 @@ class ArgumentsSpec extends AnyFunSuite {
     assert(!off.averageUvw)
   }
 
+  test("--include-auto-correlations reaches both pipelines' Args") {
+    val tc = Arguments.parse(Seq("timechannel", "x.ms",
+      "--include-auto-correlations")).asInstanceOf[Arguments.TimechannelCmd]
+    assert(tc.args.includeAutoCorrs)
+    val bda = Arguments.parse(Seq("bda", "x.ms",
+      "--include-auto-correlations")).asInstanceOf[Arguments.BdaCmd]
+    assert(bda.args.includeAutoCorrs)
+    assert(!Arguments.parse(Seq("bda", "x.ms"))
+      .asInstanceOf[Arguments.BdaCmd].args.includeAutoCorrs)
+  }
+
+  test("--running-bins selects the accumulate-until-full walk in both pipelines") {
+    val tc = Arguments.parse(Seq("timechannel", "x.ms", "--running-bins"))
+      .asInstanceOf[Arguments.TimechannelCmd]
+    assert(tc.args.runningBins)
+    val bda = Arguments.parse(Seq("bda", "x.ms", "--running-bins"))
+      .asInstanceOf[Arguments.BdaCmd]
+    assert(bda.args.runningBins)
+    assert(!Arguments.parse(Seq("timechannel", "x.ms"))
+      .asInstanceOf[Arguments.TimechannelCmd].args.runningBins)
+  }
+
   test("-ch channel selection reaches both pipelines' Args") {
     val tc = Arguments.parse(Seq("timechannel", "x.ms", "-ch", "0~3,8"))
       .asInstanceOf[Arguments.TimechannelCmd]

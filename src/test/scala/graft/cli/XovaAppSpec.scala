@@ -72,6 +72,38 @@ class XovaAppSpec extends SparkSpec {
     assert(!exists(s"$out/main_fixed"))
   }
 
+  test("--running-bins changes binning on gapped sampling (E2E)") {
+    // Scan 0 samples t0, t0+dt; shift the second timestep to t0+2dt
+    // (INTERVAL stays dt) so the scan is gapped. At binSecs = 2dt the
+    // grid walk anchors on elapsed TIME (t0+2dt starts a new bin), while
+    // the reference's accumulate-until-full walk counts INTERVAL
+    // actually seen (dt < 2dt: both rows fit one bin) — row counts must
+    // differ.
+    val gapped = "/tmp/graft_test/gapped_ms"
+    fs.delete(new org.apache.hadoop.fs.Path(gapped), true)
+    val t1 = SyntheticMs.time0 + SyntheticMs.dt
+    spark.read.parquet(s"$ms/main")
+      .withColumn("TIME", when(col("TIME") === lit(t1),
+        lit(t1 + SyntheticMs.dt)).otherwise(col("TIME")))
+      .write.parquet(s"$gapped/main")
+    Seq("SPECTRAL_WINDOW", "DATA_DESCRIPTION", "ANTENNA", "FIELD",
+      "POLARIZATION").foreach { t =>
+      spark.read.parquet(s"$ms/$t").write.parquet(s"$gapped/$t")
+    }
+    val binSecs = (2 * SyntheticMs.dt).toString
+    def run(extra: Seq[String], out: String): Long = {
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      XovaApp.run(spark, Arguments.parse(Seq(
+        "timechannel", gapped, "-t", binSecs, "-c", "16",
+        "-dc", "DATA:DATA", "-o", out, "--force") ++ extra))
+      spark.read.parquet(s"$out/main").count()
+    }
+    val nGrid = run(Nil, "/tmp/graft_test/gapped_grid")
+    val nRunning = run(Seq("--running-bins"), "/tmp/graft_test/gapped_running")
+    assert(nRunning < nGrid,
+      s"accumulate-until-full should merge the gap: $nRunning vs $nGrid")
+  }
+
   test("E3: xova check passes on the fixture MS") {
     XovaApp.run(spark, Arguments.parse(Seq("check", ms)))
   }

@@ -91,6 +91,48 @@ class BdaSpec extends SparkSpec {
     assert(j.filter(col("DATA") =!= col("DATA_B")).count() == 0)
   }
 
+  test("|uv| = 0 baselines size finitely: cap'd time bin, floor'd channelisation") {
+    // an autocorrelation baseline (ANTENNA1 == ANTENNA2, UVW = 0) must
+    // not divide by BL_MAX = 0 — time bin degenerates to the user cap,
+    // channel factor to the min_nchan floor
+    val rows = (0 until 4).map(t => (1000.0 + t * 10.0, 10.0,
+      1000.0 + t * 10.0, 10.0, 3, 3, 0, 0, 0, Seq(0.0, 0.0, 0.0), false))
+    val auto = rows.toDF("TIME", "INTERVAL", "TIME_CENTROID", "EXPOSURE",
+        "ANTENNA1", "ANTENNA2", "FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER",
+        "UVW", "FROW")
+      .withColumn("NUM_CHAN", lit(16))
+      .withColumn("TOTAL_BANDWIDTH", lit(1.6e9))
+      .withColumn("CHAN_WIDTH_0", lit(1.0e8))
+      .withColumn("FREQ_MAX", lit(1.5e9))
+    val sized = Bda.withBinParams(auto,
+      Bda.Args(maxFovDeg = 1.0, timeBinCapSecs = 25.0, minNchan = 4,
+        includeAutoCorrs = true))
+      .select("TIME_BIN_SECS", "CHAN_BIN").distinct().collect()
+    assert(sized.length == 1)
+    assert(sized(0).getDouble(0) == 25.0) // finite: the cap, not Inf/NaN
+    assert(sized(0).getInt(1) == 4)       // full collapse down to minNchan
+  }
+
+  test("--include-auto-correlations keeps autocorr baselines end-to-end") {
+    val main = graft.ms.MsTables.main(spark)
+    val spw = graft.ms.MsTables.spw(spark)
+    val ddid = graft.ms.MsTables.ddid(spark)
+    val on = Bda.Args(dataCols = Seq("DATA" -> "DATA"),
+      timeBinCapSecs = 90000.0, includeAutoCorrs = true)
+    val isAuto = col("ANTENNA1") === col("ANTENNA2")
+    // default (flag off): autocorrs filtered, reference TAQL parity
+    val off = Bda.prepared(main, spw, ddid, on.copy(includeAutoCorrs = false))
+    assert(off.filter(isAuto).count() == 0)
+    // flag on: sizing is finite for every baseline and the averaged
+    // OUTPUT still carries the autocorr population
+    val sized = Bda.withBinParams(Bda.prepared(main, spw, ddid, on), on)
+    assert(sized.filter(isAuto).count() > 0)
+    assert(sized.filter(col("TIME_BIN_SECS").isNull ||
+      isnan(col("TIME_BIN_SECS")) ||
+      col("TIME_BIN_SECS") > 90000.0).count() == 0)
+    assert(Bda.averagedMain(main, spw, ddid, on).filter(isAuto).count() > 0)
+  }
+
   test("running bins equal grid bins on regularly sampled data (full pipeline)") {
     // regular sampling: t - t0 == accumulated-INTERVAL-before-row per
     // baseline, so the two walks must agree bin-for-bin and the whole
