@@ -18,8 +18,14 @@ import org.apache.spark.sql.functions._
   *
   * Composition adds two joins on top of the stages' own audited plans:
   * a shuffle semi-join against the keeper set (corpus-scale — NOT
-  * broadcast) and an anti-join against the pair-loser set (∝ dup pairs,
-  * broadcastable in practice but left to AQE to decide).
+  * broadcast) and an anti-join against the pair-loser set. The loser
+  * set (∝ verified dup pairs) is pulled to the driver as a local
+  * relation: that is the same "fits one node" bound a broadcast join
+  * needs anyway, and it lets [[Dedup.nearDupPairs]]'s materialized pair
+  * blocks be released immediately — after `kept` returns, the pipeline
+  * holds ZERO persisted blocks (asserted by PipelineSpec). A corpus
+  * whose loser set outgrows the driver should compose nearDupPairs +
+  * a distributed anti-join directly instead.
   */
 object CorpusFilter {
 
@@ -28,8 +34,13 @@ object CorpusFilter {
     val q = TextOps.withQuality(docs)
     val exactKeepers = Dedup.exactClusters(docs)
       .select(col("keeper").as("doc_id")).distinct()
-    val nearDupLosers = Dedup.nearDupPairs(docs, minJaccard)
-      .select(col("doc2").as("doc_id")).distinct()
+    val pairs = Dedup.nearDupPairs(docs, minJaccard)
+    val loserIds =
+      try pairs.select(col("doc2")).distinct().collect().map(_.getLong(0))
+      finally Caches.release(pairs)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nearDupLosers = loserIds.toSeq.toDF("doc_id")
     q.filter(col("keep"))
       .join(exactKeepers, Seq("doc_id"), "semi")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")

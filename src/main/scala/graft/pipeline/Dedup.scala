@@ -76,7 +76,12 @@ object Dedup {
   }
 
   /** Verified near-dup pairs: LSH candidates → exact shingle Jaccard
-    * ≥ minJaccard. Returns (doc1, doc2, n_inter, n1, n2, jaccard).
+    * ≥ minJaccard. Returns (doc1, doc2, n_inter, n1, n2, jaccard) —
+    * EAGERLY materialized ([[Caches.materialize]]): the pair list is
+    * sublinear by construction, and materializing it lets the
+    * corpus-scale signature cache be dropped before returning, so a
+    * long pipeline session holds pair-sized blocks, never corpus-sized
+    * ones. Hand the result to [[Caches.release]] when done with it.
     *
     * @param maxBucketSize cap on members per (band, bucket) admitted to
     *   the candidate self-join — the oversized-bucket guard for
@@ -90,6 +95,17 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7,
                    maxBucketSize: Int = 0): DataFrame = {
+    val (out, sigs) = nearDupPairsPlan(docs, minJaccard, maxBucketSize)
+    try Caches.materialize(out) finally sigs.unpersist(blocking = false)
+  }
+
+  /** The lazy plan behind [[nearDupPairs]] plus the staged signature
+    * cache (caller releases) — exposed so plan-shape tests can audit
+    * the REAL join structure (the public wrapper returns a materialized
+    * scan whose plan shows nothing).
+    */
+  private[graft] def nearDupPairsPlan(docs: DataFrame, minJaccard: Double,
+                                      maxBucketSize: Int): (DataFrame, DataFrame) = {
     // The signature frame feeds both sides of the bucket self-join AND
     // the verification lookup — without a persist Spark re-tokenizes and
     // re-hashes the corpus 3-4x (plan-verified: 4 FileScans, 0 reuse).
@@ -118,7 +134,7 @@ object Dedup {
     // reuse the shingle sets already staged by withMinhash (_sh) —
     // verification must not re-tokenize the corpus
     val sets = sigs.select(col("doc_id"), col("_sh").as("sh"))
-    cand
+    val out = cand
       .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
       .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))).cast("bigint"))
@@ -128,6 +144,7 @@ object Dedup {
         col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc1", "doc2", "n_inter", "n1", "n2", "jaccard")
+    (out, sigs)
   }
 
   /** 32-bit SimHash over distinct tokens: bit b is set iff strictly
@@ -172,6 +189,14 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    nChunks: Int = 4): DataFrame = {
+    val (out, sh) = simhashPairsPlan(docs, maxHamming, nChunks)
+    // pair-sized result out, fingerprint cache released (see nearDupPairs)
+    try Caches.materialize(out) finally sh.unpersist(blocking = false)
+  }
+
+  /** Lazy plan + staged fingerprint cache (see [[nearDupPairsPlan]]). */
+  private[graft] def simhashPairsPlan(docs: DataFrame, maxHamming: Int,
+                                      nChunks: Int): (DataFrame, DataFrame) = {
     require(maxHamming < nChunks,
       s"pigeonhole recall needs maxHamming < nChunks ($maxHamming >= $nChunks)")
     val width = 32 / nChunks
@@ -188,13 +213,14 @@ object Dedup {
     val chunks = sh.select(col("doc_id"), col("simhash"),
         explode(array(chunkCols: _*)).as("k"))
       .select(col("doc_id"), col("simhash"), col("k.c"), col("k.cv"))
-    chunks.as("x").join(chunks.as("y"), Seq("c", "cv"))
+    val out = chunks.as("x").join(chunks.as("y"), Seq("c", "cv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
           .cast("bigint").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    (out, sh)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted-index join —
@@ -211,6 +237,15 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 4, maxDf: Int = 3,
                         minJaccard: Double = 0.5): DataFrame = {
+    val (out, staged) = ngramJaccardPairsPlan(docs, n, maxDf, minJaccard)
+    // pair-sized result out, posting caches released (see nearDupPairs)
+    try Caches.materialize(out)
+    finally staged.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Lazy plan + staged posting caches (see [[nearDupPairsPlan]]). */
+  private[graft] def ngramJaccardPairsPlan(docs: DataFrame, n: Int, maxDf: Int,
+      minJaccard: Double): (DataFrame, Seq[DataFrame]) = {
     val grams = docs.select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), n))).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -223,13 +258,14 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .agg(count(lit(1)).as("n_inter"))
-    pairs
+    val out = pairs
       .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
       .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc1", "doc2", "n_inter", "n1", "n2", "jaccard")
+    (out, Seq(kept, grams))
   }
 
   /** Embedding-cosine near-duplicate pairs. Two paths:
@@ -238,8 +274,8 @@ object Dedup {
     *  - LSH: sign-random-projection bucket candidates (Ann.withLshBuckets)
     *    then exact rerank — the 100 TB path, with recall meaningful only
     *    at true near-dup thresholds (cos ≥ 0.9 ⇒ bit-agreement ~0.86,
-    *    P(candidate) ≈ 1-(1-0.86⁸)² ≈ 52% per band pair — add bands for
-    *    recall; at cos ≤ 0.5 no sublinear method retains recall).
+    *    P(candidate) ≈ 1-(1-0.86⁸)³ ≈ 65% with the 3 bands — add bands
+    *    for recall; at cos ≤ 0.5 no sublinear method retains recall).
     * Returns (vec1, vec2, dot_scaled, cos).
     */
   def embedNearDup(vectors: DataFrame, minCos: Double,
@@ -259,13 +295,14 @@ object Dedup {
     * Spark and DuckDB, so the oracle reproduces it verbatim.
     *
     * Scale ceilings of this TEST HARNESS (not the engine): (a) the
-    * oracle demands 100% LSH recall on planted pairs; with 2 bands of
-    * 8 bits at cos≈0.99999 the per-pair miss rate is ~1.3e-4, so
-    * beyond ~10⁴ source vectors a deterministic miss becomes likely —
-    * widen/add bands (Ann.Planes/BitsPerBand) before raising the
-    * fixture sf. (b) `idOffset` must exceed max(vec_id) or variant ids
-    * collide with originals — the default 10⁶ covers every driver sf;
-    * pass a larger offset for bigger corpora.
+    * oracle demands 100% LSH recall on planted pairs; with 3 bands of
+    * 8 bits at cos≈0.99999 (per-plane bit agreement p ≈ 0.9986) the
+    * per-pair miss rate is (1 − p⁸)³ ≈ 1.4e-6, so a deterministic miss
+    * becomes likely only beyond ~10⁶ source vectors — add bands
+    * (Ann.Planes/BitsPerBand) before raising the fixture sf past that.
+    * (b) `idOffset` must exceed max(vec_id) or variant ids collide
+    * with originals — the default 10⁶ covers every driver sf; pass a
+    * larger offset for bigger corpora.
     */
   def withRequantVariants(scaledV: DataFrame, grid: Int = 4,
                           idOffset: Long = 1000000L): DataFrame = {
@@ -322,18 +359,9 @@ object Dedup {
       .cache()
     // Storage bound: round 1's labels is a cached Dataset (plain
     // unpersist works); later rounds are localCheckpoint'd, whose blocks
-    // belong to the materialized plan's ROOT RDD (lineage is truncated
-    // at the checkpoint, so the dependency walk ends exactly there) —
-    // Dataset.unpersist would be a no-op on those.
-    def rootRdd(ds: DataFrame): org.apache.spark.rdd.RDD[_] = {
-      @annotation.tailrec
-      def walk(r: org.apache.spark.rdd.RDD[_]): org.apache.spark.rdd.RDD[_] =
-        r.dependencies.headOption match {
-          case Some(d) => walk(d.rdd)
-          case None    => r
-        }
-      walk(ds.queryExecution.toRdd)
-    }
+    // live on the RDD the checkpoint persisted — Dataset.unpersist is a
+    // no-op on those; Caches.persistedRdd finds the storage-levelled
+    // node on the dependency walk.
     var prevCkpt: org.apache.spark.rdd.RDD[_] = null
     var changed = 1L
     while (changed > 0) {
@@ -354,14 +382,18 @@ object Dedup {
         .count()
       labels.unpersist()
       if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
-      prevCkpt = rootRdd(next)
+      prevCkpt = Caches.persistedRdd(next).orNull
       labels = next
     }
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     val out = labels.join(sizes, "rep")
       .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
         col("cluster_size"))
-    edges.unpersist()
-    out
+    // materialize the (edge-list-sized) result so the last round's
+    // checkpoint and the edge cache can be released too
+    try Caches.materialize(out) finally {
+      if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
   }
 }

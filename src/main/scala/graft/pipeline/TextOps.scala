@@ -121,13 +121,14 @@ object TextOps {
     */
   def languageId(docs: DataFrame): DataFrame = {
     // The exploded token frame feeds BOTH the profile build and the
-    // scoring join — persist it so the corpus is tokenized/exploded once
-    // per run, not twice (MEMORY_AND_DISK: at 100 TB it spills rather
-    // than recompute; evicted blocks just fall back to recompute).
+    // scoring join. Deliberately NOT persisted: the exploded frame is
+    // ~avg_tokens× the corpus, so caching it stores far more bytes than
+    // the second scan-and-explode costs — at 100 TB, two streaming
+    // passes over the parquet scan beat materializing a 10× blow-up
+    // (and a session-lifetime cache with no release path leaks it).
     val docTok = docs
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profile = docTok
       .groupBy(col("lang").as("p_lang"), col("tok"))
       .agg(count(lit(1)).as("w"))

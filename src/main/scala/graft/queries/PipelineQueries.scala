@@ -58,6 +58,22 @@ object PipelineQueries {
   private def dotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
 
+  /** bucket0..bucket{b-1} fold columns + their band-row union, generated
+    * from Ann.Planes/Ann.BitsPerBand so the oracle's band structure can
+    * never drift from the engine's.
+    */
+  private def bucketColsSql: String =
+    (0 until Ann.Planes / Ann.BitsPerBand).map { b =>
+      val lo = b * Ann.BitsPerBand
+      val hi = lo + Ann.BitsPerBand
+      s"CAST(sum(CASE WHEN p >= $lo AND p < $hi THEN bit << (p - $lo) " +
+        s"ELSE 0 END) AS BIGINT) AS bucket$b"
+    }.mkString(",\n                   ")
+  private def bandRowsSql: String =
+    (0 until Ann.Planes / Ann.BitsPerBand).map { b =>
+      s"SELECT vec_id, iv, norm2, $b AS band_id, bucket$b AS bucket FROM buckets"
+    }.mkString("\n            UNION ALL\n            ")
+
   /** Rational centroid distance mirroring Ann.ratD2 — including the
     * n > ExactNMax double fallback, so oracle and engine agree (and the
     * BIGINT cast cannot overflow) at any cluster size. The fallback
@@ -509,8 +525,8 @@ object PipelineQueries {
           planes AS (
             SELECT p.p, list(${h60("'pl|' || p.p || '|' || d.d")} % 2001 - 1000
                              ORDER BY d.d) AS cv
-            FROM (SELECT unnest(range(16)) AS p) p,
-                 (SELECT unnest(range(64)) AS d) d
+            FROM (SELECT unnest(range(${Ann.Planes})) AS p) p,
+                 (SELECT unnest(range(${Ann.Dim})) AS d) d
             GROUP BY 1),
           bitsv AS (
             SELECT v.vec_id, v.iv, v.norm2, pl.p,
@@ -520,13 +536,10 @@ object PipelineQueries {
             FROM v, planes pl),
           buckets AS (
             SELECT vec_id, any_value(iv) AS iv, any_value(norm2) AS norm2,
-                   CAST(sum(CASE WHEN p < 8 THEN bit << p ELSE 0 END) AS BIGINT) AS bucket0,
-                   CAST(sum(CASE WHEN p >= 8 THEN bit << (p - 8) ELSE 0 END) AS BIGINT) AS bucket1
+                   ${bucketColsSql}
             FROM bitsv GROUP BY vec_id),
           bandrows AS (
-            SELECT vec_id, iv, norm2, 0 AS band_id, bucket0 AS bucket FROM buckets
-            UNION ALL
-            SELECT vec_id, iv, norm2, 1, bucket1 FROM buckets),
+            ${bandRowsSql}),
           cand AS (
             SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
                    c.iv, c.norm2, p.iv AS p_iv, p.norm2 AS p_norm2

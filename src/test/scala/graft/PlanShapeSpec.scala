@@ -49,19 +49,26 @@ class PlanShapeSpec extends SparkSpec {
     assertNoGlobalSort(p, "bda")
   }
 
+  // The public pairs ops return an eagerly-materialized scan (storage
+  // hygiene — see Caches), whose plan shows no joins; audit the LAZY
+  // plan builders underneath, then drop their staged (unmaterialized)
+  // cache marks.
   test("MinHash-LSH dedup never plans an all-pairs join") {
-    val p = plan(Dedup.nearDupPairs(docs, 0.7))
-    assertNoAllPairs(p, "nearDupPairs")
+    val (out, sigs) = Dedup.nearDupPairsPlan(docs, 0.7, 0)
+    try assertNoAllPairs(plan(out), "nearDupPairs")
+    finally sigs.unpersist(blocking = false)
   }
 
   test("n-gram Jaccard inverted index never plans an all-pairs join") {
-    val p = plan(Dedup.ngramJaccardPairs(docs, 4, 3, 0.5))
-    assertNoAllPairs(p, "ngramJaccardPairs")
+    val (out, staged) = Dedup.ngramJaccardPairsPlan(docs, 4, 3, 0.5)
+    try assertNoAllPairs(plan(out), "ngramJaccardPairs")
+    finally staged.foreach(_.unpersist(blocking = false))
   }
 
   test("simhash pigeonhole pairing never plans an all-pairs join") {
-    val p = plan(Dedup.simhashPairs(docs, 3, 4))
-    assertNoAllPairs(p, "simhashPairs")
+    val (out, sh) = Dedup.simhashPairsPlan(docs, 3, 4)
+    try assertNoAllPairs(plan(out), "simhashPairs")
+    finally sh.unpersist(blocking = false)
   }
 
   test("embedding near-dup LSH path never plans an all-pairs join") {

@@ -207,6 +207,35 @@ class PipelineSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("pipeline storage hygiene: pair ops release their corpus caches") {
+    // each pairs op stages corpus-scale frames (signatures/postings)
+    // internally; after it returns, only the materialized pair-sized
+    // result may remain in storage — and releasing that empties it
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    spark.sqlContext.clearCache() // isolate from other suites' .cache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    for ((name, make) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      ("nearDupPairs", () => Dedup.nearDupPairs(docs, 0.7)),
+      ("simhashPairs", () => Dedup.simhashPairs(docs, 3, 4)),
+      ("ngramJaccardPairs", () => Dedup.ngramJaccardPairs(docs, 4, 3, 0.5)))) {
+      val out = make()
+      assert(persisted == 1, s"$name left corpus-scale caches behind")
+      Caches.release(out)
+      assert(persisted == 0, s"$name result blocks not releasable")
+    }
+    // the composed corpus filter consumes + releases everything itself
+    val kept = CorpusFilter.kept(docs, 0.7)
+    assert(kept.count() > 0)
+    assert(persisted == 0, "corpus filter left persisted blocks behind")
+    // dupClusters: result is materialized, all round state released
+    val cl = Dedup.dupClusters(Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2"))
+    assert(cl.count() == 3)
+    assert(persisted == 1, "dupClusters should hold only its result")
+    Caches.release(cl)
+    assert(persisted == 0)
+  }
+
   test("language id: perfect on a corpus with distinctive vocabularies") {
     // Each lang has its own vocabulary plus one shared token: profile
     // scoring must recover every label. (The driver's synthetic corpus
