@@ -8,56 +8,89 @@ import java.nio.file.{Files, Paths}
   * opaque image/audio payloads as `binary` columns with typed metadata,
   * plus decode / feature-extract / resize / frame-sample / embed stages.
   *
-  * STUB NOTICE: this container ships no image/audio codecs, so the
-  * decode step is a clearly-marked DETERMINISTIC FAKE — "pixel"
-  * statistics are computed over the raw payload bytes and "embeddings"
-  * are hash-derived. Everything else — the binary fixture, schemas,
-  * partitioning, slicing, window explosion, join shapes — is the real
-  * pipeline a codec-backed decoder would drop into (swap [[byteValues]]
-  * for the codec call).
+  * Image decode and resize are REAL: the fixture's image payloads are
+  * valid 24-bit BMP files (built bit-exactly by the expression-based
+  * generator below) and the decode path runs them through
+  * `javax.imageio` — a genuine codec round-trip, verified against a
+  * DuckDB oracle that recomputes pixel statistics from the known
+  * generator byte layout (24bpp BMP stores the raw BGR pixel array at
+  * offset 54; widths are multiples of 4 so rows carry no padding).
+  * Audio payloads are treated as unsigned-8-bit PCM, where decode IS
+  * the identity over payload bytes. The only remaining declared fake is
+  * [[withEmbedding]] (hash-derived vectors standing in for a model).
   *
-  * Everything is native Catalyst (hex/substring/transform folds — no
-  * UDFs): per-row projections run at scan speed inside whole-stage
-  * codegen, so at 100 TB decode-stat extraction is embarrassingly
-  * parallel and shuffle-free; only the ANN stage shuffles (top-k
-  * window over broadcast-joined probes).
+  * The decode/resample steps are Scala UDFs of necessity — a codec is
+  * imperative JVM code, not a Catalyst expression — but remain pure
+  * per-row projections: scan-speed parallel, shuffle-free at 100 TB.
+  * Everything else (byte slicing, window explosion, checksums) is
+  * native Catalyst inside whole-stage codegen.
   */
 object Multimodal {
 
   val root = "/root/repo/fixtures/media"
 
-  /** Deterministic synthetic media fixture: 400 rows, variable-length
-    * md5-chain payloads (200–999 bytes), image/audio metadata.
+  /** Deterministic synthetic media fixture: 400 rows; image rows carry
+    * a REAL 24-bit BMP (4..28 px wide, width % 4 == 0 so the pixel
+    * array is unpadded; 4..16 px tall; md5-chain pixel bytes), audio
+    * rows carry 200–999 bytes of md5-chain u8 "PCM".
     */
   def ensure(spark: SparkSession): Unit = synchronized {
     if (!Files.exists(Paths.get(s"$root/media/_SUCCESS"))) generate(spark)
+  }
+
+  /** Little-endian hex of an int32/int16 column (BMP headers are LE). */
+  private def le32(c: Column): Column = {
+    val be = lpad(hex(c.cast("long")), 8, "0")
+    concat(substring(be, 7, 2), substring(be, 5, 2),
+      substring(be, 3, 2), substring(be, 1, 2))
   }
 
   def generate(spark: SparkSession): Unit = {
     import spark.implicits._
     val ids = (0 until 400).toDF("media_id")
     val h = xxhash64(lit("media"), col("media_id"))
-    val len = (pmod(h, lit(800L)) + 200L).cast("int")
-    // payload = first `len` bytes of an md5 chain keyed by (id, block)
-    val nBlocks = 63 // 63 * 16 bytes = 1008 >= 999
+    val audioLen = (pmod(h, lit(800L)) + 200L).cast("int")
+    // md5 chain: 84 * 16 = 1344 bytes >= max image pixel array (28*3*16)
+    // and >= max audio payload (999)
+    val nBlocks = 84
     val hexChain = concat_ws("",
       (0 until nBlocks).map(j => md5(concat(col("media_id"), lit(s"|$j")))): _*)
     val media = ids
       .withColumn("kind",
         when(pmod(h, lit(3L)) < 2, "image").otherwise("audio"))
-      .withColumn("payload", unhex(hexChain.substr(lit(1), len * 2)))
-      .withColumn("width", (pmod(xxhash64(lit("w"), col("media_id")), lit(56L)) + 8L).cast("int"))
-      .withColumn("height", (pmod(xxhash64(lit("h"), col("media_id")), lit(56L)) + 8L).cast("int"))
+      // image dims: width in {4,8,...,28} (mult of 4 => no BMP row
+      // padding), height in 4..16
+      .withColumn("width",
+        (pmod(xxhash64(lit("w"), col("media_id")), lit(7L)) * 4 + 4).cast("int"))
+      .withColumn("height",
+        (pmod(xxhash64(lit("h"), col("media_id")), lit(13L)) + 4).cast("int"))
       .withColumn("channels", lit(3))
+      .withColumn("_pix", col("width") * 3 * col("height"))
+      // 54-byte BITMAPINFOHEADER BMP, fields little-endian:
+      // "BM" | file size | reserved | data offset 54 | header size 40 |
+      // width | height | planes 1 | bpp 24 | BI_RGB | image size |
+      // ppm x/y + palette counts (zeros)
+      .withColumn("_bmp_hdr", concat(
+        lit("424D"), le32(col("_pix") + 54), lit("00000000"),
+        lit("36000000"), lit("28000000"),
+        le32(col("width")), le32(col("height")),
+        lit("0100"), lit("1800"), lit("00000000"),
+        le32(col("_pix")),
+        lit("00000000000000000000000000000000")))
+      .withColumn("payload",
+        when(col("kind") === "image",
+          unhex(concat(col("_bmp_hdr"), hexChain.substr(lit(1), col("_pix") * 2))))
+        .otherwise(unhex(hexChain.substr(lit(1), audioLen * 2))))
       .withColumn("sample_rate",
         when(pmod(xxhash64(lit("sr"), col("media_id")), lit(2L)) === 0, 8000)
           .otherwise(16000))
       .withColumn("n_samples", length(col("payload")))
+      .drop("_pix", "_bmp_hdr")
     media.repartition(4).write.mode("overwrite").parquet(s"$root/media")
   }
 
   /** Raw payload bytes as an INT array (0–255) via the hex projection —
-    * the swap-point for a real codec. Native expressions only.
+    * the u8-PCM "decode" for audio rows. Native expressions only.
     */
   def byteValues(payload: Column): Column = {
     val hexc = hex(payload)
@@ -65,32 +98,106 @@ object Multimodal {
       i => conv(hexc.substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
   }
 
-  /** Decode-stub statistics: byte count/sum/min/max + content checksum.
-    * Checksums hash the UPPERCASE hex encoding (not the raw blob) so the
-    * DuckDB oracle — whose md5 is varchar-only — mirrors them exactly.
+  /** Decoded per-row sample statistics: decoded dims, value count, and
+    * sum/min/max over sample values.
     */
-  def withDecodeStats(df: DataFrame): DataFrame = {
-    val bv = byteValues(col("payload"))
-    df.withColumn("n_bytes", length(col("payload")).cast("long"))
-      .withColumn("byte_sum",
-        aggregate(bv, lit(0L), (a, x) => a + x))
-      .withColumn("byte_min", array_min(bv))
-      .withColumn("byte_max", array_max(bv))
-      .withColumn("checksum", md5(hex(col("payload"))))
+  case class DecodedStats(dec_width: Int, dec_height: Int, n_vals: Long,
+                          val_sum: Long, val_min: Int, val_max: Int)
+
+  /** REAL image decode via javax.imageio (BMP/PNG ship with the JDK):
+    * sums every channel value of every pixel. Returns None when the
+    * payload is not a decodable image.
+    */
+  private val decodeImage = udf { bytes: Array[Byte] =>
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      var sum = 0L; var mn = 255; var mx = 0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          var c = 0
+          while (c < 3) {
+            val v = (rgb >> (8 * c)) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedStats(img.getWidth, img.getHeight,
+        3L * img.getWidth * img.getHeight, sum, mn, mx))
+    }
   }
 
-  /** Resize-stub: clamp the payload to the target pixel budget and
-    * rewrite the metadata (a real resample keeps this exact shape).
+  /** Decode dispatch: image rows run the real codec (so `dec_width` /
+    * `dec_height` are DECODED dims — comparing them against the
+    * metadata columns is a true codec check); audio rows decode as
+    * u8 PCM (sample values = payload bytes, dims pass through).
     */
-  def resized(df: DataFrame, w: Int, h: Int): DataFrame = {
-    val budget = lit(w * h) * col("channels")
-    df.withColumn("out_width", lit(w))
-      .withColumn("out_height", lit(h))
-      .withColumn("out_bytes", least(length(col("payload")).cast("long"), budget.cast("long")))
-      .withColumn("out_payload",
-        unhex(hex(col("payload")).substr(lit(1), budget * 2)))
-      .withColumn("out_checksum", md5(hex(col("payload")).substr(lit(1), col("out_bytes") * 2)))
+  def withSampleStats(df: DataFrame): DataFrame = {
+    val bv = byteValues(col("payload"))
+    val audioStats = struct(
+      col("width").as("dec_width"), col("height").as("dec_height"),
+      length(col("payload")).cast("long").as("n_vals"),
+      aggregate(bv, lit(0L), (a, x) => a + x).as("val_sum"),
+      array_min(bv).as("val_min"), array_max(bv).as("val_max"))
+    df.withColumn("_dec",
+        when(col("kind") === "image", decodeImage(col("payload")))
+          .otherwise(audioStats))
+      .select(col("*"), col("_dec.*")).drop("_dec")
   }
+
+  case class Resampled(out_sum: Long, out_fp: Long)
+
+  /** REAL nearest-neighbor resample to outW x outH after an imageio
+    * decode: source pixel of output (x, y) is (x*W/outW, y*H/outH)
+    * (integer floor). Emits the exact sum over all resampled channel
+    * values plus an order-sensitive fingerprint Σ v_i·(i+1) over the
+    * (y, x, BGR) traversal — BGR to mirror the BMP byte layout the
+    * oracle reads, so a transposed or mis-ordered resample cannot pass.
+    */
+  private def resampleImage(outW: Int, outH: Int) = udf { bytes: Array[Byte] =>
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      var sum = 0L; var fp = 0L; var i = 0L
+      var y = 0
+      while (y < outH) {
+        var x = 0
+        while (x < outW) {
+          val sx = x * img.getWidth / outW
+          val sy = y * img.getHeight / outH
+          val rgb = img.getRGB(sx, sy)
+          var c = 0
+          while (c < 3) {
+            val v = (rgb >> (8 * c)) & 0xff // c=0 blue, 1 green, 2 red
+            sum += v
+            i += 1
+            fp += v.toLong * i
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(Resampled(sum, fp))
+    }
+  }
+
+  /** Resize stage over image rows: adds out_width/out_height metadata
+    * plus the resample statistics (out_sum, out_fp).
+    */
+  def resampled(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("_r", resampleImage(w, h)(col("payload")))
+      .withColumn("out_width", lit(w))
+      .withColumn("out_height", lit(h))
+      .select(col("*"), col("_r.*")).drop("_r")
 
   /** Frame/window sampling: explode audio payloads into fixed-size
     * windows (UDTF shape — one row per window, batch-friendly).
@@ -108,6 +215,9 @@ object Multimodal {
 
   /** Embedding-stub: hash-derived integer vector keyed by the payload
     * checksum — plugs multimodal rows straight into the ANN operators.
+    * (The one remaining declared fake: stands in for a model forward
+    * pass; the checksum keying means identical payloads embed
+    * identically, which is the property the ANN stage exercises.)
     */
   def withEmbedding(df: DataFrame, dim: Int = 16): DataFrame =
     df.withColumn("iv", transform(sequence(lit(0), lit(dim - 1)),

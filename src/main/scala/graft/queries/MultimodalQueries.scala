@@ -21,38 +21,36 @@ object MultimodalQueries {
     s.read.parquet(s"${Multimodal.root}/media")
   }
 
-  /** DuckDB: payload bytes as an INT list (mirror of
-    * Multimodal.byteValues).
-    */
-  private val bytesSql =
-    """list_transform(range(octet_length(payload)),
-         i -> CAST('0x' || substr(hex(payload), CAST(2*i+1 AS INT), 2) AS INT))"""
-
   val queries: Map[String, Q] = Map(
-    // M1: decode-stub feature extraction — byte statistics + checksum
-    // per media kind (scan-speed projection, no shuffle).
+    // M1: REAL decode feature extraction — image rows run javax.imageio
+    // over the fixture's true BMP payloads (pixel sums/min/max + decoded
+    // dims vs metadata), audio rows decode as u8 PCM. The oracle
+    // recomputes the same statistics from the generator's known byte
+    // layout (BMP pixel array at offset 54), so a codec/header bug on
+    // either side breaks the hash.
     "mm_m1_decode_stats" -> ((s, _) =>
-      Multimodal.withDecodeStats(media(s))
+      Multimodal.withSampleStats(media(s))
         .groupBy("kind")
         .agg(
           count(lit(1)).as("n_rows"),
-          sum(col("n_bytes")).as("bytes_total"),
-          sum(col("byte_sum")).as("byte_sum_total"),
-          min(col("byte_min")).as("byte_min"),
-          max(col("byte_max")).as("byte_max"),
-          countDistinct(col("checksum")).as("n_distinct"))),
+          sum(col("n_vals")).as("n_vals_total"),
+          sum(col("val_sum")).as("val_sum_total"),
+          min(col("val_min")).as("val_min"),
+          max(col("val_max")).as("val_max"),
+          sum(when(col("dec_width") === col("width") &&
+                   col("dec_height") === col("height"), 1L).otherwise(0L))
+            .as("n_dims_match"))),
 
-    // M2: resize-stub — payload clamped to an 8x8xC budget, metadata
-    // rewritten, content re-checksummed.
+    // M2: REAL resize — imageio decode + nearest-neighbor resample to
+    // 8x8, exact value sum + order-sensitive fingerprint; the oracle
+    // replays the same source-pixel indexing over the raw BMP bytes
+    // (bottom-up rows, BGR order).
     "mm_m2_resize" -> ((s, _) =>
-      Multimodal.resized(media(s).filter(col("kind") === "image"), 8, 8)
-        .groupBy("channels")
+      Multimodal.resampled(media(s).filter(col("kind") === "image"), 8, 8)
         .agg(
           count(lit(1)).as("n_rows"),
-          sum(col("out_bytes")).as("out_bytes_total"),
-          sum(when(col("out_bytes") < col("n_samples"), 1L).otherwise(0L))
-            .as("n_truncated"),
-          countDistinct(col("out_checksum")).as("n_distinct"))),
+          sum(col("out_sum")).as("out_sum_total"),
+          sum(col("out_fp")).as("out_fp_total"))),
 
     // M3: frame/window sampling — audio payloads exploded into 256-byte
     // windows (the UDTF shape of video frame-sampling).
@@ -85,36 +83,51 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Image sample values = BMP pixel-array bytes at offset 54 (24bpp,
+    // width % 4 == 0 => no row padding); audio sample values = payload
+    // bytes. n_dims_match is count(*) here BY CONSTRUCTION (the header
+    // encodes the metadata dims) — the Spark side derives it from the
+    // actual imageio decode, which is the check.
     "mm_m1_decode_stats" ->
       s"""WITH d AS (
-            SELECT kind, octet_length(payload) AS n_bytes,
-                   CAST(list_sum($bytesSql) AS BIGINT) AS byte_sum,
-                   list_min($bytesSql) AS byte_min,
-                   list_max($bytesSql) AS byte_max,
-                   md5(hex(payload)) AS checksum
-            FROM $mediaPq)
+            SELECT kind, width, height, payload,
+                   CASE WHEN kind = 'image' THEN 54 ELSE 0 END AS off
+            FROM $mediaPq),
+          v AS (
+            SELECT kind,
+                   CAST(octet_length(payload) - off AS BIGINT) AS n_vals,
+                   list_transform(range(octet_length(payload) - off),
+                     i -> CAST('0x' || substr(hex(payload),
+                            CAST(2*(i+off)+1 AS INT), 2) AS INT)) AS vals
+            FROM d)
           SELECT kind, CAST(count(*) AS BIGINT) AS n_rows,
-                 CAST(sum(n_bytes) AS BIGINT) AS bytes_total,
-                 CAST(sum(byte_sum) AS BIGINT) AS byte_sum_total,
-                 min(byte_min) AS byte_min, max(byte_max) AS byte_max,
-                 CAST(count(DISTINCT checksum) AS BIGINT) AS n_distinct
-          FROM d GROUP BY 1""",
+                 CAST(sum(n_vals) AS BIGINT) AS n_vals_total,
+                 CAST(sum(list_sum(vals)) AS BIGINT) AS val_sum_total,
+                 min(list_min(vals)) AS val_min,
+                 max(list_max(vals)) AS val_max,
+                 CAST(count(*) AS BIGINT) AS n_dims_match
+          FROM v GROUP BY 1""",
 
+    // Nearest-neighbor indexing replayed over the raw BMP layout:
+    // output (y, x) [y top-down] samples source (x*W//8, y*H//8);
+    // BMP rows are stored bottom-up, 3 bytes/pixel in BGR order, so the
+    // byte offset of channel c is 54 + ((H-1-sy)*W + sx)*3 + c.
     "mm_m2_resize" ->
       s"""WITH r AS (
-            SELECT channels, octet_length(payload) AS n_samples,
-                   least(CAST(octet_length(payload) AS BIGINT),
-                         CAST(64 * channels AS BIGINT)) AS out_bytes,
-                   md5(substring(hex(payload), 1,
-                     CAST(least(CAST(octet_length(payload) AS BIGINT),
-                                CAST(64 * channels AS BIGINT)) * 2 AS INT)))
-                     AS out_checksum
+            SELECT media_id,
+                   list_transform(range(192), i ->
+                     CAST('0x' || substr(hex(payload),
+                       CAST(2*(54 + ((height - 1 - (((i//3)//8) * height) // 8)
+                                       * width
+                                     + (((i//3)%8) * width) // 8) * 3
+                               + (i%3)) + 1 AS INT), 2) AS INT)) AS vals
             FROM $mediaPq WHERE kind = 'image')
-          SELECT channels, CAST(count(*) AS BIGINT) AS n_rows,
-                 CAST(sum(out_bytes) AS BIGINT) AS out_bytes_total,
-                 CAST(count(*) FILTER (out_bytes < n_samples) AS BIGINT) AS n_truncated,
-                 CAST(count(DISTINCT out_checksum) AS BIGINT) AS n_distinct
-          FROM r GROUP BY 1""",
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(list_sum(vals)) AS BIGINT) AS out_sum_total,
+                 CAST(sum(list_sum(list_transform(range(192),
+                   i -> CAST(vals[i+1] AS BIGINT) * (i+1)))) AS BIGINT)
+                   AS out_fp_total
+          FROM r""",
 
     "mm_m3_audio_windows" ->
       s"""WITH w AS (

@@ -2,35 +2,82 @@ package graft.pipeline
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
 
-/** Binary-column plumbing tests with hand-computed expectations. */
+/** Binary-column plumbing + REAL codec tests with hand-computed
+  * expectations (the BMPs here are encoded by javax.imageio itself, so
+  * the decode path is exercised against an independent encoder, not
+  * just the fixture generator's byte layout).
+  */
 class MultimodalSpec extends SparkSpec {
   private lazy val s = spark
   import s.implicits._
 
-  private def payloadDf(bytes: Array[Byte]) =
-    Seq((1L, bytes, "audio", 3, 8000)).toDF(
-      "media_id", "payload", "kind", "channels", "sample_rate")
+  private def payloadDf(bytes: Array[Byte], kind: String = "audio",
+                        w: Int = 0, h: Int = 0) =
+    Seq((1L, bytes, kind, w, h, 3, 8000)).toDF(
+      "media_id", "payload", "kind", "width", "height", "channels",
+      "sample_rate")
 
-  test("byteValues + decode stats on a known payload") {
-    val r = Multimodal.withDecodeStats(
-      payloadDf(Array[Byte](0x00, 0x7F, -1))) // 0, 127, 255
-      .collect()(0)
-    assert(r.getAs[Long]("n_bytes") == 3)
-    assert(r.getAs[Long]("byte_sum") == 0 + 127 + 255)
-    assert(r.getAs[Int]("byte_min") == 0)
-    assert(r.getAs[Int]("byte_max") == 255)
+  private def bmpBytes(img: BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
   }
 
-  test("resize clamps to the pixel budget and re-checksums the prefix") {
-    val big = Array.tabulate[Byte](500)(i => (i % 251).toByte)
-    val r = Multimodal.resized(payloadDf(big), 8, 8).collect()(0)
-    assert(r.getAs[Long]("out_bytes") == 8 * 8 * 3) // 192 < 500
-    assert(r.getAs[Array[Byte]]("out_payload").length == 192)
-    // small payloads pass through whole
-    val small = Array.tabulate[Byte](10)(_.toByte)
-    val r2 = Multimodal.resized(payloadDf(small), 8, 8).collect()(0)
-    assert(r2.getAs[Long]("out_bytes") == 10)
+  test("audio sample stats (u8 PCM) on a known payload") {
+    val r = Multimodal.withSampleStats(
+      payloadDf(Array[Byte](0x00, 0x7F, -1))) // 0, 127, 255
+      .collect()(0)
+    assert(r.getAs[Long]("n_vals") == 3)
+    assert(r.getAs[Long]("val_sum") == 0 + 127 + 255)
+    assert(r.getAs[Int]("val_min") == 0)
+    assert(r.getAs[Int]("val_max") == 255)
+  }
+
+  test("real BMP decode: imageio stats match hand-set pixels") {
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) // r = 10x, g = 20y, b = 5
+      img.setRGB(x, y, (x * 10 << 16) | (y * 20 << 8) | 5)
+    val r = Multimodal.withSampleStats(
+      payloadDf(bmpBytes(img), kind = "image", w = 4, h = 2)).collect()(0)
+    assert(r.getAs[Int]("dec_width") == 4 && r.getAs[Int]("dec_height") == 2)
+    assert(r.getAs[Long]("n_vals") == 24)
+    val expected = (for (y <- 0 until 2; x <- 0 until 4)
+      yield x * 10 + y * 20 + 5).sum
+    assert(r.getAs[Long]("val_sum") == expected)
+    assert(r.getAs[Int]("val_min") == 0)  // r of x=0 / g of y=0
+    assert(r.getAs[Int]("val_max") == 30) // r of x=3
+  }
+
+  test("fixture BMPs decode with dims matching their metadata") {
+    Multimodal.ensure(spark)
+    val m = spark.read.parquet(s"${Multimodal.root}/media")
+      .filter(col("kind") === "image")
+    val st = Multimodal.withSampleStats(m)
+    assert(st.filter(col("dec_width").isNull).count() == 0,
+      "a fixture image failed to decode")
+    assert(st.filter(col("dec_width") =!= col("width") ||
+      col("dec_height") =!= col("height")).count() == 0,
+      "decoded dims diverge from metadata")
+  }
+
+  test("nearest-neighbor resample to 8x8: quadrant duplication, exact sums") {
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    val px = Seq( // (x, y, r, g, b)
+      (0, 0, 1, 2, 3), (1, 0, 4, 5, 6), (0, 1, 7, 8, 9), (1, 1, 10, 11, 12))
+    px.foreach { case (x, y, r, g, b) => img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    val row = Multimodal.resampled(
+      payloadDf(bmpBytes(img), kind = "image", w = 2, h = 2), 8, 8).collect()(0)
+    // each source pixel fills a 4x4 quadrant: sum = 16 * Σ(r+g+b)
+    assert(row.getAs[Long]("out_sum") == 16L * px.map(p => p._3 + p._4 + p._5).sum)
+    // fingerprint: replay the (y, x, BGR) traversal
+    var i = 0L; var fp = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val (_, _, r, g, b) = px.find(p => p._1 == x / 4 && p._2 == y / 4).get
+      for (v <- Seq(b, g, r)) { i += 1; fp += v.toLong * i }
+    }
+    assert(row.getAs[Long]("out_fp") == fp)
   }
 
   test("audio windows tile the payload exactly, ragged tail included") {
