@@ -18,6 +18,14 @@ object Bench {
     // times just those entries (cold AND warm printed) so a single
     // regression is bisectable without the full suite (VERDICT r4 #9).
     val only: Set[String] = args.toSet
+    // validate entry names BEFORE paying Spark startup (ADVICE r5)
+    val names =
+      if (only.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+      else {
+        val missing = only -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"unknown bench entries: ${missing.mkString(", ")}")
+        only.toSeq.sorted
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,13 +54,6 @@ object Bench {
       warm
     }
 
-    val names =
-      if (only.isEmpty) SparkEntry.queries.keys.toSeq.sorted
-      else {
-        val missing = only -- SparkEntry.queries.keySet
-        require(missing.isEmpty, s"unknown bench entries: ${missing.mkString(", ")}")
-        only.toSeq.sorted
-      }
     val results = names.map(n => n -> time(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

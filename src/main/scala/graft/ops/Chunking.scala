@@ -28,22 +28,32 @@ object Chunking {
     *
     * Monotonicity is a property of the STORED row order (the reference
     * checks `diff(ds.TIME) >= 0` over each partition's column as read,
-    * chunking.py:267) — so the row position is captured with
-    * `monotonically_increasing_id()` directly over the scan (filters
-    * are narrow, so ids still reflect file order) and the check runs
-    * per group in that order, not in TIME order (which would be
-    * vacuously monotone).
+    * chunking.py:267). For file-backed frames the row position is
+    * (`_metadata.file_path`, `_metadata.row_index`) — the exact
+    * in-file position, immune to whatever partition layout sits above
+    * the scan (a repartition/AQE shuffle reorders rows, which would
+    * silently turn a `monotonically_increasing_id()` order into a
+    * check of the SHUFFLE order). Non-file frames (in-memory tests)
+    * fall back to `monotonically_increasing_id()`, valid while the
+    * plan above them stays narrow.
     */
   def planStats(main: DataFrame): PlanStats = {
+    val fileBacked = scala.util.Try(
+      main.select(col("_metadata.file_path"), col("_metadata.row_index"))
+    ).isSuccess
+    val ord =
+      if (fileBacked)
+        Seq(col("_metadata.file_path").as("_O1"),
+          col("_metadata.row_index").as("_O2"))
+      else Seq(monotonically_increasing_id().as("_O1"), lit(0L).as("_O2"))
     val w = Window
       .partitionBy(TimeAvg.GroupCols.map(col): _*)
-      .orderBy("_RID")
+      .orderBy("_O1", "_O2")
     val uvw2 = col("UVW")(0) * col("UVW")(0) + col("UVW")(1) * col("UVW")(1) +
       col("UVW")(2) * col("UVW")(2)
     val r = main
       .select(TimeAvg.GroupCols.map(col) ++
-        Seq(col("TIME"), col("INTERVAL"), uvw2.as("_UVW2"),
-          monotonically_increasing_id().as("_RID")): _*)
+        Seq(col("TIME"), col("INTERVAL"), uvw2.as("_UVW2")) ++ ord: _*)
       .withColumn("_PREV", lag(col("TIME"), 1).over(w))
       .agg(
         count(lit(1)).as("n_rows"),
