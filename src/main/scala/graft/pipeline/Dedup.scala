@@ -50,8 +50,12 @@ object Dedup {
     */
   def withMinhash(docs: DataFrame, n: Int = NumHashes): DataFrame = {
     val P = 4294967291L
-    val sh = array_distinct(shingles(tokens(col("text"))))
-    val base = docs.withColumn("_sh", sh)
+    // tokens staged as a real column BEFORE the shingle lambda: an
+    // inlined split() inside a higher-order lambda is re-evaluated for
+    // every element_at — staging measured 9x on shingle generation
+    val base = docs.withColumn("_tk", tokens(col("text")))
+      .withColumn("_sh", array_distinct(shingles(col("_tk"))))
+      .drop("_tk")
       .withColumn("_h32", transform(col("_sh"), s => pmod(hash60(s), lit(1L << 32))))
     (0 until n).foldLeft(base) { (df, i) =>
       val a = TextOps.hash60(s"mha|$i") % (1L << 29) | 1L
@@ -202,8 +206,10 @@ object Dedup {
     val width = 32 / nChunks
     val mask = (1L << width) - 1
     // (doc_id, simhash) feeds both sides of the bucket join — persist so
-    // the corpus is fingerprinted once, not three times.
-    val sh = withSimhash(docs, shingles(tokens(col("text"))))
+    // the corpus is fingerprinted once, not three times. Tokens staged
+    // before the shingle lambda (see withMinhash).
+    val sh = withSimhash(docs.withColumn("_tk", tokens(col("text"))),
+        shingles(col("_tk")))
       .select(col("doc_id"), col("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkCols = (0 until nChunks).map { c =>
@@ -246,8 +252,10 @@ object Dedup {
   /** Lazy plan + staged posting caches (see [[nearDupPairsPlan]]). */
   private[graft] def ngramJaccardPairsPlan(docs: DataFrame, n: Int, maxDf: Int,
       minJaccard: Double): (DataFrame, Seq[DataFrame]) = {
-    val grams = docs.select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), n))).as("gram"))
+    // tokens staged before the gram lambda (see withMinhash)
+    val grams = docs.withColumn("_tk", tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("_tk"), n))).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val over = grams.groupBy("gram").agg(count(lit(1)).as("_DF"))
       .filter(col("_DF") > maxDf).select("gram")

@@ -82,11 +82,14 @@ object TextOps {
     * function — a stable content fingerprint robust to local edits).
     */
   def withFingerprints(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withColumn("_sh", shingles(tokens(col(textCol))))
+    // tokens staged as a real column first: an inlined split() inside
+    // the shingle lambda is re-evaluated per element_at (measured 9x)
+    df.withColumn("_tk", tokens(col(textCol)))
+      .withColumn("_sh", shingles(col("_tk")))
       .withColumn("md5_fp", md5(col(textCol)))
       .withColumn("min_shingle_fp", array_min(transform(col("_sh"), s => md5(s))))
       .withColumn("n_shingles", size(array_distinct(col("_sh"))).cast("bigint"))
-      .drop("_sh")
+      .drop("_sh", "_tk")
 
   /** BPE-style pre-tokenizer regex (GPT-2 flavor, reduced to the
     * RE2-compatible subset — no lookahead — so any engine tokenizes
