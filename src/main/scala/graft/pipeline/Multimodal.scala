@@ -89,14 +89,16 @@ object Multimodal {
     media.repartition(4).write.mode("overwrite").parquet(s"$root/media")
   }
 
-  /** Raw payload bytes as an INT array (0–255) via the hex projection —
-    * the u8-PCM "decode" for audio rows. Native expressions only.
+  /** Raw payload bytes as an INT array (0–255) from an already-STAGED
+    * uppercase-hex column — the u8-PCM "decode" for audio rows. Native
+    * expressions only. Callers must stage `hex(payload)` with
+    * `withColumn` first: an inlined hex() referenced inside the lambda
+    * would be re-evaluated for every element (O(n²) per row — the
+    * same Catalyst no-CSE-into-lambdas pitfall as shingle staging).
     */
-  def byteValues(payload: Column): Column = {
-    val hexc = hex(payload)
-    transform(sequence(lit(0), length(payload) - 1),
-      i => conv(hexc.substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
-  }
+  def byteValues(hexPayload: Column): Column =
+    transform(sequence(lit(0), (length(hexPayload) / 2).cast("int") - 1),
+      i => conv(hexPayload.substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
 
   /** Decoded per-row sample statistics: decoded dims, value count, and
     * sum/min/max over sample values.
@@ -141,16 +143,17 @@ object Multimodal {
     * u8 PCM (sample values = payload bytes, dims pass through).
     */
   def withSampleStats(df: DataFrame): DataFrame = {
-    val bv = byteValues(col("payload"))
+    val bv = byteValues(col("_hexp"))
     val audioStats = struct(
       col("width").as("dec_width"), col("height").as("dec_height"),
       length(col("payload")).cast("long").as("n_vals"),
       aggregate(bv, lit(0L), (a, x) => a + x).as("val_sum"),
       array_min(bv).as("val_min"), array_max(bv).as("val_max"))
-    df.withColumn("_dec",
+    df.withColumn("_hexp", hex(col("payload")))
+      .withColumn("_dec",
         when(col("kind") === "image", decodeImage(col("payload")))
           .otherwise(audioStats))
-      .select(col("*"), col("_dec.*")).drop("_dec")
+      .select(col("*"), col("_dec.*")).drop("_dec", "_hexp")
   }
 
   case class Resampled(out_sum: Long, out_fp: Long)
@@ -220,6 +223,9 @@ object Multimodal {
     * identically, which is the property the ANN stage exercises.)
     */
   def withEmbedding(df: DataFrame, dim: Int = 16): DataFrame =
-    df.withColumn("iv", transform(sequence(lit(0), lit(dim - 1)),
-      k => TextOps.hash60(concat(md5(hex(col("payload"))), lit("|"), k)) % 20001L - 10000L))
+    // checksum staged before the lambda (re-evaluated per element if inlined)
+    df.withColumn("_ck", md5(hex(col("payload"))))
+      .withColumn("iv", transform(sequence(lit(0), lit(dim - 1)),
+        k => TextOps.hash60(concat(col("_ck"), lit("|"), k)) % 20001L - 10000L))
+      .drop("_ck")
 }
