@@ -84,7 +84,11 @@ object Multimodal {
       .withColumn("sample_rate",
         when(pmod(xxhash64(lit("sr"), col("media_id")), lit(2L)) === 0, 8000)
           .otherwise(16000))
-      .withColumn("n_samples", length(col("payload")))
+      // true sample count: pixel-array values for images (the 54-byte
+      // BMP header is container, not samples), payload bytes for audio
+      .withColumn("n_samples",
+        when(col("kind") === "image", col("_pix"))
+          .otherwise(length(col("payload"))))
       .drop("_pix", "_bmp_hdr")
     media.repartition(4).write.mode("overwrite").parquet(s"$root/media")
   }
@@ -149,7 +153,10 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_vals"),
       aggregate(bv, lit(0L), (a, x) => a + x).as("val_sum"),
       array_min(bv).as("val_min"), array_max(bv).as("val_max"))
-    df.withColumn("_hexp", hex(col("payload")))
+    // hex only the rows whose branch consumes it — image rows would
+    // otherwise pay an O(bytes) encoding that the codec branch discards
+    df.withColumn("_hexp",
+        when(col("kind") === "audio", hex(col("payload"))))
       .withColumn("_dec",
         when(col("kind") === "image", decodeImage(col("payload")))
           .otherwise(audioStats))

@@ -182,8 +182,14 @@ object PipelineQueries {
       Dedup.nearDupPairs(Tables.documents(s, d), 0.7)),
 
     // Duplicate-cluster resolution: connected components over the pairs.
-    "pl_d3_dup_clusters" -> ((s, d) =>
-      Dedup.dupClusters(Dedup.nearDupPairs(Tables.documents(s, d), 0.7))),
+    // The intermediate pairs frame is materialized (see Caches) and
+    // owned here — released once dupClusters has consumed it (safe:
+    // dupClusters returns an already-materialized result).
+    "pl_d3_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.nearDupPairs(Tables.documents(s, d), 0.7)
+      try Dedup.dupClusters(pairs)
+      finally graft.pipeline.Caches.release(pairs)
+    }),
 
     // SimHash document fingerprints (32-bit, majority vote per bit).
     "pl_d4_simhash" -> ((s, d) =>
