@@ -104,15 +104,19 @@ object TextOps {
       .withColumn("n_bpe_tokens",
         size(regexp_extract_all(col(textCol), lit(BpePattern), lit(0))).cast("bigint"))
 
-  /** Rolling-hash content fingerprint (Rabin-Karp / winnowing flavor):
-    * hash every k-char window, keep the minimum — robust to local edits
-    * like the shingle MinHash but at character grain. One projection.
+  /** Rolling-hash content fingerprint (Rabin-Karp winnowing): the
+    * minimum polynomial hash over every k-byte window — robust to
+    * local edits like the shingle MinHash but at character grain.
+    * A TRUE rolling recurrence via the native codegen expression
+    * [[graft.expressions.RollingMinHash]]: one O(n) primitive loop per
+    * document (the previous formulation paid an md5 digest per
+    * window). The oracle mirrors the same mod-2³¹−1 integer steps with
+    * literal power coefficients (PipelineQueries.rollingFpSql).
     */
   def withRollingFingerprint(df: DataFrame, k: Int = 16,
                              textCol: String = "text"): DataFrame =
     df.withColumn("rolling_fp",
-      array_min(transform(sequence(lit(0), length(col(textCol)) - k),
-        i => hash60(col(textCol).substr(i + 1, lit(k))))))
+      graft.expressions.RollingMinHash(col(textCol), k))
 
   /** Language ID, corpus-profile flavor: a training pass counts, per
     * (lang, token), how many labeled docs contain the token; scoring

@@ -44,6 +44,26 @@ object PipelineQueries {
   private def h60(e: String) =
     s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
 
+  /** Rabin-Karp winnowing fingerprint — mirrors
+    * graft.expressions.RollingMinHash bit-exactly: per window, the
+    * polynomial hash Σ byte_j · B^(k-1-j) mod M with the SAME B/M and
+    * literal power coefficients (single mod of the < 2^43 sum equals
+    * the expression's stepwise residue); min over windows. unicode() ==
+    * byte value on the ASCII corpus (max code point verified 121).
+    */
+  private val rollingFpSql: String = {
+    import graft.expressions.RollingMinHash.{B, M}
+    val k = 16
+    val pows = (0 until k).map { j => // B^(k-1-j) mod M
+      (0 until k - 1 - j).foldLeft(1L)((p, _) => p * B % M)
+    }
+    val terms = (0 until k).map { j =>
+      s"CAST(unicode(substr(text, CAST(i+${j + 1} AS INT), 1)) AS BIGINT) * ${pows(j)}"
+    }
+    s"""list_min(list_transform(range(len(text) - ${k - 1}),
+           i -> (${terms.mkString("\n                 + ")}) % $M))"""
+  }
+
   /** Integer-scaled embedding (mirrors Ann.scaled). */
   private val ivSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
@@ -326,8 +346,7 @@ object PipelineQueries {
       s"""SELECT doc_id,
                  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
                  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS n_bpe_tokens,
-                 list_min(list_transform(range(0, len(text) - 15),
-                   i -> ${h60("substring(text, CAST(i+1 AS INT), 16)")})) AS rolling_fp
+                 $rollingFpSql AS rolling_fp
           FROM documents""",
 
     "pl_d1_exact_clusters" ->
