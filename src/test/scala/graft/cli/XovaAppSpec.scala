@@ -104,6 +104,21 @@ class XovaAppSpec extends SparkSpec {
       s"accumulate-until-full should merge the gap: $nRunning vs $nGrid")
   }
 
+  test("E2 with --include-auto-correlations keeps autocorrs through the CLI") {
+    val out = "/tmp/graft_test/app_bda_auto"
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    XovaApp.run(spark, Arguments.parse(Seq(
+      "bda", ms, "-dc", "DATA:DATA", "-t", "90000",
+      "--include-auto-correlations", "-o", out, "--force")))
+    val main = spark.read.parquet(s"$out/main")
+    val auto = main.filter(col("ANTENNA1") === col("ANTENNA2"))
+    assert(auto.count() > 0, "autocorr rows missing from the CLI bda output")
+    // sizing stayed finite: every averaged row has a sane channel count
+    assert(main.filter(size(col("DATA")) < 1).count() == 0)
+    // and the written MS still conforms (ragged shapes resolve)
+    XovaApp.run(spark, Arguments.parse(Seq("check", out)))
+  }
+
   test("E3: xova check passes on the fixture MS") {
     XovaApp.run(spark, Arguments.parse(Seq("check", ms)))
   }
