@@ -102,6 +102,10 @@ object Arguments {
       var fl = Map.empty[String, String]
       var pos = Vector.empty[String]
       var bools = Set.empty[String]
+      // --boring disables the reference's rich colored progress output
+      // (arguments.py); this CLI's plain println logging is already
+      // "boring", so accepting it as a no-op IS the parity behavior —
+      // unlike data-selection flags, it cannot change results.
       val boolFlags = Set("--force", "--respect-flag-row", "-rfr",
         "--include-auto-correlations", "--average-uvw-coordinates",
         "--running-bins", "--boring")

@@ -228,6 +228,15 @@ class PipelineSpec extends SparkSpec {
     val kept = CorpusFilter.kept(docs, 0.7)
     assert(kept.count() > 0)
     assert(persisted == 0, "corpus filter left persisted blocks behind")
+    // the pl_d3 composition shape: pairs released once clusters exist
+    val clusters = {
+      val pairs = Dedup.nearDupPairs(docs, 0.7)
+      try Dedup.dupClusters(pairs) finally Caches.release(pairs)
+    }
+    assert(clusters.count() > 0)
+    assert(persisted == 1, "pl_d3 shape should hold only the cluster result")
+    Caches.release(clusters)
+    assert(persisted == 0)
     // dupClusters: result is materialized, all round state released
     val cl = Dedup.dupClusters(Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2"))
     assert(cl.count() == 3)
