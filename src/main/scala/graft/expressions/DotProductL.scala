@@ -88,6 +88,8 @@ object DotProductL {
   * to get `SELECT graft_dot(a, b)` in plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(DotProductL.registryEntry)
+    ext.injectFunction(RollingMinHash.registryEntry)
+  }
 }

@@ -82,6 +82,18 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("dup clusters: a 64-long chain resolves to one cluster") {
+    // worst case for plain propagation (diameter = n-1 rounds);
+    // pointer jumping must converge in ~log2(n) rounds
+    val n = 64L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val cl = Dedup.dupClusters(pairs)
+    assert(cl.count() == n)
+    assert(cl.select("cluster_rep").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(cl.filter(col("cluster_size") =!= n).count() == 0)
+    Caches.release(cl)
+  }
+
   test("dup clusters: two pairs sharing a doc form one 3-cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc1", "doc2")
     val cl = Dedup.dupClusters(pairs).orderBy("doc_id").collect()
