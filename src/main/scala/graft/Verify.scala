@@ -28,9 +28,14 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // pairs-style entries return a materialized (localCheckpoint'd)
+        // frame — drop its blocks now that it's on disk, or one block
+        // set per entry leaks for the session lifetime (ADVICE r6)
+        graft.pipeline.Caches.releaseQuiet(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

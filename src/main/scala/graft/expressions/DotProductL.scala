@@ -76,7 +76,13 @@ object DotProductL {
   val registryEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProductL].getName, "graft_dot"),
-    (children: Seq[Expression]) => DotProductL(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_TEMP_3100",
+          Map("message" -> s"graft_dot(a, b) takes 2 arguments, got ${children.length}"))
+      DotProductL(children(0), children(1))
+    })
 
   /** Register `graft_dot` for SQL use on an existing session. */
   def register(registry: FunctionRegistry): Unit =

@@ -51,9 +51,13 @@ case class RollingMinHash(child: Expression, k: Int)
   // empty window (len < k) produces no hash
   override def nullable: Boolean = true
 
+  // B^(k-1) computed once per expression instance, not once per row
+  // (k-1 modular multiplications otherwise re-run on every eval)
+  @transient private lazy val lead = RollingMinHash.leadPow(k)
+
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    RollingMinHash.minHash(bytes, k)
+    RollingMinHash.minHash(bytes, k, lead)
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -66,12 +70,13 @@ case class RollingMinHash(child: Expression, k: Int)
     val cls = RollingMinHash.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, c => {
       val bytes = ctx.freshName("bytes")
+      // lead coefficient baked in as a compile-time literal
       s"""
          |byte[] $bytes = $c.getBytes();
          |if ($bytes.length < $k) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $cls.minHashLong($bytes, $k);
+         |  ${ev.value} = $cls.minHashLong($bytes, $k, ${lead}L);
          |}
        """.stripMargin
     })
@@ -94,12 +99,14 @@ object RollingMinHash {
   }
 
   /** Boxed form for nullSafeEval (null when no window exists). */
-  def minHash(bytes: Array[Byte], k: Int): java.lang.Long =
-    if (bytes.length < k) null else java.lang.Long.valueOf(minHashLong(bytes, k))
+  def minHash(bytes: Array[Byte], k: Int, lead: Long): java.lang.Long =
+    if (bytes.length < k) null
+    else java.lang.Long.valueOf(minHashLong(bytes, k, lead))
 
-  /** The primitive kernel shared by eval and generated code. */
-  def minHashLong(bytes: Array[Byte], k: Int): Long = {
-    val lead = leadPow(k)
+  /** The primitive kernel shared by eval and generated code; `lead` is
+    * the pre-hoisted B^(k-1) mod M ([[leadPow]]).
+    */
+  def minHashLong(bytes: Array[Byte], k: Int, lead: Long): Long = {
     var h = 0L
     var i = 0
     while (i < k) { h = (h * B + (bytes(i) & 0xffL)) % M; i += 1 }
@@ -118,11 +125,34 @@ object RollingMinHash {
   def apply(text: Column, k: Int): Column =
     GraftSqlBridge.column(RollingMinHash(GraftSqlBridge.expression(text), k))
 
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_TEMP_3100", Map("message" -> msg))
+
   val registryEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_rolling_min_hash"),
     new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rolling_min_hash"),
-    (children: Seq[Expression]) => RollingMinHash(children(0),
-      children(1).eval(null).asInstanceOf[Int]))
+    (children: Seq[Expression]) => {
+      // validate here, not via runtime ClassCastException: a SQL call
+      // with the wrong arity, a non-literal k, or a BIGINT/SMALLINT
+      // literal k must fail analysis with a message, not crash
+      if (children.length != 2) analysisError(
+        s"graft_rolling_min_hash(text, k) takes 2 arguments, got ${children.length}")
+      val kExpr = children(1)
+      if (!kExpr.foldable) analysisError(
+        "graft_rolling_min_hash: window size k must be a literal")
+      val k: Long = kExpr.eval(null) match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long    => l.longValue
+        case s: java.lang.Short   => s.longValue
+        case b: java.lang.Byte    => b.longValue
+        case other => analysisError(
+          s"graft_rolling_min_hash: window size k must be an integral literal, got $other")
+      }
+      if (k < 1 || k > 64) analysisError(
+        s"graft_rolling_min_hash: window size $k out of range [1, 64]")
+      RollingMinHash(children(0), k.toInt)
+    })
 
   /** Register for SQL use on an existing session. */
   def register(registry: FunctionRegistry): Unit =

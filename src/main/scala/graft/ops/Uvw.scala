@@ -76,10 +76,37 @@ object Uvw {
       baselineUvw(p(0) - q(0), p(1) - q(1), p(2) - q(2), ra, dec, t).toSeq
     })
 
-  /** Collect the ANTENNA POSITION map (tiny dimension table). */
-  def positionMap(antenna: DataFrame): Map[Int, Array[Double]] =
-    antenna.select("ANTENNA_ID", "POSITION").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+  /** Collect the ANTENNA POSITION map (tiny dimension table),
+    * validating the position measure the way the reference does
+    * (fixvis.py:206-210 reads the POSITION column's QuantumUnits +
+    * MEASINFO.Ref keywords): the geometry above assumes ITRF metres, so
+    * an ANTENNA table that DECLARES another frame or unit — via the
+    * optional POSITION_FRAME (string) / POSITION_UNITS (array<string>)
+    * columns, our parquet stand-in for the casacore column keywords —
+    * is rejected instead of yielding silently wrong UVWs. Tables
+    * without the declaration columns are taken as ITRF metres (the MS
+    * convention, and what the fixture generator writes).
+    */
+  def positionMap(antenna: DataFrame): Map[Int, Array[Double]] = {
+    val cols = antenna.columns.toSet
+    val rows = antenna.select(
+      col("ANTENNA_ID"), col("POSITION"),
+      (if (cols("POSITION_FRAME")) col("POSITION_FRAME")
+       else lit("ITRF")).as("_frame"),
+      (if (cols("POSITION_UNITS")) col("POSITION_UNITS")
+       else array(lit("m"), lit("m"), lit("m"))).as("_units")).collect()
+    rows.foreach { r =>
+      val frame = r.getString(2)
+      require(frame != null && frame.equalsIgnoreCase("ITRF"),
+        s"ANTENNA ${r.getInt(0)}: POSITION frame '$frame' is not ITRF — " +
+          "refusing to synthesize UVWs from a non-ECEF frame")
+      val units = r.getSeq[String](3)
+      require(units == Seq("m", "m", "m"),
+        s"ANTENNA ${r.getInt(0)}: POSITION units [${units.mkString(", ")}] " +
+          "are not metres — refusing to synthesize UVWs")
+    }
+    rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+  }
 
   /** Adds SYNTH_UVW to a main-table frame: per-row recomputation from
     * TIME_CENTROID + the FIELD phase centre (broadcast join on the tiny

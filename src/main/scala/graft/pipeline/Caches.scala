@@ -33,22 +33,41 @@ object Caches {
   def release(df: DataFrame): Unit =
     persistedRdd(df).foreach(_.unpersist(blocking = false))
 
-  /** The persisted RDD inside a materialized frame's physical plan:
-    * the first storage-levelled RDD on the dependency walk. (After
-    * localCheckpoint the LINEAGE root is a storage-less placeholder
-    * LocalCheckpointRDD — the persisted node sits one level above it,
-    * so "walk to the root" would find the wrong RDD.)
+  /** [[release]] for blanket sweeps over frames that may or may not be
+    * materialized (Verify/Bench run every queries() entry, only some of
+    * which return checkpointed pair lists): quietly a no-op when the
+    * frame holds no persisted node.
     */
-  private[pipeline] def persistedRdd(
-      ds: DataFrame): Option[org.apache.spark.rdd.RDD[_]] = {
-    @annotation.tailrec
-    def walk(r: org.apache.spark.rdd.RDD[_]): Option[org.apache.spark.rdd.RDD[_]] =
-      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        Some(r)
-      else r.dependencies.headOption match {
-        case Some(d) => walk(d.rdd)
-        case None    => None
+  def releaseQuiet(df: DataFrame): Unit =
+    persistedRdd(df, quiet = true).foreach(_.unpersist(blocking = false))
+
+  /** The persisted RDD inside a materialized frame's physical plan:
+    * the first storage-levelled RDD on a breadth-first dependency walk.
+    * (After localCheckpoint the LINEAGE root is a storage-less
+    * placeholder LocalCheckpointRDD — the persisted node sits one level
+    * above it, so "walk to the root" would find the wrong RDD. BFS over
+    * ALL dependencies, not just the first: a branchy physical plan —
+    * union, zipped join — would otherwise silently hide the persisted
+    * node and turn release() into a leak with no signal.)
+    */
+  private[pipeline] def persistedRdd(ds: DataFrame,
+      quiet: Boolean = false): Option[org.apache.spark.rdd.RDD[_]] = {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val queue = scala.collection.mutable.Queue[org.apache.spark.rdd.RDD[_]](
+      ds.queryExecution.toRdd)
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      if (seen.add(r.id)) {
+        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          return Some(r)
+        queue.enqueueAll(r.dependencies.map(_.rdd))
       }
-    walk(ds.queryExecution.toRdd)
+    }
+    // A release() on a frame with no persisted node is a likely caller
+    // bug (the blocks it meant to drop live elsewhere) — say so.
+    if (!quiet) System.err.println(
+      "[graft.Caches] release: no storage-levelled RDD found in plan — " +
+        "frame was not materialized (no-op)")
+    None
   }
 }

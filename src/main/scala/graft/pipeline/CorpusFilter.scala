@@ -17,33 +17,31 @@ import org.apache.spark.sql.functions._
   *      both rules never keep two docs that pair with each other).
   *
   * Composition adds two joins on top of the stages' own audited plans:
-  * a shuffle semi-join against the keeper set (corpus-scale — NOT
-  * broadcast) and an anti-join against the pair-loser set. The loser
-  * set (∝ verified dup pairs) is pulled to the driver as a local
-  * relation: that is the same "fits one node" bound a broadcast join
-  * needs anyway, and it lets [[Dedup.nearDupPairs]]'s materialized pair
-  * blocks be released immediately — after `kept` returns, the pipeline
-  * holds ZERO persisted blocks (asserted by PipelineSpec). A corpus
-  * whose loser set outgrows the driver should compose nearDupPairs +
-  * a distributed anti-join directly instead.
+  * a shuffle semi-join against the keeper set and a shuffle anti-join
+  * against the pair-loser set — both corpus-scale sides, NEITHER pulled
+  * to the driver nor force-broadcast (on crawl corpora near-dup losers
+  * are a large fraction of all docs; AQE may still demote either join
+  * to broadcast when the runtime size warrants). The whole composition
+  * is ONE lazy plan over nearDupPairsPlan's staged signature cache; the
+  * (doc_id, n_tokens)-narrow result is materialized and the staging
+  * cache released before returning, so after `kept` returns the
+  * pipeline holds only the result blocks — hand those to
+  * [[Caches.release]] when done (asserted by PipelineSpec). The
+  * operator is also id-schema-agnostic: loser ids never leave the plan.
   */
 object CorpusFilter {
 
-  /** Kept documents as (doc_id, n_tokens). */
+  /** Kept documents as (doc_id, n_tokens), materialized (see above). */
   def kept(docs: DataFrame, minJaccard: Double = 0.7): DataFrame = {
     val q = TextOps.withQuality(docs)
     val exactKeepers = Dedup.exactClusters(docs)
       .select(col("keeper").as("doc_id")).distinct()
-    val pairs = Dedup.nearDupPairs(docs, minJaccard)
-    val loserIds =
-      try pairs.select(col("doc2")).distinct().collect().map(_.getLong(0))
-      finally Caches.release(pairs)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val nearDupLosers = loserIds.toSeq.toDF("doc_id")
-    q.filter(col("keep"))
+    val (pairs, sigs) = Dedup.nearDupPairsPlan(docs, minJaccard, 0)
+    val nearDupLosers = pairs.select(col("doc2").as("doc_id")).distinct()
+    val out = q.filter(col("keep"))
       .join(exactKeepers, Seq("doc_id"), "semi")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .select("doc_id", "n_tokens")
+    try Caches.materialize(out) finally sigs.unpersist(blocking = false)
   }
 }

@@ -127,7 +127,10 @@ object Dedup {
         if (nOver > 0) println(
           s"[dedup] $nOver LSH bucket(s) over cap $maxBucketSize excluded " +
             "from the candidate join (recall accounting — see Scaladoc)")
-        bdAll.join(broadcast(over.select("band_id", "band_hash")),
+        // over-cap bucket set is <= corpus/cap rows — usually tiny, but
+        // no forced broadcast: AQE demotes the anti-join to broadcast
+        // when it IS tiny and shuffles when it isn't
+        bdAll.join(over.select("band_id", "band_hash"),
           Seq("band_id", "band_hash"), "left_anti")
       }
     val cand = bd.as("x")
@@ -236,8 +239,12 @@ object Dedup {
     * universe. Cost is Σ df² over kept grams, NOT corpus² — bounded by
     * the document-frequency cap: grams present in more than `maxDf`
     * docs are stop-grams (boilerplate), excluded from the index the way
-    * every production inverted index drops stopwords. The over-cap gram
-    * set is vocabulary-bounded, hence broadcastable at any corpus size.
+    * every production inverted index drops stopwords. On a web-scale
+    * corpus the over-cap gram set is MOST of the vocabulary (billions
+    * of rows), so the filter deliberately carries no broadcast hint:
+    * postings inner-join the under-cap gram set from the df aggregate
+    * (a gram-keyed shuffle join AQE may demote to broadcast when the
+    * set happens to be small — never forced).
     * Jaccard is computed over the FILTERED universe on both sides of
     * the oracle contract, so the result is exact, not approximate.
     */
@@ -257,9 +264,9 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("_tk"), n))).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val over = grams.groupBy("gram").agg(count(lit(1)).as("_DF"))
-      .filter(col("_DF") > maxDf).select("gram")
-    val kept = grams.join(broadcast(over), Seq("gram"), "left_anti")
+    val under = grams.groupBy("gram").agg(count(lit(1)).as("_DF"))
+      .filter(col("_DF") <= maxDf).select("gram")
+    val kept = grams.join(under, Seq("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = kept.as("x").join(kept.as("y"), "gram")

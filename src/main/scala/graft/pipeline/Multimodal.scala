@@ -16,8 +16,9 @@ import java.nio.file.{Files, Paths}
   * generator byte layout (24bpp BMP stores the raw BGR pixel array at
   * offset 54; widths are multiples of 4 so rows carry no padding).
   * Audio payloads are treated as unsigned-8-bit PCM, where decode IS
-  * the identity over payload bytes. The only remaining declared fake is
-  * [[withEmbedding]] (hash-derived vectors standing in for a model).
+  * the identity over payload bytes. [[withEmbedding]] derives its
+  * vectors from the decoded content (strided sample sums), so the
+  * multimodal→ANN chain is content-based end to end.
   *
   * The decode/resample steps are Scala UDFs of necessity — a codec is
   * imperative JVM code, not a Catalyst expression — but remain pure
@@ -211,28 +212,71 @@ object Multimodal {
 
   /** Frame/window sampling: explode audio payloads into fixed-size
     * windows (UDTF shape — one row per window, batch-friendly).
+    *
+    * `hex(payload)` is STAGED once per doc before the explode: inlined
+    * in the per-window `substr` it would re-encode the whole payload for
+    * every exploded row — O(payload × windows) per doc. The no-CSE
+    * staging pitfall documented for lambdas applies to the
+    * explode/substr shape too: stage shared subexpressions BELOW the
+    * Generate, where they run once per input row.
     */
   def audioWindows(df: DataFrame, windowBytes: Int): DataFrame =
     df.filter(col("kind") === "audio")
-      .select(col("media_id"), col("sample_rate"), col("payload"),
+      .withColumn("_hexp", hex(col("payload")))
+      .select(col("media_id"), col("sample_rate"), col("_hexp"),
         posexplode(sequence(lit(0),
-          ceil(length(col("payload")) / lit(windowBytes.toDouble)).cast("int") - 1))
+          ceil((length(col("_hexp")) / 2) / lit(windowBytes.toDouble))
+            .cast("int") - 1))
           .as(Seq("win_idx", "_w")))
-      .withColumn("win_payload", unhex(hex(col("payload"))
+      .withColumn("win_payload", unhex(col("_hexp")
         .substr(col("win_idx") * (2 * windowBytes) + 1, lit(2 * windowBytes))))
       .withColumn("win_bytes", length(col("win_payload")).cast("long"))
-      .drop("_w", "payload")
+      .drop("_w", "_hexp")
 
-  /** Embedding-stub: hash-derived integer vector keyed by the payload
-    * checksum — plugs multimodal rows straight into the ANN operators.
-    * (The one remaining declared fake: stands in for a model forward
-    * pass; the checksum keying means identical payloads embed
-    * identically, which is the property the ANN stage exercises.)
+  /** CONTENT-DERIVED embedding: feature k is the exact sum of sample
+    * values at stream positions ≡ k (mod `dim`). The sample stream is
+    * the REAL imageio decode in (y top-down, x, BGR) traversal for
+    * image rows — the same order as [[resampled]]'s fingerprint, so the
+    * DuckDB oracle replays it from the raw BMP byte layout — and the
+    * u8-PCM payload bytes for audio rows. Deterministic, exactly
+    * oracle-reproducible, and genuinely content-sensitive (any payload
+    * byte change moves a feature); a model forward pass slots in here
+    * in production with the same schema.
     */
-  def withEmbedding(df: DataFrame, dim: Int = 16): DataFrame =
-    // checksum staged before the lambda (re-evaluated per element if inlined)
-    df.withColumn("_ck", md5(hex(col("payload"))))
-      .withColumn("iv", transform(sequence(lit(0), lit(dim - 1)),
-        k => TextOps.hash60(concat(col("_ck"), lit("|"), k)) % 20001L - 10000L))
-      .drop("_ck")
+  private def imageFeatures(dim: Int) = udf { bytes: Array[Byte] =>
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val acc = new Array[Long](dim)
+      var i = 0; var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          var c = 0
+          while (c < 3) { // c=0 blue, 1 green, 2 red — BMP byte order
+            acc(i % dim) += (rgb >> (8 * c)) & 0xff
+            i += 1; c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(acc)
+    }
+  }
+
+  def withEmbedding(df: DataFrame, dim: Int = 16): DataFrame = {
+    // hex + byte array staged as columns (inlined inside the lambdas
+    // below they would re-run per element); image rows skip the hex
+    val strided = transform(sequence(lit(0), lit(dim - 1)), k =>
+      aggregate(filter(col("_bv"), (v, i) => i % dim === k),
+        lit(0L), (a, v) => a + v))
+    df.withColumn("_hexp", when(col("kind") === "audio", hex(col("payload"))))
+      .withColumn("_bv", byteValues(col("_hexp")))
+      .withColumn("iv",
+        when(col("kind") === "image", imageFeatures(dim)(col("payload")))
+          .otherwise(strided))
+      .drop("_hexp", "_bv")
+  }
 }

@@ -122,9 +122,14 @@ object TextOps {
     * (lang, token), how many labeled docs contain the token; scoring
     * sums those counts over a doc's distinct tokens and argmaxes
     * (ties → lexicographically smallest lang). The profile is a
-    * lang×vocab table — tiny, so the scoring join is a broadcast; the
-    * only shuffle at 100 TB is the profile-building aggregate itself.
-    * Returns (doc_id, lang, pred_lang).
+    * lang×vocab table — usually broadcast-sized, but vocab on a crawl
+    * corpus is NOT bounded, so the scoring join carries no forced
+    * broadcast hint: below `spark.sql.autoBroadcastJoinThreshold` AQE
+    * demotes it to a broadcast join (measured, not estimated — the
+    * profile sits behind its own shuffle stage), above it the join
+    * falls back to a token-keyed shuffle join, which is the correct
+    * 100 TB plan for an oversized profile. Returns
+    * (doc_id, lang, pred_lang).
     */
   def languageId(docs: DataFrame): DataFrame = {
     // The exploded token frame feeds BOTH the profile build and the
@@ -140,7 +145,7 @@ object TextOps {
       .groupBy(col("lang").as("p_lang"), col("tok"))
       .agg(count(lit(1)).as("w"))
     val scored = docTok.drop("lang")
-      .join(broadcast(profile), "tok")
+      .join(profile, "tok")
       .groupBy("doc_id", "p_lang")
       .agg(sum("w").as("score"))
     val w = org.apache.spark.sql.expressions.Window

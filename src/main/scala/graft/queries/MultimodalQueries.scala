@@ -63,8 +63,10 @@ object MultimodalQueries {
           countDistinct(col("media_id")).as("n_media"),
           max(col("win_idx")).as("max_win_idx"))),
 
-    // M4: embedding-stub + exact top-k by integer dot product — binary
-    // rows flowing into the similarity-search operators.
+    // M4: content-derived embeddings (strided sample sums over the REAL
+    // decode — see Multimodal.withEmbedding) + exact top-k by integer
+    // dot product — binary rows flowing into the similarity-search
+    // operators with features the oracle recomputes from the raw bytes.
     "mm_m4_media_ann" -> ((s, _) => {
       val v = Multimodal.withEmbedding(media(s))
         .select(col("media_id"), col("iv"))
@@ -142,11 +144,31 @@ object MultimodalQueries {
                  max(win_idx) AS max_win_idx
           FROM w GROUP BY 1""",
 
+    // Embedding replayed from the generator byte layout: image sample
+    // stream position i maps to pixel (i//3) in (y top-down, x) order
+    // with channel i%3 (BGR) — BMP rows stored bottom-up, pixel array at
+    // offset 54 — audio stream = payload bytes; feature k sums stream
+    // positions ≡ k (mod 16).
     "mm_m4_media_ann" ->
       s"""WITH v AS (
             SELECT media_id,
-                   [CAST('0x' || substring(md5(md5(hex(payload)) || '|' || i), 1, 15) AS BIGINT)
-                      % 20001 - 10000 for i in range(16)] AS iv
+                   CASE WHEN kind = 'image' THEN
+                     list_transform(range(16), k ->
+                       CAST(list_sum(list_transform(range(3*width*height), i ->
+                         CASE WHEN i % 16 = k THEN
+                           CAST('0x' || substr(hex(payload),
+                             CAST(2*(54 + ((height - 1 - (i//3)//width) * width
+                                           + (i//3)%width) * 3 + (i%3)) + 1
+                                  AS INT), 2) AS BIGINT)
+                         ELSE 0 END)) AS BIGINT))
+                   ELSE
+                     list_transform(range(16), k ->
+                       CAST(list_sum(list_transform(range(octet_length(payload)), i ->
+                         CASE WHEN i % 16 = k THEN
+                           CAST('0x' || substr(hex(payload),
+                             CAST(2*i + 1 AS INT), 2) AS BIGINT)
+                         ELSE 0 END)) AS BIGINT))
+                   END AS iv
             FROM $mediaPq),
           scored AS (
             SELECT p.media_id AS probe_id, c.media_id AS neighbor_id,

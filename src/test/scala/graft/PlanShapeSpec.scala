@@ -65,6 +65,28 @@ class PlanShapeSpec extends SparkSpec {
     finally staged.foreach(_.unpersist(blocking = false))
   }
 
+  test("n-gram Jaccard postings filter never forces a broadcast") {
+    // The under-cap gram set is NOT vocabulary-bounded at corpus scale —
+    // the plan must leave the join strategy to AQE (shuffle join legal,
+    // broadcast only when the set is measured small), never hint it.
+    val (out, staged) = Dedup.ngramJaccardPairsPlan(docs, 4, 3, 0.5)
+    try {
+      val logical = out.queryExecution.analyzed.toString()
+      assert(!logical.contains("ResolvedHint"),
+        s"ngramJaccardPairs carries a forced join-strategy hint:\n$logical")
+    } finally staged.foreach(_.unpersist(blocking = false))
+  }
+
+  test("languageId scoring join never forces a profile broadcast") {
+    // lang×vocab is unbounded on crawl corpora: AQE may demote the
+    // scoring join to broadcast when the profile measures small, but
+    // the plan must not force it
+    val logical = graft.pipeline.TextOps.languageId(docs)
+      .queryExecution.analyzed.toString()
+    assert(!logical.contains("ResolvedHint"),
+      s"languageId carries a forced join-strategy hint:\n$logical")
+  }
+
   test("simhash pigeonhole pairing never plans an all-pairs join") {
     val (out, sh) = Dedup.simhashPairsPlan(docs, 3, 4)
     try assertNoAllPairs(plan(out), "simhashPairs")

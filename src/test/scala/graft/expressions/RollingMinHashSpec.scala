@@ -68,6 +68,30 @@ class RollingMinHashSpec extends SparkSpec {
     assert(fps(0) <= aWindow && fps(1) <= aWindow)
   }
 
+  test("SQL registry: INT and BIGINT literal k accepted, junk fails analysis") {
+    RollingMinHash.register(spark.sessionState.functionRegistry)
+    val text = "the quick brown fox jumps over the lazy dog"
+    Seq(text).toDF("text").createOrReplaceTempView("rmh_docs")
+    def one(sql: String): Long = spark.sql(sql).collect()(0).getLong(0)
+    val int16 = one("SELECT graft_rolling_min_hash(text, 16) FROM rmh_docs")
+    assert(Some(int16) == brute(text, 16))
+    // BIGINT (and any integral) literal k must work, not ClassCastException
+    assert(one("SELECT graft_rolling_min_hash(text, CAST(16 AS BIGINT)) FROM rmh_docs") == int16)
+    assert(one("SELECT graft_rolling_min_hash(text, CAST(16 AS SMALLINT)) FROM rmh_docs") == int16)
+    def fails(sql: String, needle: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(sql).collect())
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    fails("SELECT graft_rolling_min_hash(text) FROM rmh_docs", "2 arguments")
+    fails("SELECT graft_rolling_min_hash(text, 'x') FROM rmh_docs", "integral literal")
+    fails("SELECT graft_rolling_min_hash(text, 0) FROM rmh_docs", "out of range")
+    fails("SELECT graft_rolling_min_hash(text, CAST(999 AS BIGINT)) FROM rmh_docs",
+      "out of range")
+    fails("SELECT graft_rolling_min_hash(text, length(text)) FROM rmh_docs",
+      "must be a literal")
+  }
+
   test("hash values stay within [0, M)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mm = docs.select(RollingMinHash(col("text"), 16).as("fp"))

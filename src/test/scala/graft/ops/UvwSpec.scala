@@ -81,6 +81,26 @@ class UvwSpec extends SparkSpec {
     assert(e.getMessage.contains("NUM_POLY"))
   }
 
+  test("mislabeled ANTENNA POSITION measure is rejected, not miscomputed") {
+    // mirrors fixvis.py:206-210 — the reference reads QuantumUnits +
+    // MEASINFO.Ref and hands them to casacore; our geometry ASSUMES
+    // ITRF metres, so a table declaring otherwise must raise
+    val wrongFrame = Seq((0, Seq(0.0, 0.0, 0.0), "WGS84", Seq("m", "m", "m")))
+      .toDF("ANTENNA_ID", "POSITION", "POSITION_FRAME", "POSITION_UNITS")
+    val e1 = intercept[IllegalArgumentException](Uvw.positionMap(wrongFrame))
+    assert(e1.getMessage.contains("WGS84"))
+    val wrongUnits = Seq((0, Seq(0.0, 0.0, 0.0), "ITRF", Seq("km", "km", "km")))
+      .toDF("ANTENNA_ID", "POSITION", "POSITION_FRAME", "POSITION_UNITS")
+    val e2 = intercept[IllegalArgumentException](Uvw.positionMap(wrongUnits))
+    assert(e2.getMessage.contains("km"))
+    // correctly-declared and undeclared (MS-default) tables both pass
+    val ok = Seq((0, Seq(1.0, 2.0, 3.0), "itrf", Seq("m", "m", "m")))
+      .toDF("ANTENNA_ID", "POSITION", "POSITION_FRAME", "POSITION_UNITS")
+    assert(Uvw.positionMap(ok)(0).toSeq == Seq(1.0, 2.0, 3.0))
+    val bare = Seq((0, Seq(1.0, 2.0, 3.0))).toDF("ANTENNA_ID", "POSITION")
+    assert(Uvw.positionMap(bare)(0).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
   test("fixms replaces main in place — no main_fixed left behind") {
     val root = "/tmp/graft_test/fixms_swap"
     val fs = org.apache.hadoop.fs.FileSystem

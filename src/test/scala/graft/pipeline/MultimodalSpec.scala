@@ -89,14 +89,40 @@ class MultimodalSpec extends SparkSpec {
     assert(w.map(_.getAs[Int]("win_idx")).toSeq == Seq(0, 1, 2))
   }
 
-  test("embedding stub: deterministic, dim 16, bounded coefficients") {
-    val df = payloadDf(Array[Byte](1, 2, 3))
-    val iv1 = Multimodal.withEmbedding(df).select("iv")
+  test("content embedding, audio: strided sums of PCM bytes") {
+    // stream = payload bytes; feature k sums positions ≡ k (mod 16)
+    val p = Array.tabulate[Byte](20)(i => (i + 1).toByte) // 1..20
+    val iv = Multimodal.withEmbedding(payloadDf(p)).select("iv")
       .as[Seq[Long]].collect()(0)
-    val iv2 = Multimodal.withEmbedding(df).select("iv")
+    assert(iv.length == 16)
+    // k=0..3 see positions {k, k+16}: (k+1) + (k+17); k=4..15 just k+1
+    val expected = (0 until 16).map(k => if (k < 4) 2L * k + 18 else k + 1L)
+    assert(iv == expected)
+  }
+
+  test("content embedding, image: strided sums over the decoded (y,x,BGR) stream") {
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    val px = Seq( // (x, y, r, g, b)
+      (0, 0, 1, 2, 3), (1, 0, 4, 5, 6), (0, 1, 7, 8, 9), (1, 1, 10, 11, 12))
+    px.foreach { case (x, y, r, g, b) => img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    val iv = Multimodal.withEmbedding(
+      payloadDf(bmpBytes(img), kind = "image", w = 2, h = 2)).select("iv")
       .as[Seq[Long]].collect()(0)
-    assert(iv1 == iv2)
-    assert(iv1.length == 16)
-    assert(iv1.forall(v => v >= -10000 && v <= 10000))
+    val acc = new Array[Long](16)
+    var i = 0
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val (_, _, r, g, b) = px.find(p => p._1 == x && p._2 == y).get
+      for (v <- Seq(b, g, r)) { acc(i % 16) += v; i += 1 }
+    }
+    assert(iv == acc.toSeq)
+  }
+
+  test("content embedding is content-SENSITIVE: one byte moves a feature") {
+    val a = Multimodal.withEmbedding(payloadDf(Array[Byte](1, 2, 3)))
+      .select("iv").as[Seq[Long]].collect()(0)
+    val b = Multimodal.withEmbedding(payloadDf(Array[Byte](1, 9, 3)))
+      .select("iv").as[Seq[Long]].collect()(0)
+    assert(a != b)
+    assert(a.zip(b).count { case (x, y) => x != y } == 1) // only k=1 moved
   }
 }

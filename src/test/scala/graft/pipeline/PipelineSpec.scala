@@ -236,10 +236,14 @@ class PipelineSpec extends SparkSpec {
       Caches.release(out)
       assert(persisted == 0, s"$name result blocks not releasable")
     }
-    // the composed corpus filter consumes + releases everything itself
+    // the composed corpus filter releases its staging internally and
+    // returns a materialized result (distributed loser anti-join — no
+    // driver collect), releasable like the pair ops
     val kept = CorpusFilter.kept(docs, 0.7)
     assert(kept.count() > 0)
-    assert(persisted == 0, "corpus filter left persisted blocks behind")
+    assert(persisted == 1, "corpus filter should hold only its result")
+    Caches.release(kept)
+    assert(persisted == 0, "corpus filter result blocks not releasable")
     // the pl_d3 composition shape: pairs released once clusters exist
     val clusters = {
       val pairs = Dedup.nearDupPairs(docs, 0.7)
