@@ -36,10 +36,16 @@ object Caches {
   /** [[release]] for blanket sweeps over frames that may or may not be
     * materialized (Verify/Bench run every queries() entry, only some of
     * which return checkpointed pair lists): quietly a no-op when the
-    * frame holds no persisted node.
+    * frame is not a [[materialize]]d one. The check is on the ANALYZED
+    * plan (localCheckpoint leaves a LogicalRDD root) — peeking at
+    * `queryExecution.toRdd` instead would silently re-run the whole
+    * optimizer/planner on every lazy frame, seconds of driver CPU per
+    * complex plan (measured: ~+20 % on the full bench).
     */
   def releaseQuiet(df: DataFrame): Unit =
-    persistedRdd(df, quiet = true).foreach(_.unpersist(blocking = false))
+    if (df.queryExecution.analyzed.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD])
+      persistedRdd(df, quiet = true).foreach(_.unpersist(blocking = false))
 
   /** The persisted RDD inside a materialized frame's physical plan:
     * the first storage-levelled RDD on a breadth-first dependency walk.
