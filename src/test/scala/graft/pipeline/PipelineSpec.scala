@@ -94,6 +94,23 @@ class PipelineSpec extends SparkSpec {
     Caches.release(cl)
   }
 
+  test("persistedRdd walks ALL dependencies; releaseQuiet skips lazy frames") {
+    // branchy plan with the persisted node on the SECOND branch: a
+    // head-only dependency walk would miss it and leak (ADVICE r6)
+    val lazyDf = Seq(2L).toDF("x")
+    val mat = Caches.materialize(Seq(1L).toDF("x"))
+    val branchy = lazyDf.union(mat)
+    assert(Caches.persistedRdd(branchy, quiet = true).isDefined,
+      "persisted node on a non-head branch was not found")
+    // blanket-sweep release: a no-op (no planner run, no exception) on
+    // frames that were never materialized, a real release on ones that were
+    Caches.releaseQuiet(lazyDf)
+    Caches.releaseQuiet(mat)
+    assert(Caches.persistedRdd(mat, quiet = true)
+      .forall(_.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "releaseQuiet did not drop a materialized frame's blocks")
+  }
+
   test("dup clusters: two pairs sharing a doc form one 3-cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc1", "doc2")
     val cl = Dedup.dupClusters(pairs).orderBy("doc_id").collect()
