@@ -148,6 +148,44 @@ object StreamingQueries {
       rm(tmp)
       s.createDataFrame(
         java.util.Arrays.asList(out: _*), s.table(name).schema)
+    }),
+
+    // Streaming exact-dedup: the pl_d1 keeper rule run by the streaming
+    // engine. The corpus is split into 4 files streamed one per
+    // micro-batch, so copies of the same content arrive in different
+    // batches and the dedup state (count + min-keeper per content hash)
+    // must merge in the state store — the continuous-ingest form of the
+    // one-shuffle batch dedup. Oracle: the SAME SQL as
+    // pl_d1_exact_clusters — streaming must reproduce batch exactly.
+    "st4_stream_dedup" -> ((s, d) => {
+      import java.io.File
+      import java.nio.file.Files
+      val name = "graft_st4_sink"
+      val docs = Tables.documents(s, d)
+      val tmp = Files.createTempDirectory("graft_st4").toFile
+      val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
+      val staging = new File(tmp, "staging")
+      docs.repartition(4).write.parquet(staging.getAbsolutePath)
+      staging.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath,
+            new File(streamDir, f"$i%03d_docs.parquet").toPath)
+        }
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.getAbsolutePath)
+      val dedup = graft.streaming.EventStream.exactClusters(src)
+      s.catalog.dropTempView(name)
+      val q = dedup.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val out = s.table(name).collect()
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+      s.createDataFrame(
+        java.util.Arrays.asList(out: _*), s.table(name).schema)
     })
   )
 
@@ -165,6 +203,13 @@ object StreamingQueries {
 
     // Identical to the batch ev1 oracle — the stateful streaming
     // sessionizer must reproduce the batch session_window plan exactly.
-    "st3_stream_sessions" -> EventQueries.sessionizeOracleSql
+    "st3_stream_sessions" -> EventQueries.sessionizeOracleSql,
+
+    // Identical to the batch pl_d1 oracle — the streaming dedup state
+    // must merge to the same clusters the batch shuffle produces.
+    "st4_stream_dedup" ->
+      """SELECT md5(text) AS md5_fp, CAST(count(*) AS BIGINT) AS n_copies,
+                min(doc_id) AS keeper
+         FROM documents GROUP BY 1"""
   )
 }

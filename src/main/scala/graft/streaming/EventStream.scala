@@ -88,6 +88,19 @@ object EventStream {
       }
   }
 
+  /** Streaming exact-dedup — [[graft.pipeline.Dedup.exactClusters]]'s
+    * keeper rule (md5 groupBy, keeper = min doc_id) executed by the
+    * streaming engine: the state store carries one (count, min) partial
+    * per content hash, merged across micro-batches, so copies of the
+    * same document arriving in DIFFERENT batches still collapse to one
+    * keeper — the continuous-ingest form of corpus dedup. Complete
+    * mode; state is bounded by the distinct-content count, the same
+    * md5-keyed cardinality the batch shuffle carries.
+    */
+  def exactClusters(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("md5_fp"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+
   /** Arbitrary stateful processing: running per-user totals via
     * mapGroupsWithState (the custom-state escape hatch for semantics
     * windowed aggregation can't express).

@@ -83,6 +83,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup merges duplicate content across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.exactClusters(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup1")
+      .outputMode("complete").start()
+    try {
+      in.addData((10L, "aaa"), (3L, "bbb"))
+      q.processAllAvailable()
+      // batch 2 carries a copy of batch-1 content with a SMALLER id:
+      // the state store must merge count and re-minimize the keeper
+      in.addData((5L, "aaa"), (7L, "ccc"))
+      q.processAllAvailable()
+      val r = spark.table("dedup1").orderBy("keeper").collect()
+        .map(x => (x.getAs[Long]("keeper"), x.getAs[Long]("n_copies"))).toSeq
+      assert(r == Seq((3L, 1L), (5L, 2L), (7L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming visibility averaging equals the batch kernel bit-for-bit") {
     // st2 streams the MS main table one file per micro-batch (bins span
     // batches → real state-store accumulation) and must reproduce the
