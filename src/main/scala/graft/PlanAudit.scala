@@ -40,6 +40,25 @@ object PlanAudit {
       Bda.averagedMain(MsTables.main(spark), MsTables.spw(spark),
         MsTables.ddid(spark), Bda.Args()))
 
+    // LLM-pipeline sublinear paths: verify the joins the r7 changes
+    // left to AQE plan sanely — no cartesian, no forced-broadcast hint
+    // (the initial plan may show a shuffle join that AQE later demotes
+    // to broadcast when the runtime size warrants; both are legal)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def auditPipeline(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString()
+      val hints = df.queryExecution.analyzed.toString()
+        .linesIterator.count(_.contains("ResolvedHint"))
+      println(s"== $name: cartesian=${p.contains("CartesianProduct")} " +
+        s"forced-hints=$hints " +
+        s"single-partition-exchanges=${p.linesIterator.count(_.contains("Exchange SinglePartition"))}")
+      if (args.contains("-v")) println(p)
+    }
+    val (ngOut, ngStaged) = graft.pipeline.Dedup.ngramJaccardPairsPlan(docs, 4, 3, 0.5)
+    try auditPipeline("ngramJaccardPairs", ngOut)
+    finally ngStaged.foreach(_.unpersist(blocking = false))
+    auditPipeline("languageId", graft.pipeline.TextOps.languageId(docs))
+
     // partition pruning on a WRITTEN output MS: a field selection must
     // show up as a PartitionFilter, not a data filter
     val out = "/tmp/graft_audit/tc_out"
