@@ -283,6 +283,65 @@ object Dedup {
     (out, Seq(kept, grams))
   }
 
+  /** Duplicate-span removal — substring-grain dedup in the spirit of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2021): every duplicated token k-gram keeps only its
+    * globally FIRST occurrence (min (doc_id, pos)); all other
+    * occurrences have their k covered token positions dropped, and the
+    * document text is reconstructed without them. Catches the
+    * boilerplate/quote reuse that document-grain dedup (exact or
+    * near-dup) cannot see.
+    *
+    * Returns (doc_id, n_tokens, n_dropped, dedup_text) — every input
+    * doc appears, untouched docs with n_dropped = 0.
+    *
+    * Scale design: the reference implementation of span dedup is a
+    * single-node suffix array; this is the shuffle-native equivalent.
+    * Occurrences shuffle ONCE keyed by md5(gram) — a fixed 16-byte key
+    * (collision-free under the 128-bit birthday bound) instead of the
+    * ~k-token gram string, so shuffle bytes stay ≈ corpus-sized, not
+    * k×. Duplicated grams are a df-filtered aggregate (at crawl scale
+    * the overwhelming majority of k-grams are unique, so the dup set —
+    * the only thing joined back — is a small fraction of postings); the
+    * join carries no broadcast hint (AQE decides). Span→position
+    * expansion is a bounded k-explode of dup occurrences only, then a
+    * doc_id-keyed aggregation — all shuffles keyed, nothing all-pairs,
+    * no driver-side state.
+    */
+  def spanDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("_tk"))
+    // (doc_id, pos, gh): one row per k-gram start position; shorter
+    // docs contribute no grams but still flow through the left join.
+    val grams = toks
+      .withColumn("_sh",
+        when(size(col("_tk")) >= k, shingles(col("_tk"), k))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), posexplode(col("_sh")))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("keeper"))
+      .filter(col("occ") >= 2)
+    val drops = grams.join(dup, "gh")
+      .filter(!(col("doc_id") === col("keeper.doc_id") &&
+        col("pos") === col("keeper.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("dp"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("dp")).as("_drops"))
+    toks.join(drops, Seq("doc_id"), "left")
+      .withColumn("_drops",
+        coalesce(col("_drops"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        size(col("_drops")).cast("long").as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            filter(sequence(lit(0), size(col("_tk")) - 1),
+              i => !array_contains(col("_drops"), i)),
+            i => element_at(col("_tk"), i + 1))).as("dedup_text"))
+  }
+
   /** Embedding-cosine near-duplicate pairs. Two paths:
     *  - exact: all-pairs self-join — the O(n²) correctness baseline,
     *    and the only complete answer at low thresholds;

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — the reproducible alternative to
+  * `DataFrame.sample` a training-data pipeline needs: membership is a
+  * pure function of the row key (md5-derived, engine-independent), so a
+  * sample is (a) exactly repeatable across runs/engines — the DuckDB
+  * oracle replays it row for row, (b) stable under repartitioning and
+  * retries (unlike RNG-per-partition `sample`, whose draw depends on
+  * split layout), and (c) consistent across tables — sampling two
+  * tables by the same key yields aligned rows (the "sample the user,
+  * get all their events" property).
+  *
+  * Scale: both variants are pure narrow filters — no shuffle, no state;
+  * Catalyst pushes the surviving-column pruning into the scan and the
+  * filter runs at scan speed. The stratified variant's per-stratum rate
+  * table rides along as a LITERAL map expression (strata are a declared
+  * enum, not corpus-derived), so there is no rate-table join at all.
+  *
+  * Rates are parts-per-million integers: `keep iff
+  * hash60(salt|key) mod 1e6 < ppm`. The hash is uniform on [0, 2^60),
+  * and 2^60 mod 1e6 ≠ 0 introduces bias < 2^-40 — negligible, and
+  * irrelevant to correctness since the oracle replays the same rule.
+  */
+object Sampling {
+
+  private val Million = 1000000L
+
+  /** The membership draw: uniform in [0, 1e6) as a function of
+    * (salt, key). `salt` names the sample so independent samples of the
+    * same corpus decorrelate.
+    */
+  def draw(salt: String, key: Column): Column =
+    pmod(TextOps.hash60(concat(lit(salt + "|"), key.cast("string"))),
+      lit(Million))
+
+  /** Uniform sample: keep rows with draw < ppm (ppm ≈ rate × 1e6). */
+  def uniform(df: DataFrame, key: Column, ppm: Long,
+              salt: String = "smp"): DataFrame = {
+    require(ppm >= 0 && ppm <= Million, s"ppm out of [0, 1e6]: $ppm")
+    df.filter(draw(salt, key) < ppm)
+  }
+
+  /** Stratified sample: per-stratum ppm from a literal map (strata are
+    * declared, e.g. languages), `defaultPpm` for unlisted strata. This
+    * is how a pipeline rebalances a crawl — e.g. downsample English,
+    * keep all low-resource languages.
+    */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+                 ppmByStratum: Map[String, Long], defaultPpm: Long,
+                 salt: String = "smp"): DataFrame = {
+    require((defaultPpm +: ppmByStratum.values.toSeq)
+      .forall(p => p >= 0 && p <= Million), "ppm out of [0, 1e6]")
+    val ppm = ppmByStratum.foldLeft(lit(defaultPpm)) {
+      case (acc, (s, p)) => when(stratum === s, lit(p)).otherwise(acc)
+    }
+    df.filter(draw(salt, key) < ppm)
+  }
+}

@@ -47,4 +47,106 @@ object Sketches {
         java.util.Arrays.asList(rows: _*), out.schema)
     } finally h.unpersist()
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over an item
+    * stream, as a (seed, cell, cnt) TABLE: row `seed` of the d×w count
+    * matrix, cell = hash60("cms{seed}|" + item) mod w. Like KMV the
+    * hash family is md5-derived, so the sketch — and every estimate
+    * read from it — is bit-deterministic on any engine.
+    *
+    * Scale: building the sketch is ONE aggregation keyed by
+    * (seed, cell) with map-side combine, so each task contributes at
+    * most d·w partial rows regardless of input size, and the global
+    * sketch is ≤ d·w rows total. groupBy-count IS the CMS merge
+    * (cell-wise addition), so shards/streams combine for free.
+    */
+  def cmsSketch(items: DataFrame, item: Column,
+                d: Int = 3, w: Int = 1024): DataFrame =
+    items.select(item.as("_it"))
+      .select(explode(array((0 until d).map(s =>
+        struct(lit(s).as("seed"),
+          pmod(TextOps.hash60(concat(lit(s"cms$s|"), col("_it"))),
+            lit(w.toLong)).as("cell"))): _*)).as("sc"))
+      .groupBy(col("sc.seed").as("seed"), col("sc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Heavy hitters via the CMS: estimate every candidate item's
+    * frequency as min over the d rows of its cell counts (the classic
+    * one-sided estimate: est ≥ truth always) and return the top
+    * `topK` by (estimate desc, item asc).
+    *
+    * Here the candidate set is the full distinct-item frame so the
+    * entry can carry the exact count alongside the estimate
+    * (estimate-vs-truth in every row, like [[kmvDistinct]]); at
+    * production scale candidates come from a sampled or per-partition
+    * top-k pre-pass and the exact column is dropped. The
+    * sketch-side join carries no hint — a ≤ d·w-row frame measures
+    * broadcast-small under AQE without being forced. The top-k is
+    * orderBy+limit: TakeOrderedAndProject, never a global sort.
+    */
+  def cmsHeavyHitters(items: DataFrame, item: Column, topK: Int = 20,
+                      d: Int = 3, w: Int = 1024): DataFrame = {
+    val sk = cmsSketch(items, item, d, w)
+    val cand = items.select(item.as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+    cand
+      .select(col("tok"), col("exact"),
+        explode(array((0 until d).map(s =>
+          struct(lit(s).as("seed"),
+            pmod(TextOps.hash60(concat(lit(s"cms$s|"), col("tok"))),
+              lit(w.toLong)).as("cell"))): _*)).as("sc"))
+      .select(col("tok"), col("exact"),
+        col("sc.seed").as("seed"), col("sc.cell").as("cell"))
+      .join(sk, Seq("seed", "cell"))
+      .groupBy("tok", "exact")
+      .agg(min("cnt").as("cms_est"))
+      .orderBy(col("cms_est").desc, col("tok").asc)
+      .limit(topK)
+      .select("tok", "cms_est", "exact")
+  }
+
+  /** Bloom filter (Bloom 1970) as a bit-position TABLE: the ≤ m distinct
+    * set positions `hash60("bf{seed}|" + key) mod m` over `d` seeds for
+    * every member key. md5-derived like KMV/CMS, so the filter — and
+    * every membership probe against it — is bit-deterministic on any
+    * engine. Distributed build is one explode + distinct (a (bit)-keyed
+    * shuffle bounded by m out); unions of filters and incremental adds
+    * are just further distincts.
+    */
+  def bloomBits(keys: DataFrame, key: Column,
+                d: Int = 4, m: Int = 8192): DataFrame =
+    keys.select(key.cast("string").as("_k"))
+      .select(explode(array((0 until d).map(s =>
+        pmod(TextOps.hash60(concat(lit(s"bf$s|"), col("_k"))),
+          lit(m.toLong)).as(s"_b$s")): _*)).as("bit"))
+      .distinct()
+
+  /** Probe the filter: for each distinct probe key, `bloom_hit` iff ALL
+    * of its d positions are set (count of matched DISTINCT positions ==
+    * count of its distinct positions — two seeds may collide into one
+    * cell, so both sides count distinct).
+    *
+    * Scale: the probe side explodes to d rows per key and inner-joins
+    * the ≤ m-row bit table — no hint; a few-KB bit table measures
+    * broadcast-small under AQE without being forced. The left join back
+    * preserves probes with zero matched bits. This is the shuffle-free
+    * semi-join surrogate a 100 TB pipeline uses to pre-filter a fact
+    * table against a small key set without shuffling the fact side: the
+    * false-positive rate (1-e^(-dn/m))^d is the price of making the
+    * filter a scan-local predicate.
+    */
+  def bloomProbe(probes: DataFrame, probeKey: Column, bits: DataFrame,
+                 d: Int = 4, m: Int = 8192): DataFrame = {
+    val p = probes.select(probeKey.cast("string").as("_k")).distinct()
+      .withColumn("_pb", array_distinct(array((0 until d).map(s =>
+        pmod(TextOps.hash60(concat(lit(s"bf$s|"), col("_k"))),
+          lit(m.toLong))): _*)))
+    val matched = p
+      .select(col("_k"), explode(col("_pb")).as("bit"))
+      .join(bits, Seq("bit"))
+      .groupBy("_k").agg(count(lit(1)).as("_nm"))
+    p.join(matched, Seq("_k"), "left")
+      .select(col("_k").as("probe_key"),
+        (coalesce(col("_nm"), lit(0L)) === size(col("_pb"))).as("bloom_hit"))
+  }
 }

@@ -118,6 +118,81 @@ object TextOps {
     df.withColumn("rolling_fp",
       graft.expressions.RollingMinHash(col(textCol), k))
 
+  /** Fixed-size token chunking with stride — the sequence-window stage
+    * that turns documents into training-context-sized pieces (tokenizer
+    * "overflow with stride" semantics): chunk i covers tokens
+    * [i·stride, i·stride + size); starts run while they expose new
+    * tokens, so the final chunk may be a shorter tail and a document
+    * shorter than `size` yields exactly one chunk. Every doc appears
+    * (empty text → one empty chunk — the caller's quality gate, not the
+    * chunker, drops empties).
+    *
+    * Scale: the token array is staged ONCE per doc below the Generate
+    * (the documented no-CSE staging rule — inlined, `split` would rerun
+    * per chunk row), then a bounded posexplode of ceil(max(n-size,0)/
+    * stride)+1 chunk indices and a `slice` per chunk. Narrow, no
+    * shuffle, no state; output is ≈ (1 + overlap) × corpus tokens.
+    */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, stride: Int,
+                  textCol: String = "text"): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    docs
+      .withColumn("_tk", tokens(col(textCol)))
+      .withColumn("_nc", // number of chunks - 1 (integer ceil-div)
+        floor((greatest(size(col("_tk")) - chunkSize, lit(0)) + (stride - 1))
+          / stride).cast("int"))
+      .select(col("doc_id"), col("_tk"),
+        posexplode(sequence(lit(0), col("_nc"))).as(Seq("chunk_idx", "_i")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("_tk"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        size(slice(col("_tk"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
+  /** TF-IDF top-k terms per document — the classic salience ranking a
+    * corpus pipeline uses for keyword extraction / topic hints.
+    *
+    * Exactness contract: the usual `ln(N/df)` idf is NOT cross-engine
+    * bit-stable (libm vs Math.log differ in the last ulp), so the score
+    * is the RATIONAL form `tf * N / df`: `tf * N` is an exact integer
+    * (< 2^53 at any realistic tf), and one IEEE division of identical
+    * integers is deterministic on every engine. Ranking by the rational
+    * score orders identically to `tf * (N/df)` idf weighting.
+    *
+    * Scale: tf is one (doc_id, term)-keyed shuffle with map-side
+    * combine; df derives from the tf frame by a term-keyed shuffle
+    * (counting (doc,term) rows = docs containing term, no distinct
+    * needed); the tf⋈df join carries no broadcast hint — vocabulary is
+    * corpus-dependent, so AQE picks broadcast only when df measures
+    * small. N arrives as a literal from a column-pruned count(*): a
+    * metadata-scale scalar action, the one full-scan statistic any IDF
+    * needs. The final top-k is a doc_id-partitioned window — keyed,
+    * never a global sort.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 5,
+                textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
+
   /** Language ID, corpus-profile flavor: a training pass counts, per
     * (lang, token), how many labeled docs contain the token; scoring
     * sums those counts over a doc's distinct tokens and argmaxes

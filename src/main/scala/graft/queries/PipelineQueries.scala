@@ -191,6 +191,11 @@ object PipelineQueries {
         TextOps.withTokenCounts(Tables.documents(s, d)))
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "rolling_fp")),
 
+    // TF-IDF top-5 salient terms per document (rational idf — see
+    // TextOps.tfidfTopK for the cross-engine exactness contract).
+    "pl_t6_tfidf" -> ((s, d) =>
+      TextOps.tfidfTopK(Tables.documents(s, d), 5)),
+
     // Exact dedup: hash-groupBy clusters (one shuffle on a 16-byte key).
     "pl_d1_exact_clusters" -> ((s, d) =>
       Dedup.exactClusters(Tables.documents(s, d))),
@@ -240,6 +245,12 @@ object PipelineQueries {
     "pl_d7_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), 4, 3, 0.5)),
 
+    // Duplicate-span removal (substring-grain dedup, Lee et al. 2021
+    // flavor): drop all but the globally-first occurrence of every
+    // duplicated token 8-gram and reconstruct the text.
+    "pl_d9_span_dedup" -> ((s, d) =>
+      graft.pipeline.Dedup.spanDedup(Tables.documents(s, d), 8)),
+
     // SimHash near-dup pairs via the pigeonhole chunk trick: Hamming
     // <= 3 over 4 chunks guarantees a shared chunk, so the bucket join
     // has deterministic 100% recall — the brute-force oracle is a true
@@ -288,6 +299,16 @@ object PipelineQueries {
         .where(col("tok") =!= "")
       Sketches.kmvDistinct(
         toks, TextOps.hash60(concat(lit("kmv|"), col("tok"))), 256)
+    }),
+
+    // Count-min-sketch heavy hitters over the token stream: top-20
+    // tokens by CMS estimate (d=3, w=1024), exact count alongside so
+    // every row shows the one-sided estimate against the truth.
+    "pl_k2_cms_heavy" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      Sketches.cmsHeavyHitters(toks, col("tok"), 20)
     })
   )
 
@@ -348,6 +369,26 @@ object PipelineQueries {
                  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS n_bpe_tokens,
                  $rollingFpSql AS rolling_fp
           FROM documents""",
+
+    // Rational-idf TF-IDF (score = tf*N/df in exact-integer-then-one-
+    // division IEEE steps — bit-identical on both engines).
+    "pl_t6_tfidf" ->
+      s"""WITH tf AS (
+            SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+            WHERE tok <> '' GROUP BY 1, 2),
+          df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents),
+          s AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+            FROM tf JOIN df USING (term), n),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term ASC) AS rank
+            FROM s)
+          SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+          FROM r WHERE rank <= 5""",
 
     "pl_d1_exact_clusters" ->
       """SELECT md5(text) AS md5_fp, CAST(count(*) AS BIGINT) AS n_copies,
@@ -436,6 +477,39 @@ object PipelineQueries {
           FROM p JOIN sz s1 ON p.doc1 = s1.doc_id
                  JOIN sz s2 ON p.doc2 = s2.doc_id
           WHERE n_inter::DOUBLE / (s1.n + s2.n - n_inter) >= 0.5""",
+
+    // Same keeper rule in SQL: first (doc_id, pos) occurrence of each
+    // duplicated 8-gram survives; all other occurrences drop their 8
+    // covered positions; text is rebuilt from the kept positions.
+    "pl_d9_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          g0 AS (
+            SELECT doc_id, tk,
+                   unnest(range(greatest(len(tk) - 7, 0))) AS pos
+            FROM t),
+          g AS (
+            SELECT doc_id, pos,
+                   md5(${(1 to 8).map(j => s"tk[pos+$j]").mkString(" || '_' || ")}) AS gh
+            FROM g0),
+          m AS (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY gh) AS occ,
+                   row_number() OVER (PARTITION BY gh
+                                      ORDER BY doc_id, pos) AS rn
+            FROM g),
+          d0 AS (
+            SELECT doc_id, pos, unnest(range(8)) AS j
+            FROM m WHERE occ >= 2 AND rn > 1),
+          d AS (SELECT DISTINCT doc_id, pos + j AS dp FROM d0),
+          ds AS (SELECT doc_id, list(dp) AS drops FROM d GROUP BY 1)
+          SELECT t.doc_id,
+                 CAST(len(t.tk) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(len(ds.drops), 0) AS BIGINT) AS n_dropped,
+                 coalesce(array_to_string(list_transform(
+                   list_filter(range(len(t.tk)),
+                     i -> ds.drops IS NULL OR NOT list_contains(ds.drops, i)),
+                   i -> t.tk[i+1]), ' '), '') AS dedup_text
+          FROM t LEFT JOIN ds USING (doc_id)""",
 
     // Brute-force all-pairs ground truth: valid as a strict gate because
     // the pigeonhole bucketing has deterministic 100% recall at
@@ -528,6 +602,30 @@ object PipelineQueries {
                  CAST(round((CAST(k.k_eff - 1 AS DOUBLE) * 1152921504606846976.0)
                             / CAST(k.kth_hash AS DOUBLE)) AS BIGINT) AS kmv_est
           FROM e, k""",
+
+    // CMS mirror: same md5-derived cell hashes, same d×w matrix, same
+    // min-over-rows estimate — bit-identical on both engines.
+    "pl_k2_cms_heavy" ->
+      s"""WITH tok AS (
+            SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
+            WHERE tok <> ''),
+          seeds AS (SELECT unnest(range(3)) AS seed),
+          sk AS (
+            SELECT seed, ${h60("'cms' || seed || '|' || tok")} % 1024 AS cell,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM tok, seeds GROUP BY 1, 2),
+          dt AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS exact
+            FROM tok GROUP BY 1),
+          dc AS (
+            SELECT dt.tok, dt.exact, s.seed,
+                   ${h60("'cms' || s.seed || '|' || dt.tok")} % 1024 AS cell
+            FROM dt, seeds s),
+          est AS (
+            SELECT dc.tok, dc.exact, min(sk.cnt) AS cms_est
+            FROM dc JOIN sk USING (seed, cell) GROUP BY 1, 2)
+          SELECT tok, cms_est, exact FROM est
+          ORDER BY cms_est DESC, tok ASC LIMIT 20""",
 
     "pl_a1_knn_brute" ->
       s"""WITH $vSql,

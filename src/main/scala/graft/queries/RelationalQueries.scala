@@ -154,6 +154,22 @@ object RelationalQueries {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
 
+    // J4: skew-mitigated salted join — fact (events) ⋈ dim (customer)
+    // on a key whose histogram is heavy-tailed at scale. The salt
+    // spreads each hot key over 8 shuffle partitions; the result is
+    // bit-identical to the plain inner join, which is what the oracle
+    // asserts. See graft.ops.SaltedJoin for the plan rationale.
+    "j4_salted_join" -> ((s, d) =>
+      graft.ops.SaltedJoin.join(
+        events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        customer(s, d).select(
+          col("c_custkey"), col("c_name"), col("c_nationkey")),
+        "user_id", "c_custkey", col("event_id"), salts = 8)
+        .select("event_id", "user_id", "event_type", "cents",
+          "c_name", "c_nationkey")),
+
     // J3-shape: anti-join conformance count (rows violating an FK).
     // Reference: xova/apps/xova/check.py:38-52.
     "j3_anti_join" -> ((s, d) =>
@@ -250,6 +266,12 @@ object RelationalQueries {
                FROM lineitem GROUP BY 1, 2) dim
            ON l.l_returnflag = dim.l_returnflag AND l.l_linestatus = dim.l_linestatus
          GROUP BY 1, 2, 3""",
+    // The UNSALTED join: salting must be invisible in the result.
+    "j4_salted_join" ->
+      """SELECT event_id, user_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                c_name, c_nationkey
+         FROM events JOIN customer ON user_id = c_custkey""",
     "j3_anti_join" ->
       """SELECT count(*) AS n_customers_without_orders
          FROM customer WHERE NOT EXISTS

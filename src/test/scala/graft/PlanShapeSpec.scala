@@ -109,6 +109,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ivf.contains("CartesianProduct"), "annIvf plans a cartesian join")
   }
 
+  test("tfidf and span dedup: keyed shuffles only, no all-pairs join") {
+    val pt = plan(graft.pipeline.TextOps.tfidfTopK(docs, 5))
+    assertNoAllPairs(pt, "tfidfTopK")
+    assertNoGlobalSort(pt, "tfidfTopK")
+    val pd = plan(Dedup.spanDedup(docs, 8))
+    assertNoAllPairs(pd, "spanDedup")
+    assertNoGlobalSort(pd, "spanDedup")
+  }
+
+  test("cms heavy hitters: top-k is TakeOrdered, joins equi-keyed") {
+    import org.apache.spark.sql.functions._
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val p = plan(graft.pipeline.Sketches.cmsHeavyHitters(toks, col("tok"), 20))
+    assertNoAllPairs(p, "cmsHeavyHitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"cms top-k should be TakeOrdered, got:\n$p")
+  }
+
+  test("salted join: salt reaches the join keys, no forced strategy") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val out = graft.ops.SaltedJoin.join(
+      events.select(col("event_id"), col("user_id")),
+      customer.select(col("c_custkey"), col("c_name")),
+      "user_id", "c_custkey", col("event_id"), 8)
+    assert(plan(out).contains("_salt"),
+      "salt column must participate in the physical join keys")
+    val logical = out.queryExecution.analyzed.toString()
+    assert(!logical.contains("ResolvedHint"),
+      s"salted join carries a forced join-strategy hint:\n$logical")
+  }
+
   test("k-means seeding has no single-partition exchange (TakeOrdered)") {
     val p = plan(Ann.kmeansClusters(embs, 4, 1))
     assertNoGlobalSort(p, "kmeansClusters")

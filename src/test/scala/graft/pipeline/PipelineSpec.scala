@@ -29,6 +29,19 @@ class PipelineSpec extends SparkSpec {
     assert(df.as[Seq[String]].collect()(0) == Seq("a_b_c", "b_c_d", "c_d_e"))
   }
 
+  test("tfidf: hand-computed rational scores and per-doc ranking") {
+    val df = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val r = TextOps.tfidfTopK(df, 2).orderBy("doc_id", "rank").collect()
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    val d1 = r.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.map(x => (x.getAs[String]("term"), x.getAs[Double]("score"))).toSeq
+      == Seq(("apple", 6.0), ("banana", 1.5)))
+    val d3 = r.filter(_.getAs[Long]("doc_id") == 3L)
+    assert(d3.head.getAs[String]("term") == "date") // 3.0 beats cherry 1.5
+    assert(r.forall(_.getAs[Long]("rank") <= 2))
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "x y z"), (2L, "x y z"), (3L, "other words here"))
       .toDF("doc_id", "text")
@@ -36,6 +49,37 @@ class PipelineSpec extends SparkSpec {
     assert(clusters.length == 2)
     assert(clusters(0).getAs[Long]("n_copies") == 2)
     assert(clusters(0).getAs[Long]("keeper") == 1)
+  }
+
+  test("span dedup: first occurrence kept, later spans dropped, short docs pass") {
+    val df = Seq(
+      (1L, "a b c d e f g h x y z"),             // keeper of the shared 8-gram
+      (2L, "p q a b c d e f g h r"),             // cross-doc dup span at pos 2
+      (3L, "one two"),                           // shorter than k: no grams
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u1 u2 u3 u4 u5 u6 u7 u8"), // within-doc dup
+      (5L, "a b c d e f g h")                    // fully covered by doc 1's gram
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(df, 8).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_dropped"), x.getAs[String]("dedup_text")))).toMap
+    assert(r(1L) == ((0L, "a b c d e f g h x y z")))
+    assert(r(2L) == ((8L, "p q r")))
+    assert(r(3L) == ((0L, "one two")))
+    assert(r(4L) == ((8L, "u1 u2 u3 u4 u5 u6 u7 u8")))
+    assert(r(5L) == ((8L, ""))) // every position dropped -> empty, not null
+  }
+
+  test("cms: sketch bounded by d*w with mass preserved; estimates one-sided") {
+    val items = (Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++
+      (1 to 30).map(i => s"w$i")).toDF("tok")
+    val sk = Sketches.cmsSketch(items, col("tok"), 3, 1024).collect()
+    assert(sk.length <= 3 * 1024)
+    assert(sk.filter(_.getAs[Int]("seed") == 0).map(_.getAs[Long]("cnt")).sum == 100)
+    val hh = Sketches.cmsHeavyHitters(items, col("tok"), 5).collect()
+    assert(hh.length == 5)
+    assert(hh.forall(x => x.getAs[Long]("cms_est") >= x.getAs[Long]("exact")))
+    val top = hh.maxBy(_.getAs[Long]("cms_est"))
+    assert(top.getAs[String]("tok") == "alpha" && top.getAs[Long]("exact") == 50L)
   }
 
   test("minhash signature identical for identical docs, and LSH pairs them") {
