@@ -309,7 +309,47 @@ object PipelineQueries {
         .select(explode(split(col("text"), " ")).as("tok"))
         .where(col("tok") =!= "")
       Sketches.cmsHeavyHitters(toks, col("tok"), 20)
-    })
+    }),
+
+    // Bloom-filter membership: build over customer keys (d=4, m=8192),
+    // probe every distinct events.user_id; the summary row carries the
+    // false-positive accounting (hits ⊇ members always — one-sided).
+    "pl_k3_bloom" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val bits = Sketches.bloomBits(cust.select(col("c_custkey")),
+        col("c_custkey"))
+      val pr = Sketches.bloomProbe(
+        Tables.events(s, d).select(col("user_id")), col("user_id"), bits)
+      val members = cust
+        .select(col("c_custkey").cast("string").as("probe_key")).distinct()
+        .withColumn("_m", lit(true))
+      pr.join(members, Seq("probe_key"), "left")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+          sum(when(col("_m").isNotNull, 1L).otherwise(0L)).as("n_members"),
+          sum(when(col("bloom_hit") && col("_m").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"))
+    }),
+
+    // Deterministic uniform 25% sample keyed on doc_id (reproducible,
+    // partition-layout-independent — see graft.pipeline.Sampling).
+    "pl_s1_uniform_sample" -> ((s, d) =>
+      graft.pipeline.Sampling.uniform(
+        Tables.documents(s, d), col("doc_id"), 250000L)
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // Stratified rebalance by language: downsample English to 20%,
+    // keep 90% of Chinese, 50% elsewhere — the crawl-rebalancing move.
+    "pl_s2_stratified_sample" -> ((s, d) =>
+      graft.pipeline.Sampling.stratified(
+        Tables.documents(s, d), col("doc_id"), col("lang"),
+        Map("en" -> 200000L, "zh" -> 900000L), 500000L)
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // Context-window chunking: 32-token chunks, stride 24 (8-token
+    // overlap) — tokenizer "overflow with stride" semantics.
+    "pl_c1_chunks" -> ((s, d) =>
+      TextOps.chunkTokens(Tables.documents(s, d), 32, 24))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -626,6 +666,65 @@ object PipelineQueries {
             FROM dc JOIN sk USING (seed, cell) GROUP BY 1, 2)
           SELECT tok, cms_est, exact FROM est
           ORDER BY cms_est DESC, tok ASC LIMIT 20""",
+
+    // Bloom mirror: same md5-derived positions, same all-d-bits-set
+    // membership rule; counts must agree exactly (hash-deterministic).
+    "pl_k3_bloom" ->
+      s"""WITH seeds AS (SELECT unnest(range(4)) AS s),
+          bits AS (
+            SELECT DISTINCT
+                   ${h60("'bf' || s || '|' || c_custkey")} % 8192 AS bit
+            FROM customer, seeds),
+          p AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+          pp AS (
+            SELECT DISTINCT p.k,
+                   ${h60("'bf' || s.s || '|' || p.k")} % 8192 AS bit
+            FROM p, seeds s),
+          pm AS (
+            SELECT pp.k, count(*) AS npb, count(b.bit) AS nm
+            FROM pp LEFT JOIN bits b USING (bit) GROUP BY 1),
+          hit AS (SELECT k, (nm = npb) AS bloom_hit FROM pm),
+          mem AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer)
+          SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(count(*) FILTER (WHERE bloom_hit) AS BIGINT)
+                   AS n_bloom_hits,
+                 CAST(count(*) FILTER (WHERE mem.k IS NOT NULL) AS BIGINT)
+                   AS n_members,
+                 CAST(count(*) FILTER (WHERE bloom_hit AND mem.k IS NULL)
+                   AS BIGINT) AS n_false_pos
+          FROM hit LEFT JOIN mem USING (k)""",
+
+    // The sample is a pure function of md5(salt|doc_id) — DuckDB replays
+    // membership row for row.
+    "pl_s1_uniform_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE ${h60("'smp|' || doc_id")} % 1000000 < 250000""",
+
+    "pl_s2_stratified_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE ${h60("'smp|' || doc_id")} % 1000000 <
+            CASE lang WHEN 'en' THEN 200000
+                      WHEN 'zh' THEN 900000
+                      ELSE 500000 END""",
+
+    // Chunk grid mirror: starts at 0, stride 24 while new tokens remain;
+    // list_slice is inclusive-bounds 1-based (Spark slice is
+    // (start, length) 1-based — same windows).
+    "pl_c1_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          c AS (
+            SELECT doc_id, tk,
+                   unnest(range(CAST(floor(
+                     (greatest(len(tk) - 32, 0) + 23) / 24) AS BIGINT) + 1))
+                     AS chunk_idx
+            FROM t)
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 coalesce(array_to_string(
+                   list_slice(tk, chunk_idx*24 + 1, chunk_idx*24 + 32), ' '),
+                   '') AS chunk_text,
+                 CAST(len(list_slice(tk, chunk_idx*24 + 1, chunk_idx*24 + 32))
+                   AS BIGINT) AS n_chunk_tokens
+          FROM c""",
 
     "pl_a1_knn_brute" ->
       s"""WITH $vSql,

@@ -118,6 +118,35 @@ class PlanShapeSpec extends SparkSpec {
     assertNoGlobalSort(pd, "spanDedup")
   }
 
+  test("sampling and chunking are shuffle-free narrow plans") {
+    import org.apache.spark.sql.functions._
+    val pu = plan(graft.pipeline.Sampling.uniform(docs, col("doc_id"), 250000L))
+    assert(!pu.contains("Exchange"),
+      s"uniform sample must be a pure scan-side filter, got:\n$pu")
+    val ps = plan(graft.pipeline.Sampling.stratified(docs, col("doc_id"),
+      col("lang"), Map("en" -> 200000L), 500000L))
+    assert(!ps.contains("Exchange"),
+      s"stratified sample must be a pure scan-side filter (literal rate " +
+        s"map, no rate-table join), got:\n$ps")
+    val pc = plan(graft.pipeline.TextOps.chunkTokens(docs, 32, 24))
+    assert(!pc.contains("Exchange"),
+      s"chunking must be narrow (stage tokens, bounded explode), got:\n$pc")
+  }
+
+  test("bloom build and probe: equi-keyed joins only, no forced broadcast") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val bits = graft.pipeline.Sketches.bloomBits(
+      customer.select(col("c_custkey")), col("c_custkey"))
+    val out = graft.pipeline.Sketches.bloomProbe(
+      events.select(col("user_id")), col("user_id"), bits)
+    val p = plan(out)
+    assertNoAllPairs(p, "bloomProbe")
+    assert(!out.queryExecution.analyzed.toString().contains("ResolvedHint"),
+      "bloom probe must not force a join strategy (AQE decides)")
+  }
+
   test("cms heavy hitters: top-k is TakeOrdered, joins equi-keyed") {
     import org.apache.spark.sql.functions._
     val toks = docs.select(explode(split(col("text"), " ")).as("tok"))

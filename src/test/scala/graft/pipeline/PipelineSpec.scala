@@ -69,6 +69,59 @@ class PipelineSpec extends SparkSpec {
     assert(r(5L) == ((8L, ""))) // every position dropped -> empty, not null
   }
 
+  test("sampling: deterministic, rate-monotone, stratified rates honored") {
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val a = Sampling.uniform(df, col("doc_id"), 250000L).collect().map(_.getLong(0))
+    val b = Sampling.uniform(df, col("doc_id"), 250000L).collect().map(_.getLong(0))
+    assert(a.toSeq == b.toSeq) // pure function of the key: repeatable
+    assert(a.length > 150 && a.length < 350) // ~25% of 1000
+    // smaller rate draws a SUBSET (nested samples — same hash, lower cut)
+    val small = Sampling.uniform(df, col("doc_id"), 100000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a.toSet))
+    assert(Sampling.uniform(df, col("doc_id"), 0L).count() == 0)
+    assert(Sampling.uniform(df, col("doc_id"), 1000000L).count() == 1000)
+    // stratified: en kept at 0, zh kept fully
+    val st = Sampling.stratified(df, col("doc_id"), col("lang"),
+      Map("en" -> 0L), 1000000L).collect()
+    assert(st.length == 500 && st.forall(_.getString(1) == "zh"))
+  }
+
+  test("chunking: stride windows, short and empty docs, exact boundaries") {
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, mk(70)), (2L, mk(32)), (3L, mk(33)), (4L, mk(5)),
+      (5L, "")).toDF("doc_id", "text")
+    val r = TextOps.chunkTokens(df, 32, 24).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // 70 tokens -> starts 0,24,48: 32+32+22
+    assert(r(1L).sortBy(_.getAs[Long]("chunk_idx"))
+      .map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(32L, 32L, 22L))
+    assert(r(1L).head.getAs[String]("chunk_text").startsWith("t1 t2 "))
+    assert(r(2L).map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(32L))
+    assert(r(3L).sortBy(_.getAs[Long]("chunk_idx"))
+      .map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(32L, 9L))
+    assert(r(4L).map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(5L))
+    // empty text tokenizes to [""]: one chunk, empty text, 1 "token" —
+    // the quality gate upstream owns dropping empties
+    assert(r(5L).map(x => (x.getAs[Long]("n_chunk_tokens"),
+      x.getAs[String]("chunk_text"))).toSeq == Seq((1L, "")))
+  }
+
+  test("bloom: no false negatives; false positives counted against truth") {
+    val keys = (1L to 50L).toDF("k")
+    val probes = (1L to 200L).toDF("p")
+    val bits = Sketches.bloomBits(keys, col("k"), 4, 4096)
+    assert(bits.count() <= 200) // 50 keys x 4 seeds
+    val r = Sketches.bloomProbe(probes, col("p"), bits, 4, 4096).collect()
+      .map(x => x.getAs[String]("probe_key").toLong ->
+        x.getAs[Boolean]("bloom_hit")).toMap
+    assert(r.size == 200)
+    assert((1L to 50L).forall(r(_)), "bloom must never miss a member")
+    val fp = (51L to 200L).count(r(_))
+    assert(fp < 20, s"implausible false-positive count $fp at n=50 m=4096")
+  }
+
   test("cms: sketch bounded by d*w with mass preserved; estimates one-sided") {
     val items = (Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++
       (1 to 30).map(i => s"w$i")).toDF("tok")
