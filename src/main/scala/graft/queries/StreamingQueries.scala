@@ -186,6 +186,48 @@ object StreamingQueries {
       rm(tmp)
       s.createDataFrame(
         java.util.Arrays.asList(out: _*), s.table(name).schema)
+    }),
+
+    // Streaming count-min sketch: the pl_k2 sketch built by the
+    // streaming engine over a 4-micro-batch token stream. The CMS merge
+    // property (cell-wise addition) IS the state-store update — each
+    // batch's partial (seed, cell) counts add into the carried sketch,
+    // so a continuously-ingesting frequency sketch falls out of the
+    // same groupBy that builds the batch one. State is bounded by
+    // d·w cells regardless of stream length — the sketch's whole point.
+    // Oracle: the SAME sketch SQL as the batch pl_k2 CTE — streaming
+    // must land on the identical d×w count matrix.
+    "st5_stream_cms" -> ((s, d) => {
+      import java.io.File
+      import java.nio.file.Files
+      val name = "graft_st5_sink"
+      val docs = Tables.documents(s, d)
+      val tmp = Files.createTempDirectory("graft_st5").toFile
+      val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
+      val staging = new File(tmp, "staging")
+      docs.repartition(4).write.parquet(staging.getAbsolutePath)
+      staging.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath,
+            new File(streamDir, f"$i%03d_docs.parquet").toPath)
+        }
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.getAbsolutePath)
+      val toks = src.select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val sketch = graft.pipeline.Sketches.cmsSketch(toks, col("tok"))
+      s.catalog.dropTempView(name)
+      val q = sketch.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val out = s.table(name).collect()
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+      s.createDataFrame(
+        java.util.Arrays.asList(out: _*), s.table(name).schema)
     })
   )
 
@@ -210,6 +252,20 @@ object StreamingQueries {
     "st4_stream_dedup" ->
       """SELECT md5(text) AS md5_fp, CAST(count(*) AS BIGINT) AS n_copies,
                 min(doc_id) AS keeper
-         FROM documents GROUP BY 1"""
+         FROM documents GROUP BY 1""",
+
+    // Identical to the batch pl_k2 sketch CTE — the streamed sketch's
+    // d×w count matrix must equal the batch build cell for cell.
+    "st5_stream_cms" ->
+      """WITH tok AS (
+           SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                            FROM documents)
+           WHERE tok <> ''),
+         seeds AS (SELECT unnest(range(3)) AS s)
+         SELECT CAST(s AS INTEGER) AS seed,
+                CAST('0x' || substring(md5('cms' || s || '|' || tok), 1, 15)
+                  AS BIGINT) % 1024 AS cell,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM tok, seeds GROUP BY 1, 2"""
   )
 }

@@ -102,6 +102,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS sketch merges across micro-batches to the batch matrix") {
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val sk = graft.pipeline.Sketches.cmsSketch(in.toDF().toDF("tok"),
+      col("tok"), 3, 64)
+    val q = sk.writeStream.format("memory").queryName("cms1")
+      .outputMode("complete").start()
+    try {
+      in.addData("alpha", "beta", "alpha")
+      q.processAllAvailable()
+      in.addData("alpha", "gamma") // same cells must ADD, not replace
+      q.processAllAvailable()
+      val streamed = spark.table("cms1")
+      val batch = graft.pipeline.Sketches.cmsSketch(
+        Seq("alpha", "beta", "alpha", "alpha", "gamma").toDF("tok"),
+        col("tok"), 3, 64)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0, "streaming-only cells")
+      assert(batch.exceptAll(streamed).count() == 0, "batch-only cells")
+      // 'alpha' reads back >= 3 from every row of the sketch
+      assert(spark.table("cms1").filter(
+        col("cell") === pmod(graft.pipeline.TextOps.hash60(
+          concat(lit("cms0|"), lit("alpha"))), lit(64L)) &&
+        col("seed") === 0).head().getAs[Long]("cnt") >= 3L)
+    } finally q.stop()
+  }
+
   test("streaming visibility averaging equals the batch kernel bit-for-bit") {
     // st2 streams the MS main table one file per micro-batch (bins span
     // batches → real state-store accumulation) and must reproduce the
