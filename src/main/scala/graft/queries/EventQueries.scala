@@ -37,7 +37,23 @@ object EventQueries {
           col("event_id").as("purchase_id"),
           expr("ts div 1000").as("purchase_us"),
           coalesce(col("match_id"), lit(-1L)).as("click_id"),
-          coalesce(expr("match_ts div 1000"), lit(-1L)).as("click_us")))
+          coalesce(expr("match_ts div 1000"), lit(-1L)).as("click_us"))),
+
+    // Semi-structured extraction: pull a typed field out of the JSON
+    // `props` column and aggregate it. get_json_object is a codegen'd
+    // path expression — the scan-speed way to read JSON-in-a-string
+    // without a parse-to-struct stage; the projection stays narrow and
+    // the single shuffle is the (event_type) aggregate.
+    "ev2_json_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max")))
   )
 
   /** Gap-and-island mirror of [[EventOps.sessionize]]: Spark's
@@ -77,6 +93,21 @@ object EventQueries {
                 coalesce(CAST(epoch_us(c.ts) AS BIGINT), -1) AS click_us
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id AND p.ts >= c.ts"""
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+
+    // NULL props / missing key fall out of count(k)/sum(k) identically
+    // on both engines (aggregate null-skipping).
+    "ev2_json_agg" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS n_with_k,
+                CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS k_sum,
+                CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS k_min,
+                CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS k_max
+         FROM events GROUP BY 1"""
   )
 }
