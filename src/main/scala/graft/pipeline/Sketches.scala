@@ -105,6 +105,74 @@ object Sketches {
       .select("tok", "cms_est", "exact")
   }
 
+  /** HyperLogLog (Flajolet et al. 2007) register table: reg =
+    * hash60 mod 2^p, and the register value is max over items of
+    * rho = (61−p) − bitlen(hash60 div 2^p) (the 1-based position of
+    * the leading 1-bit in the remaining 60−p hash bits; a zero
+    * remainder reads the max, 61−p). Bit-exact on any engine: bitlen
+    * is the LENGTH OF THE BINARY STRING (`conv(w,10,2)` here,
+    * `printf('%b')` in DuckDB) — never floor(log2(double)), whose
+    * rounding at powers of two is not portable. The div is a
+    * right-shift: dividing after a BIGINT→DOUBLE cast would shear off
+    * the low hash bits.
+    *
+    * Scale: one (reg)-keyed aggregation with map-side combine — each
+    * task contributes ≤ 2^p partial rows regardless of input size, and
+    * groupBy-max IS the HLL merge, so shards/streams combine for free
+    * (same property the CMS build has).
+    */
+  def hllRegisters(items: DataFrame, item: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of [4,16]: $p")
+    val m = 1L << p
+    val h = TextOps.hash60(concat(lit("hll|"), item))
+    items.select((h % m).as("reg"), shiftright(h, p).as("_w"))
+      .withColumn("rho",
+        when(col("_w") > 0, lit(61 - p) - length(conv(col("_w"), 10, 2)))
+          .otherwise(lit(61 - p)).cast("int"))
+      .groupBy("reg").agg(max("rho").as("max_rho"))
+  }
+
+  /** One-row HLL summary: observed/zero register counts, the EXACT
+    * integer harmonic numerator S = Σ 2^((61−p)−reg_value) (unobserved
+    * registers count as value 0, contributing 2^(61−p) each; S ≤
+    * 2^p·2^(61−p) = 2^61, always BIGINT-exact), the raw estimate
+    * α·m²·2^(61−p) / S as ONE literal-over-cast IEEE division
+    * (bit-identical on both engines — the constant is computed once in
+    * Scala and interpolated into the oracle), and the exact distinct
+    * count alongside, KMV style. No small-range linear-counting
+    * branch: it needs ln(), which is libm-dependent — the raw
+    * estimator + zero-register count give the caller everything the
+    * correction needs.
+    */
+  def hllSummary(items: DataFrame, item: Column, p: Int = 8): DataFrame = {
+    val m = 1L << p
+    val rhoMax = 61 - p
+    val regs = hllRegisters(items, item, p)
+    val exact = items.select(item.as("_it")).agg(
+      count_distinct(col("_it")).as("exact_distinct"))
+    regs.agg(
+        count(lit(1)).as("n_obs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rhoMax - max_rho)"))
+          .as("_s_obs"))
+      .select(col("n_obs"),
+        (lit(m) - col("n_obs")).as("n_zero_registers"),
+        (col("_s_obs") + (lit(m) - col("n_obs")) * (1L << rhoMax))
+          .as("harmonic_s"))
+      .withColumn("hll_raw_est",
+        lit(Sketches.hllConst(p)) / col("harmonic_s").cast("double"))
+      .crossJoin(exact)
+  }
+
+  /** α_m · m² · 2^(61−p) for the raw estimator — ONE Scala double
+    * constant shared verbatim with the oracle SQL (interpolated), so
+    * the estimate is a single identical IEEE division on both engines.
+    */
+  def hllConst(p: Int): Double = {
+    val m = (1L << p).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m * m * Math.pow(2.0, (61 - p).toDouble)
+  }
+
   /** Bloom filter (Bloom 1970) as a bit-position TABLE: the ≤ m distinct
     * set positions `hash60("bf{seed}|" + key) mod m` over `d` seeds for
     * every member key. md5-derived like KMV/CMS, so the filter — and

@@ -311,6 +311,16 @@ object PipelineQueries {
       Sketches.cmsHeavyHitters(toks, col("tok"), 20)
     }),
 
+    // HyperLogLog distinct estimate over the token stream (p=8, 256
+    // registers): integer-exact register table + harmonic numerator,
+    // single-IEEE-division raw estimate, exact count alongside.
+    "pl_k4_hll" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      Sketches.hllSummary(toks, col("tok"), 8)
+    }),
+
     // Bloom-filter membership: build over customer keys (d=4, m=8192),
     // probe every distinct events.user_id; the summary row carries the
     // false-positive accounting (hits ⊇ members always — one-sided).
@@ -666,6 +676,40 @@ object PipelineQueries {
             FROM dc JOIN sk USING (seed, cell) GROUP BY 1, 2)
           SELECT tok, cms_est, exact FROM est
           ORDER BY cms_est DESC, tok ASC LIMIT 20""",
+
+    // HLL mirror: same mod/shift register split, bitlen as BINARY
+    // STRING LENGTH (printf('%b') ↔ conv(w,10,2) — never
+    // floor(log2(double))), integer harmonic numerator, and the raw
+    // estimate as the SAME single IEEE division — the α·m²·2^53
+    // constant is interpolated from Sketches.hllConst so the two
+    // engines cannot drift.
+    "pl_k4_hll" ->
+      s"""WITH tok AS (
+            SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
+            WHERE tok <> ''),
+          h AS (SELECT ${h60("'hll|' || tok")} AS h FROM tok),
+          r AS (
+            SELECT h % 256 AS reg,
+                   CASE WHEN (h >> 8) > 0
+                        THEN 53 - length(printf('%b', h >> 8))
+                        ELSE 53 END AS rho
+            FROM h),
+          mx AS (SELECT reg, max(rho) AS max_rho FROM r GROUP BY 1),
+          a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(sum(1::BIGINT << (53 - max_rho)) AS BIGINT) AS s_obs
+            FROM mx),
+          e AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+                FROM tok)
+          SELECT n_obs,
+                 CAST(256 - n_obs AS BIGINT) AS n_zero_registers,
+                 CAST(s_obs + (256 - n_obs) * (1::BIGINT << 53) AS BIGINT)
+                   AS harmonic_s,
+                 ${Sketches.hllConst(8)}
+                   / CAST(s_obs + (256 - n_obs) * (1::BIGINT << 53) AS DOUBLE)
+                   AS hll_raw_est,
+                 exact_distinct
+          FROM a, e""",
 
     // Bloom mirror: same md5-derived positions, same all-d-bits-set
     // membership rule; counts must agree exactly (hash-deterministic).

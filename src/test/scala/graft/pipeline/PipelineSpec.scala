@@ -122,6 +122,31 @@ class PipelineSpec extends SparkSpec {
     assert(fp < 20, s"implausible false-positive count $fp at n=50 m=4096")
   }
 
+  test("hll: registers bounded by 2^p; estimate within expected error band") {
+    val items = (1 to 5000).map(i => s"item_$i").toDF("tok")
+    val regs = Sketches.hllRegisters(items, col("tok"), 8).collect()
+    assert(regs.length <= 256)
+    assert(regs.forall { r =>
+      val v = r.getAs[Int]("max_rho"); v >= 1 && v <= 53
+    })
+    val s = Sketches.hllSummary(items, col("tok"), 8).head()
+    assert(s.getAs[Long]("exact_distinct") == 5000L)
+    assert(s.getAs[Long]("n_obs") + s.getAs[Long]("n_zero_registers") == 256L)
+    val est = s.getAs[Double]("hll_raw_est")
+    // std error ~1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert(est > 3700 && est < 6300, s"estimate $est implausible for 5000")
+    // merge = groupBy-max: two halves' registers combine to the full set
+    val h1 = Sketches.hllRegisters((1 to 2500).map(i => s"item_$i").toDF("tok"),
+      col("tok"), 8)
+    val h2 = Sketches.hllRegisters((2501 to 5000).map(i => s"item_$i").toDF("tok"),
+      col("tok"), 8)
+    val merged = h1.union(h2).groupBy("reg")
+      .agg(max("max_rho").as("max_rho")).collect()
+      .map(r => r.getAs[Long]("reg") -> r.getAs[Int]("max_rho")).toMap
+    val full = regs.map(r => r.getAs[Long]("reg") -> r.getAs[Int]("max_rho")).toMap
+    assert(merged == full)
+  }
+
   test("cms: sketch bounded by d*w with mass preserved; estimates one-sided") {
     val items = (Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++
       (1 to 30).map(i => s"w$i")).toDF("tok")
