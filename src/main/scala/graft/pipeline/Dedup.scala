@@ -256,13 +256,19 @@ object Dedup {
     finally staged.foreach(_.unpersist(blocking = false))
   }
 
-  /** Lazy plan + staged posting caches (see [[nearDupPairsPlan]]). */
+  /** Lazy plan + staged posting caches (see [[nearDupPairsPlan]]).
+    * Postings carry [[graft.expressions.TokenGramHash]] 16-byte keys,
+    * not gram strings — one codegen'd byte pass per doc instead of the
+    * interpreted shingle lambda + per-gram string allocation, smaller
+    * persisted postings, and the same equality classes as the oracle's
+    * '_'-joined grams (gram identity is only ever used for joins and
+    * counts here — no gram string surfaces in the result).
+    */
   private[graft] def ngramJaccardPairsPlan(docs: DataFrame, n: Int, maxDf: Int,
       minJaccard: Double): (DataFrame, Seq[DataFrame]) = {
-    // tokens staged before the gram lambda (see withMinhash)
-    val grams = docs.withColumn("_tk", tokens(col("text")))
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("_tk"), n))).as("gram"))
+    val grams = docs
+      .select(col("doc_id"), explode(array_distinct(
+        graft.expressions.TokenGramHash(col("text"), n))).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val under = grams.groupBy("gram").agg(count(lit(1)).as("_DF"))
       .filter(col("_DF") <= maxDf).select("gram")
