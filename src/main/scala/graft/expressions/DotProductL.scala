@@ -97,5 +97,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(DotProductL.registryEntry)
     ext.injectFunction(RollingMinHash.registryEntry)
+    ext.injectFunction(TokenGramHash.registryEntry)
   }
 }

@@ -129,4 +129,40 @@ object TokenGramHash {
   /** Column-API form. */
   def apply(text: Column, k: Int): Column =
     GraftSqlBridge.column(TokenGramHash(GraftSqlBridge.expression(text), k))
+
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_TEMP_3100", Map("message" -> msg))
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val registryEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_token_gram_hash"),
+    new ExpressionInfo(classOf[TokenGramHash].getName, "graft_token_gram_hash"),
+    (children: Seq[Expression]) => {
+      // analysis-time validation, not runtime ClassCastException (the
+      // RollingMinHash registry rule)
+      if (children.length != 2) analysisError(
+        s"graft_token_gram_hash(text, k) takes 2 arguments, got ${children.length}")
+      val kExpr = children(1)
+      if (!kExpr.foldable) analysisError(
+        "graft_token_gram_hash: gram size k must be a literal")
+      val k: Long = kExpr.eval(null) match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long    => l.longValue
+        case s: java.lang.Short   => s.longValue
+        case b: java.lang.Byte    => b.longValue
+        case other => analysisError(
+          s"graft_token_gram_hash: gram size k must be an integral literal, got $other")
+      }
+      if (k < 1 || k > 1024) analysisError(
+        s"graft_token_gram_hash: gram size $k out of range [1, 1024]")
+      TokenGramHash(children(0), k.toInt)
+    })
+
+  /** Register for SQL use on an existing session. */
+  def register(registry: FunctionRegistry): Unit =
+    registry.registerFunction(registryEntry._1, registryEntry._2, registryEntry._3)
 }

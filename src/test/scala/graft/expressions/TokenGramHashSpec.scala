@@ -65,6 +65,23 @@ class TokenGramHashSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("SQL registration: any integral literal k accepted, junk rejected") {
+    TokenGramHash.register(spark.sessionState.functionRegistry)
+    Seq("a b c d").toDF("text").createOrReplaceTempView("tgh_docs")
+    def one(q: String) =
+      spark.sql(q).collect()(0).getSeq[Array[Byte]](0).map(_.toSeq)
+    val int2 = one("SELECT graft_token_gram_hash(text, 2) FROM tgh_docs")
+    assert(int2.length == 3)
+    assert(one("SELECT graft_token_gram_hash(text, CAST(2 AS BIGINT)) FROM tgh_docs") == int2)
+    def fails(q: String, msg: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.contains(msg), s"got: ${e.getMessage}")
+    }
+    fails("SELECT graft_token_gram_hash(text) FROM tgh_docs", "2 arguments")
+    fails("SELECT graft_token_gram_hash(text, 'x') FROM tgh_docs", "integral literal")
+    fails("SELECT graft_token_gram_hash(text, 0) FROM tgh_docs", "out of range")
+  }
+
   test("codegen and interpreted eval agree") {
     val text = "one two three four five six"
     val fromPlan = hashes(text, 4)
