@@ -15,6 +15,8 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) — read as epoch-nanos Long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SyntheticMs.ensure(spark)
@@ -58,6 +60,21 @@ object PlanAudit {
     try auditPipeline("ngramJaccardPairs", ngOut)
     finally ngStaged.foreach(_.unpersist(blocking = false))
     auditPipeline("languageId", graft.pipeline.TextOps.languageId(docs))
+    locally {
+      import org.apache.spark.sql.functions.col
+      auditPipeline("spanDedup", graft.pipeline.Dedup.spanDedup(docs, 8))
+      auditPipeline("tfidfTopK", graft.pipeline.TextOps.tfidfTopK(docs, 5))
+      val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      auditPipeline("bloomProbe", graft.pipeline.Sketches.bloomProbe(
+        events.select(col("user_id")), col("user_id"),
+        graft.pipeline.Sketches.bloomBits(
+          customer.select(col("c_custkey")), col("c_custkey"))))
+      auditPipeline("saltedJoin", graft.ops.SaltedJoin.join(
+        events.select(col("event_id"), col("user_id")),
+        customer.select(col("c_custkey"), col("c_name")),
+        "user_id", "c_custkey", col("event_id"), 8))
+    }
 
     // partition pruning on a WRITTEN output MS: a field selection must
     // show up as a PartitionFilter, not a data filter
