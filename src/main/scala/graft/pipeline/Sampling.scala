@@ -58,4 +58,25 @@ object Sampling {
     }
     df.filter(draw(salt, key) < ppm)
   }
+
+  /** Exactly-k-per-stratum sample: the k rows with the SMALLEST draw in
+    * each stratum (ties broken by key) — a fixed-size quota per group
+    * where the rate variants give a fixed probability. Same
+    * determinism/repeatability properties, and the k survivors of a
+    * stratum are stable under corpus growth until smaller draws arrive
+    * (bounded churn, unlike re-rolled RNG samples).
+    *
+    * Scale: one stratum-keyed window shuffle; rank ≤ k cuts inside the
+    * window, so nothing beyond the stratum partitioning ever
+    * materializes. Strata are assumed ≫ k but any single stratum is
+    * one partition-group — same skew bound as any per-group top-k.
+    */
+  def topKPerStratum(df: DataFrame, key: Column, stratum: Column, k: Int,
+                     salt: String = "smp"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(draw(salt, key).asc, key.asc)
+    df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

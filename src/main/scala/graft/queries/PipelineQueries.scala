@@ -359,7 +359,14 @@ object PipelineQueries {
     // Context-window chunking: 32-token chunks, stride 24 (8-token
     // overlap) — tokenizer "overflow with stride" semantics.
     "pl_c1_chunks" -> ((s, d) =>
-      TextOps.chunkTokens(Tables.documents(s, d), 32, 24))
+      TextOps.chunkTokens(Tables.documents(s, d), 32, 24)),
+
+    // Fixed-quota sampling: exactly 10 docs per language, smallest
+    // hash draw first — deterministic and growth-stable.
+    "pl_s3_topk_stratum" -> ((s, d) =>
+      graft.pipeline.Sampling.topKPerStratum(
+        Tables.documents(s, d), col("doc_id"), col("lang"), 10)
+        .select("doc_id", "lang", "source", "n_chars"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -750,6 +757,16 @@ object PipelineQueries {
             CASE lang WHEN 'en' THEN 200000
                       WHEN 'zh' THEN 900000
                       ELSE 500000 END""",
+
+    // Same draw, same (draw, key) tie-break, same quota.
+    "pl_s3_topk_stratum" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY ${h60("'smp|' || doc_id")} % 1000000 ASC,
+                              doc_id ASC) AS rk
+            FROM documents)
+          WHERE rk <= 10""",
 
     // Chunk grid mirror: starts at 0, stride 24 while new tokens remain;
     // list_slice is inclusive-bounds 1-based (Spark slice is

@@ -88,6 +88,26 @@ class PipelineSpec extends SparkSpec {
     assert(st.length == 500 && st.forall(_.getString(1) == "zh"))
   }
 
+  test("topKPerStratum: exact quota, deterministic, growth-stable") {
+    val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val a = Sampling.topKPerStratum(df, col("doc_id"), col("lang"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.count(_._2 == "en") == 5 && a.count(_._2 == "zh") == 5)
+    val b = Sampling.topKPerStratum(df, col("doc_id"), col("lang"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+    // growing the corpus keeps survivors unless a smaller draw arrives:
+    // every original survivor still in the new sample was a survivor before
+    val grown = df.union((301L to 400L).map(i => (i, "en")).toDF("doc_id", "lang"))
+    val g = Sampling.topKPerStratum(grown, col("doc_id"), col("lang"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g.count(_._2 == "en") == 5)
+    assert((g.filter(x => x._2 == "en" && x._1 <= 300L) --
+      a.filter(_._2 == "en").toSet).isEmpty,
+      "an old doc entered the sample without being an original survivor")
+  }
+
   test("chunking: stride windows, short and empty docs, exact boundaries") {
     val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
     val df = Seq((1L, mk(70)), (2L, mk(32)), (3L, mk(33)), (4L, mk(5)),
