@@ -366,7 +366,30 @@ object PipelineQueries {
     "pl_s3_topk_stratum" -> ((s, d) =>
       graft.pipeline.Sampling.topKPerStratum(
         Tables.documents(s, d), col("doc_id"), col("lang"), 10)
-        .select("doc_id", "lang", "source", "n_chars"))
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // The end-to-end training-data EXPORT: quality gate ∧ exact-dup
+    // keeper ∧ near-dup-loser drop (the pl_p1 population), then
+    // stride-window chunking — documents in, training sequences out,
+    // as ONE lazy plan over the dedup staging caches (materialize the
+    // chunk table, then release the signature cache; the harness
+    // releases the result after writing, so no blocks outlive the
+    // entry).
+    "pl_p2_training_chunks" -> ((s, d) => {
+      import graft.pipeline.{Caches, Dedup}
+      val docs = Tables.documents(s, d)
+      val exactKeepers = Dedup.exactClusters(docs)
+        .select(col("keeper").as("doc_id")).distinct()
+      val (pairs, sigs) = Dedup.nearDupPairsPlan(docs, 0.7, 0)
+      val losers = pairs.select(col("doc2").as("doc_id")).distinct()
+      val kept = TextOps.withQuality(docs).filter(col("keep"))
+        .join(exactKeepers, Seq("doc_id"), "semi")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "text")
+      val out = TextOps.chunkTokens(kept, 32, 24)
+      try Caches.materialize(out)
+      finally sigs.unpersist(blocking = false)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -757,6 +780,38 @@ object PipelineQueries {
             CASE lang WHEN 'en' THEN 200000
                       WHEN 'zh' THEN 900000
                       ELSE 500000 END""",
+
+    // pl_p1's kept population (same truth-pairs CTE) chunked with the
+    // pl_c1 grid — the whole export replayed in SQL.
+    "pl_p2_training_chunks" ->
+      s"""WITH $truthPairsSql,
+          q AS (
+            SELECT doc_id, text,
+                   CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter($toksSql, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+            FROM documents),
+          ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          kept AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM q
+            WHERE n_tokens >= 20 AND n_tokens <= 95
+              AND n_distinct::DOUBLE / n_tokens >= 0.45
+              AND n_stop::DOUBLE / n_tokens <= 0.25
+              AND doc_id IN (SELECT doc_id FROM ek)
+              AND doc_id NOT IN (SELECT doc2 FROM verified)),
+          c AS (
+            SELECT doc_id, tk,
+                   unnest(range(CAST(floor(
+                     (greatest(len(tk) - 32, 0) + 23) / 24) AS BIGINT) + 1))
+                     AS chunk_idx
+            FROM kept)
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 coalesce(array_to_string(
+                   list_slice(tk, chunk_idx*24 + 1, chunk_idx*24 + 32), ' '),
+                   '') AS chunk_text,
+                 CAST(len(list_slice(tk, chunk_idx*24 + 1, chunk_idx*24 + 32))
+                   AS BIGINT) AS n_chunk_tokens
+          FROM c""",
 
     // Same draw, same (draw, key) tie-break, same quota.
     "pl_s3_topk_stratum" ->
