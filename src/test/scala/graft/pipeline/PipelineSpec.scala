@@ -418,6 +418,14 @@ class PipelineSpec extends SparkSpec {
     assert(persisted == 1, "dupClusters should hold only its result")
     Caches.release(cl)
     assert(persisted == 0)
+    // the pl_p2 export shape: chunk table materialized, dedup staging
+    // released inside the entry, result releasable like the pair ops
+    val chunks = graft.queries.PipelineQueries
+      .queries("pl_p2_training_chunks")(spark, "/root/testdata/sf0.001")
+    assert(chunks.count() > 0)
+    assert(persisted == 1, "pl_p2 should hold only its chunk result")
+    Caches.release(chunks)
+    assert(persisted == 0, "pl_p2 result blocks not releasable")
   }
 
   test("language id: perfect on a corpus with distinctive vocabularies") {
