@@ -100,9 +100,13 @@ object TokenGramHash {
     var w = 0
     while (w < out.length) {
       // hash the byte span of tokens [w, w+k) with ' ' read as '_' —
-      // exactly the '_'-joined gram string, never materialized
-      var h1 = 0L
-      var h2 = 0L
+      // exactly the '_'-joined gram string, never materialized.
+      // h starts at 1, NOT 0: with h0 = 0 a leading 0x00 byte is a
+      // no-op in BOTH lanes simultaneously ("\u0000a..." would collide
+      // with "a..." deterministically, defeating the dual hash); h0 = 1
+      // makes every byte position contribute.
+      var h1 = 1L
+      var h2 = 1L
       var j = starts(w)
       val end = ends(w + k - 1)
       while (j < end) {

@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  private val SaltCol = "_graft_salt"
+
+  /** The salted fact side (exposed for tests): `SaltCol` is a
+    * deterministic value in [0, salts) per row. A NULL `saltSource`
+    * maps to salt 0 — a NULL salt would make the (key, salt) equi-join
+    * drop the row, silently breaking the bit-identical contract.
+    */
+  private[ops] def saltedFact(fact: DataFrame, saltSource: Column,
+                              salts: Int): DataFrame =
+    fact.withColumn(SaltCol,
+      coalesce(pmod(saltSource, lit(salts)), lit(0)))
+
   /** Inner equi-join of `fact` and `dim` on `factKey == dimKey`,
     * salted `salts` ways. `saltSource` must be deterministic per fact
     * row (e.g. a row id) but is otherwise arbitrary — it only spreads
@@ -38,13 +50,14 @@ object SaltedJoin {
            factKey: String, dimKey: String,
            saltSource: Column, salts: Int = 8): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val saltedFact = fact.withColumn("_salt", pmod(saltSource, lit(salts)))
-    val saltedDim = dim.withColumn("_salt",
+    // the working column must not shadow (and then drop) caller data
+    require(!fact.columns.contains(SaltCol) && !dim.columns.contains(SaltCol),
+      s"inputs must not carry a $SaltCol column")
+    val sf = saltedFact(fact, saltSource, salts)
+    val sd = dim.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    saltedFact
-      .join(saltedDim,
-        saltedFact(factKey) === saltedDim(dimKey) &&
-          saltedFact("_salt") === saltedDim("_salt"))
-      .drop("_salt")
+    sf.join(sd,
+        sf(factKey) === sd(dimKey) && sf(SaltCol) === sd(SaltCol))
+      .drop(SaltCol)
   }
 }

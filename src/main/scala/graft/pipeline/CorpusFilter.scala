@@ -31,17 +31,28 @@ import org.apache.spark.sql.functions._
   */
 object CorpusFilter {
 
-  /** Kept documents as (doc_id, n_tokens), materialized (see above). */
-  def kept(docs: DataFrame, minJaccard: Double = 0.7): DataFrame = {
-    val q = TextOps.withQuality(docs)
+  /** The LAZY kept-documents plan (full doc columns + quality stats)
+    * and the staged signature cache the caller must unpersist after
+    * materializing whatever it derives — the single implementation of
+    * the keep rule, shared by [[kept]] and the pl_p2 training-chunk
+    * export so the thresholds cannot silently diverge.
+    */
+  private[graft] def keptPlan(docs: DataFrame,
+      minJaccard: Double): (DataFrame, DataFrame) = {
     val exactKeepers = Dedup.exactClusters(docs)
       .select(col("keeper").as("doc_id")).distinct()
     val (pairs, sigs) = Dedup.nearDupPairsPlan(docs, minJaccard, 0)
     val nearDupLosers = pairs.select(col("doc2").as("doc_id")).distinct()
-    val out = q.filter(col("keep"))
+    val out = TextOps.withQuality(docs).filter(col("keep"))
       .join(exactKeepers, Seq("doc_id"), "semi")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .select("doc_id", "n_tokens")
-    try Caches.materialize(out) finally sigs.unpersist(blocking = false)
+    (out, sigs)
+  }
+
+  /** Kept documents as (doc_id, n_tokens), materialized (see above). */
+  def kept(docs: DataFrame, minJaccard: Double = 0.7): DataFrame = {
+    val (plan, sigs) = keptPlan(docs, minJaccard)
+    try Caches.materialize(plan.select("doc_id", "n_tokens"))
+    finally sigs.unpersist(blocking = false)
   }
 }

@@ -334,7 +334,16 @@ object Dedup {
       .select(col("doc_id"), posexplode(
         graft.expressions.TokenGramHash(col("text"), k))
         .as(Seq("pos", "gh")))
-    val packed = col("doc_id") * (1 << 20) + col("pos")
+    // packing bounds ENFORCED, not just documented: out of bounds the
+    // min would silently pick a wrong keeper and drop wrong spans. The
+    // assert_true rides inside the packed expression (coalesce(null)=0
+    // when it passes) so it cannot be pruned away.
+    val inBounds = col("pos") < (1 << 20) &&
+      col("doc_id") >= 0 && col("doc_id") < (1L << 43)
+    val packed = col("doc_id") * (1 << 20) + col("pos") +
+      coalesce(assert_true(inBounds, lit(
+        "spanDedup packing needs 0 <= doc_id < 2^43 and pos < 2^20 tokens/doc")),
+        lit(0L))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
     val drops = grams
       .withColumn("_occ", count(lit(1)).over(w))

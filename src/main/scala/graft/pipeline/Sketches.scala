@@ -60,13 +60,20 @@ object Sketches {
     * sketch is ≤ d·w rows total. groupBy-count IS the CMS merge
     * (cell-wise addition), so shards/streams combine for free.
     */
+  /** The d (seed, cell) pairs of one item — the ONE definition of the
+    * CMS hash derivation; build and probe read the same cells or the
+    * estimates silently go wrong.
+    */
+  private def cmsCells(item: Column, d: Int, w: Int): Column =
+    array((0 until d).map(s =>
+      struct(lit(s).as("seed"),
+        pmod(TextOps.hash60(concat(lit(s"cms$s|"), item)),
+          lit(w.toLong)).as("cell"))): _*)
+
   def cmsSketch(items: DataFrame, item: Column,
                 d: Int = 3, w: Int = 1024): DataFrame =
     items.select(item.as("_it"))
-      .select(explode(array((0 until d).map(s =>
-        struct(lit(s).as("seed"),
-          pmod(TextOps.hash60(concat(lit(s"cms$s|"), col("_it"))),
-            lit(w.toLong)).as("cell"))): _*)).as("sc"))
+      .select(explode(cmsCells(col("_it"), d, w)).as("sc"))
       .groupBy(col("sc.seed").as("seed"), col("sc.cell").as("cell"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -91,10 +98,7 @@ object Sketches {
       .groupBy("tok").agg(count(lit(1)).as("exact"))
     cand
       .select(col("tok"), col("exact"),
-        explode(array((0 until d).map(s =>
-          struct(lit(s).as("seed"),
-            pmod(TextOps.hash60(concat(lit(s"cms$s|"), col("tok"))),
-              lit(w.toLong)).as("cell"))): _*)).as("sc"))
+        explode(cmsCells(col("tok"), d, w)).as("sc"))
       .select(col("tok"), col("exact"),
         col("sc.seed").as("seed"), col("sc.cell").as("cell"))
       .join(sk, Seq("seed", "cell"))
@@ -181,12 +185,17 @@ object Sketches {
     * shuffle bounded by m out); unions of filters and incremental adds
     * are just further distincts.
     */
+  /** The d bit positions of one key — the ONE definition of the Bloom
+    * hash derivation, shared by build and probe.
+    */
+  private def bloomPositions(key: Column, d: Int, m: Int): Column =
+    array((0 until d).map(s =>
+      pmod(TextOps.hash60(concat(lit(s"bf$s|"), key)), lit(m.toLong))): _*)
+
   def bloomBits(keys: DataFrame, key: Column,
                 d: Int = 4, m: Int = 8192): DataFrame =
     keys.select(key.cast("string").as("_k"))
-      .select(explode(array((0 until d).map(s =>
-        pmod(TextOps.hash60(concat(lit(s"bf$s|"), col("_k"))),
-          lit(m.toLong)).as(s"_b$s")): _*)).as("bit"))
+      .select(explode(bloomPositions(col("_k"), d, m)).as("bit"))
       .distinct()
 
   /** Probe the filter: for each distinct probe key, `bloom_hit` iff ALL
@@ -206,9 +215,7 @@ object Sketches {
   def bloomProbe(probes: DataFrame, probeKey: Column, bits: DataFrame,
                  d: Int = 4, m: Int = 8192): DataFrame = {
     val p = probes.select(probeKey.cast("string").as("_k")).distinct()
-      .withColumn("_pb", array_distinct(array((0 until d).map(s =>
-        pmod(TextOps.hash60(concat(lit(s"bf$s|"), col("_k"))),
-          lit(m.toLong))): _*)))
+      .withColumn("_pb", array_distinct(bloomPositions(col("_k"), d, m)))
     val matched = p
       .select(col("_k"), explode(col("_pb")).as("bit"))
       .join(bits, Seq("bit"))

@@ -167,10 +167,14 @@ object TextOps {
     * (counting (doc,term) rows = docs containing term, no distinct
     * needed); the tf⋈df join carries no broadcast hint — vocabulary is
     * corpus-dependent, so AQE picks broadcast only when df measures
-    * small. N arrives as a literal from a column-pruned count(*): a
-    * metadata-scale scalar action, the one full-scan statistic any IDF
-    * needs. The final top-k is a doc_id-partitioned window — keyed,
-    * never a global sort.
+    * small. N arrives as a literal from a column-pruned count(*) —
+    * NOTE this makes the builder run one metadata-scale Spark job at
+    * plan-construction time. The lazy alternative (joining a one-row
+    * count aggregate) was tried and rejected: Catalyst folds the
+    * constant join key and plans a BroadcastNestedLoopJoin, trading an
+    * upfront count for a nested-loop node that the no-NLJ plan guard
+    * exists to forbid. The final top-k is a doc_id-partitioned
+    * window — keyed, never a global sort.
     */
   def tfidfTopK(docs: DataFrame, k: Int = 5,
                 textCol: String = "text"): DataFrame = {

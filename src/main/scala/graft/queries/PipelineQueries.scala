@@ -376,17 +376,9 @@ object PipelineQueries {
     // releases the result after writing, so no blocks outlive the
     // entry).
     "pl_p2_training_chunks" -> ((s, d) => {
-      import graft.pipeline.{Caches, Dedup}
-      val docs = Tables.documents(s, d)
-      val exactKeepers = Dedup.exactClusters(docs)
-        .select(col("keeper").as("doc_id")).distinct()
-      val (pairs, sigs) = Dedup.nearDupPairsPlan(docs, 0.7, 0)
-      val losers = pairs.select(col("doc2").as("doc_id")).distinct()
-      val kept = TextOps.withQuality(docs).filter(col("keep"))
-        .join(exactKeepers, Seq("doc_id"), "semi")
-        .join(losers, Seq("doc_id"), "left_anti")
-        .select("doc_id", "text")
-      val out = TextOps.chunkTokens(kept, 32, 24)
+      import graft.pipeline.{Caches, CorpusFilter}
+      val (kept, sigs) = CorpusFilter.keptPlan(Tables.documents(s, d), 0.7)
+      val out = TextOps.chunkTokens(kept.select("doc_id", "text"), 32, 24)
       try Caches.materialize(out)
       finally sigs.unpersist(blocking = false)
     })

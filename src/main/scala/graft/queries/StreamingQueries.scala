@@ -17,6 +17,48 @@ import org.apache.spark.sql.functions._
 object StreamingQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Run `stream` to completion into a memory sink and return the sink
+    * table MATERIALIZED as a local frame (the temp view dies when the
+    * entry re-runs) — the tail every streaming entry shares.
+    */
+  private def sinkToLocal(s: SparkSession, name: String,
+      stream: DataFrame, mode: String): DataFrame = {
+    s.catalog.dropTempView(name)
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = s.table(name).collect()
+    s.createDataFrame(
+      java.util.Arrays.asList(out: _*), s.table(name).schema)
+  }
+
+  /** Stage `df` as `nFiles` parquet files in a fresh temp dir and open
+    * a one-file-per-micro-batch stream over them; returns the stream
+    * and a cleanup thunk. The multi-batch split is the point: state
+    * must MERGE across triggers, not just aggregate within one.
+    */
+  private def stagedFileStream(s: SparkSession, df: DataFrame,
+      nFiles: Int): (DataFrame, () => Unit) = {
+    import java.io.File
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_stream").toFile
+    val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
+    val staging = new File(tmp, "staging")
+    df.repartition(nFiles).write.parquet(staging.getAbsolutePath)
+    staging.listFiles().filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.move(f.toPath,
+          new File(streamDir, f"$i%03d_part.parquet").toPath)
+      }
+    val src = s.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.getAbsolutePath)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    (src, () => rm(tmp))
+  }
+
   val queries: Map[String, Q] = Map(
     // W2+A1 streaming-shape: 1-hour event-time tumbling windows per
     // user over the events table, run through the streaming engine
@@ -40,15 +82,7 @@ object StreamingQueries {
         .select(unix_timestamp(col("window.start")).as("win_start_epoch"),
           col("user_id"), col("n_events"),
           col("value_sum_c").cast("long").as("value_sum_c"))
-      s.catalog.dropTempView(name) // entries re-run (bench warm pass)
-      val q = windowed.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      // materialize: the memory sink's temp view dies with later reruns
-      val out = s.table(name).collect()
-      s.createDataFrame(
-        java.util.Arrays.asList(out: _*), s.table(name).schema)
+      sinkToLocal(s, name, windowed, "complete")
     }),
 
     // The engine's CORE kernel — flag-aware dual-population visibility
@@ -79,14 +113,7 @@ object StreamingQueries {
         .withColumn("BIN",
           floor((col("TIME") - col("T0")) / 60000.0).cast("int"))
       val avg = MsQueries.visFlatFrom(prep, "DATA", 4)
-      s.catalog.dropTempView(name)
-      val q = avg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      val out = s.table(name).collect()
-      s.createDataFrame(
-        java.util.Arrays.asList(out: _*), s.table(name).schema)
+      sinkToLocal(s, name, avg, "complete")
     }),
 
     // Stateful sessionization via flatMapGroupsWithState: the real
@@ -158,34 +185,10 @@ object StreamingQueries {
     // one-shuffle batch dedup. Oracle: the SAME SQL as
     // pl_d1_exact_clusters — streaming must reproduce batch exactly.
     "st4_stream_dedup" -> ((s, d) => {
-      import java.io.File
-      import java.nio.file.Files
-      val name = "graft_st4_sink"
-      val docs = Tables.documents(s, d)
-      val tmp = Files.createTempDirectory("graft_st4").toFile
-      val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
-      val staging = new File(tmp, "staging")
-      docs.repartition(4).write.parquet(staging.getAbsolutePath)
-      staging.listFiles().filter(_.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (f, i) =>
-          Files.move(f.toPath,
-            new File(streamDir, f"$i%03d_docs.parquet").toPath)
-        }
-      val src = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(streamDir.getAbsolutePath)
-      val dedup = graft.streaming.EventStream.exactClusters(src)
-      s.catalog.dropTempView(name)
-      val q = dedup.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      val out = s.table(name).collect()
-      def rm(f: File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(tmp)
-      s.createDataFrame(
-        java.util.Arrays.asList(out: _*), s.table(name).schema)
+      val (src, cleanup) = stagedFileStream(s, Tables.documents(s, d), 4)
+      try sinkToLocal(s, "graft_st4_sink",
+        graft.streaming.EventStream.exactClusters(src), "complete")
+      finally cleanup()
     }),
 
     // Streaming count-min sketch: the pl_k2 sketch built by the
@@ -198,36 +201,12 @@ object StreamingQueries {
     // Oracle: the SAME sketch SQL as the batch pl_k2 CTE — streaming
     // must land on the identical d×w count matrix.
     "st5_stream_cms" -> ((s, d) => {
-      import java.io.File
-      import java.nio.file.Files
-      val name = "graft_st5_sink"
-      val docs = Tables.documents(s, d)
-      val tmp = Files.createTempDirectory("graft_st5").toFile
-      val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
-      val staging = new File(tmp, "staging")
-      docs.repartition(4).write.parquet(staging.getAbsolutePath)
-      staging.listFiles().filter(_.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (f, i) =>
-          Files.move(f.toPath,
-            new File(streamDir, f"$i%03d_docs.parquet").toPath)
-        }
-      val src = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(streamDir.getAbsolutePath)
+      val (src, cleanup) = stagedFileStream(s, Tables.documents(s, d), 4)
       val toks = src.select(explode(split(col("text"), " ")).as("tok"))
         .where(col("tok") =!= "")
-      val sketch = graft.pipeline.Sketches.cmsSketch(toks, col("tok"))
-      s.catalog.dropTempView(name)
-      val q = sketch.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      val out = s.table(name).collect()
-      def rm(f: File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(tmp)
-      s.createDataFrame(
-        java.util.Arrays.asList(out: _*), s.table(name).schema)
+      try sinkToLocal(s, "graft_st5_sink",
+        graft.pipeline.Sketches.cmsSketch(toks, col("tok")), "complete")
+      finally cleanup()
     })
   )
 

@@ -56,6 +56,14 @@ class TokenGramHashSpec extends SparkSpec {
     assert(h1 == h2)
   }
 
+  test("leading NUL byte is not a hash no-op") {
+    // with h0 = 0 a 0x00-prefixed gram would collide with its
+    // unprefixed twin in BOTH lanes at once
+    val h1 = hashes("\u0000a b c", 3)
+    val h2 = hashes("a b c", 3)
+    assert(h1.head != h2.head)
+  }
+
   test("short, empty, and null inputs") {
     assert(hashes("a b", 3).isEmpty)     // fewer than k tokens
     assert(hashes("", 1).length == 1)    // empty text = one empty token

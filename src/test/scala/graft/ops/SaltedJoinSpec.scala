@@ -29,8 +29,20 @@ class SaltedJoinSpec extends SparkSpec {
 
   test("hot key rows actually spread over multiple salts") {
     val fact = (1 to 1000).map(i => (i.toLong, 7L)).toDF("row_id", "k")
-    val n = fact.withColumn("_salt", pmod(col("row_id"), lit(8)))
-      .select("_salt").distinct().count()
+    // the REAL salting path, not a re-implementation of it
+    val n = SaltedJoin.saltedFact(fact, col("row_id"), 8)
+      .select("_graft_salt").distinct().count()
     assert(n == 8L, s"expected the hot key spread over 8 salts, got $n")
+  }
+
+  test("null salt source joins like the plain join; _graft_salt input rejected") {
+    val fact = Seq((Some(1L), 7L), (None, 7L)).toDF("row_id", "k")
+    val dim = Seq((7L, "hot")).toDF("dk", "name")
+    val out = SaltedJoin.join(fact, dim, "k", "dk", col("row_id"), 8)
+    assert(out.count() == 2, "NULL saltSource row must not be dropped")
+    val poisoned = fact.withColumn("_graft_salt", lit(9))
+    intercept[IllegalArgumentException] {
+      SaltedJoin.join(poisoned, dim, "k", "dk", col("row_id"), 8)
+    }
   }
 }
