@@ -34,12 +34,18 @@ object SaltedJoin {
   /** The salted fact side (exposed for tests): `SaltCol` is a
     * deterministic value in [0, salts) per row. A NULL `saltSource`
     * maps to salt 0 — a NULL salt would make the (key, salt) equi-join
-    * drop the row, silently breaking the bit-identical contract.
+    * drop the row, silently breaking the bit-identical contract. The
+    * source is cast to LONG before the mod for the same reason: a
+    * fractional salt (e.g. from a DOUBLE source) would never equal the
+    * dim side's integer salts 0..salts-1 and rows would vanish.
+    * `pmod(cast, salts)` stays in [0, salts) for negative sources too;
+    * a non-integral double truncates toward zero — still deterministic
+    * per row, which is all the spread needs.
     */
   private[ops] def saltedFact(fact: DataFrame, saltSource: Column,
                               salts: Int): DataFrame =
     fact.withColumn(SaltCol,
-      coalesce(pmod(saltSource, lit(salts)), lit(0)))
+      coalesce(pmod(saltSource.cast("long"), lit(salts.toLong)), lit(0L)))
 
   /** Inner equi-join of `fact` and `dim` on `factKey == dimKey`,
     * salted `salts` ways. `saltSource` must be deterministic per fact
@@ -55,7 +61,7 @@ object SaltedJoin {
       s"inputs must not carry a $SaltCol column")
     val sf = saltedFact(fact, saltSource, salts)
     val sd = dim.withColumn(SaltCol,
-      explode(sequence(lit(0), lit(salts - 1))))
+      explode(sequence(lit(0L), lit((salts - 1).toLong))))
     sf.join(sd,
         sf(factKey) === sd(dimKey) && sf(SaltCol) === sd(SaltCol))
       .drop(SaltCol)

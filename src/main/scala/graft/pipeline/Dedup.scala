@@ -191,19 +191,27 @@ object Dedup {
     * vocabulary every doc shares most tokens and token-simhashes
     * collapse onto a few values, destroying bucket selectivity.
     * Requires maxHamming < nChunks for the recall guarantee.
-    * Skewed chunk-buckets at corpus scale take the same cap/salt guard
-    * as [[nearDupPairs]] (a bucket of m docs costs m²/2 candidates).
+    *
+    * @param maxBucketSize cap on members per (chunk, value) bucket
+    *   admitted to the candidate self-join — the same oversized-bucket
+    *   guard as [[nearDupPairs]] (a bucket of m docs costs m²/2
+    *   candidates; a boilerplate-heavy corpus can put millions of docs
+    *   in one chunk-bucket). Over-cap buckets are EXCLUDED and counted
+    *   to the log (explicit recall accounting: pairs whose ONLY
+    *   agreeing chunk is capped are lost; exact-dup clustering is the
+    *   right tool for the mass inside). 0 = unlimited.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   nChunks: Int = 4): DataFrame = {
-    val (out, sh) = simhashPairsPlan(docs, maxHamming, nChunks)
+                   nChunks: Int = 4, maxBucketSize: Int = 0): DataFrame = {
+    val (out, sh) = simhashPairsPlan(docs, maxHamming, nChunks, maxBucketSize)
     // pair-sized result out, fingerprint cache released (see nearDupPairs)
     try Caches.materialize(out) finally sh.unpersist(blocking = false)
   }
 
   /** Lazy plan + staged fingerprint cache (see [[nearDupPairsPlan]]). */
   private[graft] def simhashPairsPlan(docs: DataFrame, maxHamming: Int,
-                                      nChunks: Int): (DataFrame, DataFrame) = {
+                                      nChunks: Int,
+                                      maxBucketSize: Int = 0): (DataFrame, DataFrame) = {
     require(maxHamming < nChunks,
       s"pigeonhole recall needs maxHamming < nChunks ($maxHamming >= $nChunks)")
     val width = 32 / nChunks
@@ -219,9 +227,24 @@ object Dedup {
       struct(lit(c).as("c"),
         shiftright(col("simhash"), c * width).bitwiseAND(mask).as("cv"))
     }
-    val chunks = sh.select(col("doc_id"), col("simhash"),
+    val chunksAll = sh.select(col("doc_id"), col("simhash"),
         explode(array(chunkCols: _*)).as("k"))
       .select(col("doc_id"), col("simhash"), col("k.c"), col("k.cv"))
+    // oversized-bucket guard, same shape as nearDupPairs: count members
+    // per (chunk, value), anti-join out the over-cap buckets (no
+    // broadcast hint — AQE demotes when the over-cap set is tiny)
+    val chunks =
+      if (maxBucketSize <= 0) chunksAll
+      else {
+        val over = chunksAll.groupBy("c", "cv")
+          .agg(count(lit(1)).as("_BN"))
+          .filter(col("_BN") > maxBucketSize)
+        val nOver = over.count()
+        if (nOver > 0) println(
+          s"[dedup] $nOver simhash chunk-bucket(s) over cap $maxBucketSize " +
+            "excluded from the candidate join (recall accounting — see Scaladoc)")
+        chunksAll.join(over.select("c", "cv"), Seq("c", "cv"), "left_anti")
+      }
     val out = chunks.as("x").join(chunks.as("y"), Seq("c", "cv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),

@@ -74,9 +74,13 @@ object Sampling {
   def topKPerStratum(df: DataFrame, key: Column, stratum: Column, k: Int,
                      salt: String = "smp"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // the working rank column must not shadow (and then drop) caller
+    // data — same contract as SaltedJoin's _graft_salt guard
+    val rk = "_graft_rk"
+    require(!df.columns.contains(rk), s"input must not carry a $rk column")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(draw(salt, key).asc, key.asc)
-    df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
-      .drop("_rk")
+    df.withColumn(rk, row_number().over(w)).filter(col(rk) <= k)
+      .drop(rk)
   }
 }

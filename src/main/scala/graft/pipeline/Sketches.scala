@@ -29,23 +29,33 @@ object Sketches {
     */
   def kmvDistinct(df: DataFrame, hash: Column, k: Int,
                   withExact: Boolean = true): DataFrame = {
-    val h = df.select(hash.as("h")).distinct().persist()
-    try {
-      val kmin = h.orderBy("h").limit(k)
-        .agg(max(col("h")).as("kth_hash"),
-          count(lit(1)).cast("long").as("k_eff"))
-      val est = kmin.withColumn("kmv_est",
+    val hPlan = df.select(hash.as("h")).distinct()
+    def estOf(h: DataFrame) = h.orderBy("h").limit(k)
+      .agg(max(col("h")).as("kth_hash"),
+        count(lit(1)).cast("long").as("k_eff"))
+      .withColumn("kmv_est",
         round((col("k_eff") - 1).cast("double") * lit(math.pow(2, 60)) /
           col("kth_hash").cast("double")).cast("long"))
-      val out =
-        if (withExact)
-          h.agg(count(lit(1)).cast("long").as("n_exact")).crossJoin(est)
-        else est
-      // the sketch is one row — materialize so unpersist is safe
-      val rows = out.collect()
-      df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
-    } finally h.unpersist()
+    if (!withExact) {
+      // production path: ONE action, nothing persisted — a persist here
+      // would cache one row per distinct value (possibly TBs at 100 TB
+      // corpus scale) for no reuse at all
+      estOf(hPlan)
+    } else {
+      // demo path (estimate vs truth in one row): the distinct-hash
+      // frame feeds TWO actions (top-k and exact count), so the persist
+      // buys the second scan — bounded by distinct cardinality, and
+      // released before return. Drop withExact at scale instead.
+      val h = hPlan.persist()
+      try {
+        val out = h.agg(count(lit(1)).cast("long").as("n_exact"))
+          .crossJoin(estOf(h))
+        // the sketch is one row — materialize so unpersist is safe
+        val rows = out.collect()
+        df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+      } finally h.unpersist()
+    }
   }
 
   /** Count-min sketch (Cormode & Muthukrishnan 2005) over an item

@@ -44,6 +44,11 @@ object EventQueries {
     // path expression — the scan-speed way to read JSON-in-a-string
     // without a parse-to-struct stage; the projection stays narrow and
     // the single shuffle is the (event_type) aggregate.
+    // ORACLE CONTRACT: props.k is integer-valued (TESTDATA generates
+    // {"k": <int>}). On non-integral values the engines diverge —
+    // Spark's string→long cast NULLs 1.5/"x", DuckDB's CAST(... AS
+    // BIGINT) rounds or errors — so the integer-only assumption is part
+    // of the entry's contract, not an accident of the data.
     "ev2_json_agg" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
@@ -97,6 +102,9 @@ object EventQueries {
 
     // NULL props / missing key fall out of count(k)/sum(k) identically
     // on both engines (aggregate null-skipping).
+    // Integer-only contract (see the Spark side): Spark NULLs a
+    // non-integral k where DuckDB's CAST rounds/errors — the mirror
+    // holds only while props.k is an integer, which TESTDATA declares.
     "ev2_json_agg" ->
       """SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n_events,

@@ -43,20 +43,24 @@ object StreamingQueries {
     import java.io.File
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_stream").toFile
-    val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
-    val staging = new File(tmp, "staging")
-    df.repartition(nFiles).write.parquet(staging.getAbsolutePath)
-    staging.listFiles().filter(_.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (f, i) =>
-        Files.move(f.toPath,
-          new File(streamDir, f"$i%03d_part.parquet").toPath)
-      }
-    val src = s.readStream.schema(df.schema)
-      .option("maxFilesPerTrigger", 1).parquet(streamDir.getAbsolutePath)
     def rm(f: File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    (src, () => rm(tmp))
+    // callers' try/finally only covers the post-return path — if the
+    // staging write or the file moves throw, delete tmp here first
+    try {
+      val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
+      val staging = new File(tmp, "staging")
+      df.repartition(nFiles).write.parquet(staging.getAbsolutePath)
+      staging.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath,
+            new File(streamDir, f"$i%03d_part.parquet").toPath)
+        }
+      val src = s.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.getAbsolutePath)
+      (src, () => rm(tmp))
+    } catch { case e: Throwable => rm(tmp); throw e }
   }
 
   val queries: Map[String, Q] = Map(

@@ -192,17 +192,12 @@ class PlanShapeSpec extends SparkSpec {
   test("KMV k-minimum pass is TakeOrdered, not a global sort") {
     import org.apache.spark.sql.functions._
     val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    // estimate-only path is now fully lazy (no persist, no collect) —
+    // audit the REAL plan the production path would run
     val p = plan(graft.pipeline.Sketches.kmvDistinct(
       toks, graft.pipeline.TextOps.hash60(concat(lit("k|"), col("tok"))),
       64, withExact = false))
-    // kmvDistinct materializes (one-row sketch); audit the pre-collect
-    // plan of the k-min aggregate instead
-    val kmin = toks
-      .select(graft.pipeline.TextOps.hash60(concat(lit("k|"), col("tok"))).as("h"))
-      .distinct().orderBy("h").limit(64)
-    val pk = plan(kmin)
-    assert(pk.contains("TakeOrderedAndProject"),
-      s"expected TakeOrderedAndProject in:\n$pk")
-    assert(p.nonEmpty)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$p")
   }
 }

@@ -35,6 +35,16 @@ class SaltedJoinSpec extends SparkSpec {
     assert(n == 8L, s"expected the hot key spread over 8 salts, got $n")
   }
 
+  test("non-integral (double) salt source: no rows dropped (ADVICE r7)") {
+    // a DOUBLE saltSource used to produce fractional salts that never
+    // equalled the dim side's integers — rows silently vanished
+    val fact = Seq((0.25, 7L), (1.5, 7L), (-2.75, 7L), (3.0, 1L))
+      .toDF("value", "k")
+    val dim = Seq((7L, "hot"), (1L, "a")).toDF("dk", "name")
+    val out = SaltedJoin.join(fact, dim, "k", "dk", col("value"), 8)
+    assert(out.count() == 4, "fractional saltSource must not drop rows")
+  }
+
   test("null salt source joins like the plain join; _graft_salt input rejected") {
     val fact = Seq((Some(1L), 7L), (None, 7L)).toDF("row_id", "k")
     val dim = Seq((7L, "hot")).toDF("dk", "name")

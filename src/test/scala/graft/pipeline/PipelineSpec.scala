@@ -308,6 +308,28 @@ class PipelineSpec extends SparkSpec {
       "pigeonhole recall violated — a hamming<=3 pair missed every bucket")
   }
 
+  test("simhashPairs bucket cap: oversized buckets excluded, survivors intact") {
+    // 20 identical boilerplate docs put 20 members in each of their 4
+    // (chunk, value) buckets; an unrelated identical pair forms
+    // buckets of size 2. Cap at 10: the boilerplate blow-up (190
+    // pairs) is excluded with recall accounting, the small pair stays.
+    val boiler = (1L to 20L).map(i =>
+      (i, "spam spam spam canned meat product wonderful spam again"))
+    val small = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val df = (boiler ++ small).toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(df, 3, 4)
+    assert(uncapped.count() == 190 + 1, "uncapped must see every pair")
+    val capped = Dedup.simhashPairs(df, 3, 4, maxBucketSize = 10)
+    val rows = capped.collect()
+    assert(rows.length == 1, s"capped run kept ${rows.length} pairs, want 1")
+    assert(rows(0).getAs[Long]("doc1") == 100L
+      && rows(0).getAs[Long]("doc2") == 101L
+      && rows(0).getAs[Long]("hamming") == 0L)
+    Caches.release(uncapped); Caches.release(capped)
+  }
+
   test("brute-force knn: ranks ordered by cosine, no self-match") {
     val out = Ann.knnBrute(vecs, col("vec_id") < 3, 5).cache()
     assert(out.filter(col("probe_id") === col("neighbor_id")).count() == 0)
@@ -426,6 +448,12 @@ class PipelineSpec extends SparkSpec {
     assert(persisted == 1, "pl_p2 should hold only its chunk result")
     Caches.release(chunks)
     assert(persisted == 0, "pl_p2 result blocks not releasable")
+    // kmvDistinct estimate-only (production) path: one action, so it
+    // must not persist the distinct-cardinality-sized hash frame
+    val est = Sketches.kmvDistinct(docs,
+      TextOps.hash60(concat(lit("k|"), col("text"))), 64, withExact = false)
+    assert(est.count() == 1)
+    assert(persisted == 0, "kmv estimate-only path must not persist")
   }
 
   test("language id: perfect on a corpus with distinctive vocabularies") {
