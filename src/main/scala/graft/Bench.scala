@@ -45,9 +45,18 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def procCpuSec: Double = osBean.getProcessCpuTime / 1e9
 
-    case class Pass(wall: Double, cpu: Double)
+    // Per-PASS machine load (1-min system load average sampled at both
+    // ends of the pass, max taken): CPU time on a contended 32-thread
+    // JVM inflates through GC pressure and lock spinning, so "cpu_warm
+    // grew ⇒ regression" misfires under load (VERDICT r7 #2 — st2 read
+    // 2× CPU on identical code at 2× load). Publishing load PER ENTRY
+    // lets a reader discount CPU readings taken at high load without
+    // re-running anything.
+    def loadNow: Double = osBean.getSystemLoadAverage
+
+    case class Pass(wall: Double, cpu: Double, load: Double)
     def once(name: String): Pass = {
-      val c0 = procCpuSec; val t0 = System.nanoTime()
+      val l0 = loadNow; val c0 = procCpuSec; val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
@@ -56,9 +65,10 @@ object Bench {
         graft.pipeline.Caches.releaseQuiet(df)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return Pass(-1.0, -1.0)
+        return Pass(-1.0, -1.0, math.max(l0, loadNow))
       }
-      Pass((System.nanoTime() - t0) / 1e9, procCpuSec - c0)
+      Pass((System.nanoTime() - t0) / 1e9, procCpuSec - c0,
+        math.max(l0, loadNow))
     }
     case class Timing(cold: Pass, warm: Pass)
     def time(name: String): Timing = {
@@ -66,7 +76,8 @@ object Bench {
       val warm = once(name) // warm: the headline number
       if (only.nonEmpty) println(
         f"[bench] $name cold=${cold.wall}%.3f warm=${warm.wall}%.3f " +
-          f"cpu_cold=${cold.cpu}%.3f cpu_warm=${warm.cpu}%.3f")
+          f"cpu_cold=${cold.cpu}%.3f cpu_warm=${warm.cpu}%.3f " +
+          f"load_cold=${cold.load}%.1f load_warm=${warm.load}%.1f")
       Timing(cold, warm)
     }
 
@@ -77,7 +88,8 @@ object Bench {
       .mkString("{", ",", "}")
     val detail = results.map { case (k, t) =>
       "\"" + k + "\":{\"cold\":" + t.cold.wall + ",\"warm\":" + t.warm.wall +
-        ",\"cpu_cold\":" + t.cold.cpu + ",\"cpu_warm\":" + t.warm.cpu + "}"
+        ",\"cpu_cold\":" + t.cold.cpu + ",\"cpu_warm\":" + t.warm.cpu +
+        ",\"load_cold\":" + t.cold.load + ",\"load_warm\":" + t.warm.load + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.warm.wall).filter(_ >= 0).sum
     val json =

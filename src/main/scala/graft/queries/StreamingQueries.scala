@@ -211,6 +211,71 @@ object StreamingQueries {
       try sinkToLocal(s, "graft_st5_sink",
         graft.pipeline.Sketches.cmsSketch(toks, col("tok")), "complete")
       finally cleanup()
+    }),
+
+    // Watermark/late-data semantics, proven in APPEND mode — the one
+    // streaming behavior st1-st5 (complete mode / explicit flush) never
+    // exercise: `withWatermark` must actually DROP late rows and must
+    // hold back windows the watermark hasn't passed. Two-phase stream:
+    // batch 1 is the events table (advancing the watermark to
+    // max(TS) - 2h), batch 2 is a PLANTED late batch — year-old copies
+    // of every 97th event — arriving entirely behind the watermark.
+    // Append mode then emits exactly the hour windows whose end <= the
+    // final watermark, with ZERO contribution from the planted copies.
+    // Oracle: the same window aggregate over the ORIGINAL events only,
+    // cut by the same watermark rule (window_end <= max_event_ms - 2h,
+    // at Spark's millisecond watermark grain). If the engine failed to
+    // drop the late batch, its year-old windows (long past the
+    // watermark) would be emitted and the hash would diverge — the
+    // drop is what the gate checks, not an incidental row count.
+    "st6_stream_watermark" -> ((s, d) => {
+      import java.io.File
+      import java.nio.file.Files
+      val name = "graft_st6_sink"
+      val ev = Tables.events(s, d)
+      val tmp = Files.createTempDirectory("graft_st6").toFile
+      val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      def stage(df: DataFrame, prefix: String): Unit = {
+        val staging = new File(tmp, s"staging_$prefix")
+        df.coalesce(1).write.parquet(staging.getAbsolutePath)
+        staging.listFiles().filter(_.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            Files.move(f.toPath,
+              new File(streamDir, f"${prefix}_$i%03d.parquet").toPath)
+          }
+      }
+      try {
+        stage(ev, "000")
+        val src = s.readStream.schema(ev.schema)
+          .parquet(streamDir.getAbsolutePath)
+          .withColumn("TS", timestamp_micros(expr("ts div 1000")))
+        val windowed = src
+          .withWatermark("TS", "2 hours")
+          .groupBy(window(col("TS"), "3600 seconds"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_sum_c"))
+          .select(unix_timestamp(col("window.start")).as("win_start_epoch"),
+            col("user_id"), col("n_events"),
+            col("value_sum_c").cast("long").as("value_sum_c"))
+        s.catalog.dropTempView(name)
+        val q = windowed.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: watermark -> max(TS) - 2h
+          // the planted late batch: year-old copies, all behind the
+          // watermark — the engine must drop every one of them
+          stage(ev.filter(pmod(col("event_id"), lit(97)) === 0)
+            .withColumn("ts",
+              col("ts") - lit(365L * 24L * 3600L * 1000000000L)), "001")
+          q.processAllAvailable() // batch 2: drop late, emit closed windows
+        } finally q.stop()
+        val out = s.table(name).collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*), s.table(name).schema)
+      } finally rm(tmp)
     })
   )
 
@@ -236,6 +301,27 @@ object StreamingQueries {
       """SELECT md5(text) AS md5_fp, CAST(count(*) AS BIGINT) AS n_copies,
                 min(doc_id) AS keeper
          FROM documents GROUP BY 1""",
+
+    // The st1 window aggregate over the ORIGINAL events, cut by the
+    // watermark rule at Spark's millisecond grain: a window is emitted
+    // iff window_end <= floor(max_event_us/1000) - 2h (the planted
+    // year-old late batch contributes nothing — that's the semantics
+    // under test). Integer arithmetic throughout; the data's max event
+    // is not ms-hour-aligned, so <=-vs-< at the boundary cannot bite.
+    "st6_stream_watermark" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tu, user_id,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         mx AS (SELECT max(tu) AS mxu FROM e),
+         w AS (SELECT CAST(floor(tu / 3600000000) * 3600 AS BIGINT)
+                        AS win_start_epoch,
+                      user_id,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      CAST(sum(cents) AS BIGINT) AS value_sum_c
+               FROM e GROUP BY 1, 2)
+         SELECT w.* FROM w, mx
+         WHERE (win_start_epoch + 3600) * 1000000
+               <= (mxu // 1000 - 7200000) * 1000""",
 
     // Identical to the batch pl_k2 sketch CTE — the streamed sketch's
     // d×w count matrix must equal the batch build cell for cell.

@@ -130,6 +130,53 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark: drops late rows, keeps within-delay rows, holds open windows") {
+    // the st6 semantics at hand-built scale (1h windows, 2h delay):
+    //  b1: t=1800 (w[0,3600)), t=22320 → watermark 22320-7200 = 15120
+    //  b2: t=2160  — late, its window end 3600 <= 15120: DROPPED
+    //      t=15840 — late but its window [14400,18000) is open: KEPT
+    //      t=30600 — fresh, watermark advances to 23400
+    // append mode emits exactly the windows the watermark passed:
+    // [0,3600) with n=1 (late copy dropped) and [14400,18000) with the
+    // within-delay row; [21600,25200) and [28800,32400) stay held.
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val windowed = in.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "3600 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("user_id"), col("n_events"))
+    val q = windowed.writeStream.format("memory").queryName("wm1")
+      .outputMode("append").start()
+    try {
+      in.addData(EventStream.Event(ts(1800), 1, 1.0),
+        EventStream.Event(ts(22320), 1, 1.0))
+      q.processAllAvailable()
+      in.addData(EventStream.Event(ts(2160), 1, 1.0),
+        EventStream.Event(ts(15840), 1, 1.0),
+        EventStream.Event(ts(30600), 1, 1.0))
+      q.processAllAvailable()
+      // the final eviction arrives in a no-data micro-batch after the
+      // watermark advance — poll briefly for it
+      def rows() = spark.table("wm1").orderBy("win_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val deadline = System.currentTimeMillis() + 20000
+      while (rows().length < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(rows() == Seq((0L, 1L, 1L), (14400L, 1L, 1L)),
+        s"watermark semantics violated: ${rows()}")
+      // without the watermark the late copy lands in w0 — n would be 2;
+      // n=1 above proves the DROP, not an accident of the data
+      val noWm = Seq(1800L, 22320L, 2160L, 15840L, 30600L)
+        .map(t => EventStream.Event(ts(t), 1, 1.0))
+        .toDF().groupBy(window(col("ts"), "3600 seconds")).count()
+        .filter(unix_timestamp(col("window.start")) === 0)
+        .head().getAs[Long]("count")
+      assert(noWm == 2L)
+    } finally q.stop()
+  }
+
   test("streaming visibility averaging equals the batch kernel bit-for-bit") {
     // st2 streams the MS main table one file per micro-batch (bins span
     // batches → real state-store accumulation) and must reproduce the
