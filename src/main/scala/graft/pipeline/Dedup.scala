@@ -312,6 +312,39 @@ object Dedup {
     (out, Seq(kept, grams))
   }
 
+  /** Benchmark decontamination — the train-test overlap guard (GPT-3
+    * appendix C / Pile style): flag every corpus document that shares
+    * at least one word n-gram with a held-out benchmark/eval set, so
+    * the training export can drop them before a single eval number is
+    * contaminated. Returns (doc_id, n_shared_grams) for contaminated
+    * docs only, n_shared_grams = count of DISTINCT grams the doc
+    * shares with the benchmark (the evidence strength a reviewer
+    * sorts by).
+    *
+    * Scale design: the benchmark side reduces to its distinct
+    * [[graft.expressions.TokenGramHash]] 16-byte gram keys (eval sets
+    * are ≪ corpus, but NOT force-broadcast — a large bench set
+    * shuffles, AQE demotes the join to broadcast when the gram set
+    * measures small). The corpus side explodes distinct grams to
+    * postings — the identical one-shuffle posting shape as
+    * [[ngramJaccardPairs]] — and inner-joins on the gram key; cost is
+    * one gram-keyed shuffle over the corpus, never corpus × bench.
+    * Both sides are scanned exactly once, so the whole operator is one
+    * lazy plan with nothing persisted. Gram identity is only used for
+    * the join and the count, so the oracle needs gram EQUALITY, not
+    * hash values ('_'-joined gram strings on the DuckDB side).
+    */
+  def contaminated(docs: DataFrame, bench: DataFrame, n: Int = 8): DataFrame = {
+    val benchGrams = bench.select(explode(array_distinct(
+        graft.expressions.TokenGramHash(col("text"), n))).as("gram"))
+      .distinct()
+    docs.select(col("doc_id"), explode(array_distinct(
+        graft.expressions.TokenGramHash(col("text"), n))).as("gram"))
+      .join(benchGrams, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Duplicate-span removal — substring-grain dedup in the spirit of
     * "Deduplicating Training Data Makes Language Models Better"
     * (Lee et al. 2021): every duplicated token k-gram keeps only its

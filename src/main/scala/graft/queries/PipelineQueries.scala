@@ -258,6 +258,18 @@ object PipelineQueries {
     "pl_d8_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), 3, 4)),
 
+    // Benchmark decontamination: every 37th doc plays the held-out
+    // eval set; corpus docs sharing any 4-gram with it are flagged
+    // with their shared-gram count (train-test overlap guard). n=4
+    // (vs the production 8-13) so the synthetic corpus yields overlap
+    // beyond byte-identical dup copies.
+    "pl_d10_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminated(
+        docs.filter(pmod(col("doc_id"), lit(37)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(37)) === 0), 4)
+    }),
+
     // ANN baseline: brute-force exact cosine top-k (probes broadcast,
     // corpus streamed — one scan, no shuffle of the big side).
     "pl_a1_knn_brute" -> ((s, d) =>
@@ -549,6 +561,19 @@ object PipelineQueries {
           FROM p JOIN sz s1 ON p.doc1 = s1.doc_id
                  JOIN sz s2 ON p.doc2 = s2.doc_id
           WHERE n_inter::DOUBLE / (s1.n + s2.n - n_inter) >= 0.5""",
+
+    // Gram equality via '_'-joined strings (the TokenGramHash
+    // equality classes); same split/count rule as the Spark side.
+    "pl_d10_decontam" ->
+      s"""WITH g AS (
+            SELECT doc_id, unnest(${ngramSql(4)}) AS gram FROM documents),
+          bench AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0)
+          SELECT g.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_shared_grams
+          FROM g JOIN bench USING (gram)
+          WHERE g.doc_id % 37 <> 0
+          GROUP BY 1""",
 
     // Same keeper rule in SQL: first (doc_id, pos) occurrence of each
     // duplicated 8-gram survives; all other occurrences drop their 8

@@ -87,6 +87,15 @@ class PlanShapeSpec extends SparkSpec {
       s"languageId carries a forced join-strategy hint:\n$logical")
   }
 
+  test("decontamination: gram-keyed equi-join, no cartesian, no forced broadcast") {
+    // the benchmark gram side must not be force-broadcast (a large
+    // eval set shuffles; AQE demotes when it measures small)
+    val out = Dedup.contaminated(docs, docs.limit(10), 4)
+    assertNoAllPairs(plan(out), "contaminated")
+    assert(!out.queryExecution.analyzed.toString().contains("ResolvedHint"),
+      "contaminated carries a forced join-strategy hint")
+  }
+
   test("simhash pigeonhole pairing never plans an all-pairs join") {
     val (out, sh) = Dedup.simhashPairsPlan(docs, 3, 4)
     try assertNoAllPairs(plan(out), "simhashPairs")

@@ -308,6 +308,21 @@ class PipelineSpec extends SparkSpec {
       "pigeonhole recall violated — a hamming<=3 pair missed every bucket")
   }
 
+  test("decontamination: shared-gram counts exact, clean docs absent") {
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x alpha beta y"),        // shares alpha_beta
+      (2L, "alpha beta gamma z"),    // shares alpha_beta AND beta_gamma
+      (3L, "nothing in common")).toDF("doc_id", "text")
+    val r = Dedup.contaminated(corpus, bench, 2).orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_shared_grams")))
+    assert(r.toSeq == Seq((1L, 1L), (2L, 2L)))
+    // repeated grams in one doc count once (array_distinct on both sides)
+    val rep = Seq((9L, "alpha beta q alpha beta")).toDF("doc_id", "text")
+    val r2 = Dedup.contaminated(rep, bench, 2).collect()
+    assert(r2.length == 1 && r2(0).getAs[Long]("n_shared_grams") == 1L)
+  }
+
   test("simhashPairs bucket cap: oversized buckets excluded, survivors intact") {
     // 20 identical boilerplate docs put 20 members in each of their 4
     // (chunk, value) buckets; an unrelated identical pair forms
