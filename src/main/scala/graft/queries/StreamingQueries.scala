@@ -276,6 +276,91 @@ object StreamingQueries {
         s.createDataFrame(
           java.util.Arrays.asList(out: _*), s.table(name).schema)
       } finally rm(tmp)
+    }),
+
+    // Stream-STREAM interval join — the last streaming surface st1-st6
+    // don't touch: two live streams (clicks, purchases over the same
+    // staged event files) joined on user within a 1-hour event-time
+    // window, in append mode with BOTH sides watermarked. Cross-batch
+    // matching is the proof point: a click buffered in the join state
+    // store must match a purchase arriving micro-batches later, and
+    // the watermark must evict buffered rows once they can no longer
+    // match (state bounded by the 2h delay + 1h window horizon, not
+    // stream length). Files are staged in EVENT-TIME order (quartile
+    // slices, strictly increasing mtimes) so arrival is in-order and
+    // the 2h delay strictly dominates the 1h join window — every
+    // batch-side match provably emits (a purchase at P meets its
+    // click at T >= P - 1h while the global watermark is still at
+    // ~P - 2h < T), making the batch inner join the exact oracle.
+    "st7_stream_join" -> ((s, d) => {
+      import java.io.File
+      import java.nio.file.Files
+      val name = "graft_st7_sink"
+      val ev = Tables.events(s, d)
+      val tmp = Files.createTempDirectory("graft_st7").toFile
+      val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      // A stream-stream join maintains FOUR state stores per partition
+      // per side; the state-partition count is frozen from
+      // spark.sql.shuffle.partitions at stream start. At 32 partitions
+      // that is ~256 store instances snapshotting per micro-batch for a
+      // state bounded at a few hundred buffered rows (the 3h horizon) —
+      // measured 14-17s of pure store overhead, data-size-independent.
+      // Size the state layout to the state, scoped to this entry: 8
+      // partitions. (At production state scale this knob goes UP — the
+      // point is that it is a sizing decision, not a constant.)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // No-data micro-batches only perform state EVICTION here — an
+      // inner join emits matches at match time, so the sink is
+      // complete without them; skipping them halves the store-commit
+      // count. (Eviction semantics are spec-asserted separately in
+      // EventStreamSpec under default settings.)
+      val prevNoData =
+        s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        // harness-scale global sort (ntile over one window) — staging
+        // only; the streamed plan below never sorts
+        val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+        val sliced = ev.withColumn("_slice", ntile(4).over(w))
+        (1 to 4).foreach { i =>
+          val staging = new File(tmp, s"staging_$i")
+          sliced.filter(col("_slice") === i).drop("_slice")
+            .coalesce(1).write.parquet(staging.getAbsolutePath)
+          val f = staging.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new File(streamDir, f"$i%03d_slice.parquet")
+          Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(1000000L * i) // arrival order = time order
+        }
+        def src() = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(streamDir.getAbsolutePath)
+        val clicks = src().filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("CTS"))
+          .withWatermark("CTS", "2 hours")
+        val purchases = src().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"),
+            timestamp_micros(expr("ts div 1000")).as("PTS"))
+          .withWatermark("PTS", "2 hours")
+        val joined = clicks.join(purchases,
+            col("user_id") === col("p_user_id") &&
+              col("PTS") >= col("CTS") &&
+              col("PTS") <= col("CTS") + expr("INTERVAL 1 HOUR"))
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            expr("unix_micros(CTS)").as("click_us"),
+            expr("unix_micros(PTS)").as("purchase_us"))
+        sinkToLocal(s, name, joined, "append")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        rm(tmp)
+      }
     })
   )
 
@@ -322,6 +407,20 @@ object StreamingQueries {
          SELECT w.* FROM w, mx
          WHERE (win_start_epoch + 3600) * 1000000
                <= (mxu // 1000 - 7200000) * 1000""",
+
+    // The plain batch inner interval join — the staged in-order
+    // arrival guarantees the streaming join emits every batch match
+    // (see the entry comment), so the oracle is exact, not a subset.
+    "st7_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                c.user_id,
+                epoch_us(c.ts) AS click_us,
+                epoch_us(p.ts) AS purchase_us
+         FROM events c JOIN events p
+           ON p.user_id = c.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) BETWEEN epoch_us(c.ts)
+                                 AND epoch_us(c.ts) + 3600000000""",
 
     // Identical to the batch pl_k2 sketch CTE — the streamed sketch's
     // d×w count matrix must equal the batch build cell for cell.

@@ -177,6 +177,51 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: cross-batch match emits, watermark evicts state") {
+    implicit val sq = spark.sqlContext
+    val cIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val pIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clicks = cIn.toDF().toDF("CTS", "user_id", "click_id")
+      .withWatermark("CTS", "10 seconds")
+    val purchases = pIn.toDF().toDF("PTS", "p_user_id", "purchase_id")
+      .withWatermark("PTS", "10 seconds")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("PTS") >= col("CTS") &&
+          col("PTS") <= col("CTS") + expr("INTERVAL 30 seconds"))
+      .select("click_id", "purchase_id")
+    val q = joined.writeStream.format("memory").queryName("ssj1")
+      .outputMode("append").start()
+    try {
+      cIn.addData((ts(100), 1L, 11L))
+      q.processAllAvailable()
+      assert(spark.table("ssj1").count() == 0, "no match may emit yet")
+      // the matching purchase arrives a micro-batch LATER — the click
+      // must still be buffered in the join state store
+      pIn.addData((ts(120), 1L, 21L))
+      q.processAllAvailable()
+      val m = spark.table("ssj1").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(m.toSeq == Seq((11L, 21L)), "cross-batch match must emit")
+      // sweep the watermark far past the join horizon: the buffered
+      // t=100/t=120 rows must be EVICTED (state bounded by the
+      // delay+window horizon, not stream length)
+      cIn.addData((ts(1000), 2L, 12L)); pIn.addData((ts(1000), 3L, 22L))
+      q.processAllAvailable()
+      def stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal.toLong).sum
+      val deadline = System.currentTimeMillis() + 20000
+      var ok = false
+      while (!ok && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        ok = stateRows <= 2 // only the two live t=1000 rows may remain
+        if (!ok) Thread.sleep(200)
+      }
+      assert(ok, s"join state not evicted: $stateRows rows still buffered")
+      assert(spark.table("ssj1").count() == 1, "no spurious matches")
+    } finally q.stop()
+  }
+
   test("streaming visibility averaging equals the batch kernel bit-for-bit") {
     // st2 streams the MS main table one file per micro-batch (bins span
     // batches → real state-store accumulation) and must reproduce the
