@@ -77,6 +77,47 @@ object TextOps {
         col("n_tokens") >= 20 && col("n_tokens") <= 95 &&
           col("distinct_ratio") >= 0.45 && col("stopword_ratio") <= 0.25)
 
+  /** Within-document repetition metrics — the Gopher repetition
+    * filters' shape (Rae et al. 2021, appendix A1: "duplicate n-gram
+    * fraction") at word-2-gram grain: `rep_frac` is the fraction of
+    * gram occurrences that repeat an earlier occurrence in the same
+    * doc (1 - distinct/total), `max_gram_count` the burstiest gram's
+    * occurrence count (a looping generator or boilerplate template
+    * sends it to tens). Catches the repetitive-junk documents a
+    * vocabulary-level distinct_ratio misses: a doc cycling three
+    * sentences has healthy token diversity but rep_frac → 1.
+    *
+    * Scale: a pure narrow projection — grams are the codegen'd
+    * [[graft.expressions.TokenGramHash]] byte pass staged ONCE and
+    * sorted; the run-length fold is a single O(G) `aggregate` over
+    * the sorted array. No shuffle, no state, scan-speed; per-doc cost
+    * bounded by doc length.
+    */
+  def withRepetition(df: DataFrame, n: Int = 2): DataFrame = {
+    val g = col("_g")
+    // longest equal run in the SORTED gram array == max occurrence
+    // count of any gram; one fold, no per-gram rescan
+    val maxRun = aggregate(g,
+      struct(lit(null).cast("binary").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc("prev").isNotNull && acc("prev") === x,
+          acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    df.withColumn("_g",
+        array_sort(graft.expressions.TokenGramHash(col("text"), n)))
+      .withColumn("n_grams", size(g).cast("bigint"))
+      .withColumn("n_distinct_grams", size(array_distinct(g)).cast("bigint"))
+      .withColumn("rep_frac", when(col("n_grams") === 0L, lit(0.0))
+        .otherwise((col("n_grams") - col("n_distinct_grams")).cast("double") /
+          col("n_grams").cast("double")))
+      .withColumn("max_gram_count", maxRun)
+      .drop("_g")
+  }
+
   /** Document fingerprints: full-text md5 (exact dedup key) + the
     * lexicographic min over shingle md5s (a MinHash with one hash
     * function — a stable content fingerprint robust to local edits).

@@ -40,6 +40,12 @@ object PipelineQueries {
     s"""list_distinct(list_transform(range(0, len($toksSql) - ${k - 1}),
           i -> ${(1 to k).map(j => s"$toksSql[i+$j]").mkString(" || '_' || ")}))"""
 
+  /** ALL word k-gram occurrences (no distinct) — mirrors the
+    * TokenGramHash position list for repetition counting. */
+  private def ngramAllSql(k: Int) =
+    s"""list_transform(range(0, len($toksSql) - ${k - 1}),
+          i -> ${(1 to k).map(j => s"$toksSql[i+$j]").mkString(" || '_' || ")})"""
+
   /** 60-bit non-negative BIGINT from md5 hex — mirrors TextOps.hash60. */
   private def h60(e: String) =
     s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
@@ -195,6 +201,13 @@ object PipelineQueries {
     // TextOps.tfidfTopK for the cross-engine exactness contract).
     "pl_t6_tfidf" -> ((s, d) =>
       TextOps.tfidfTopK(Tables.documents(s, d), 5)),
+
+    // Gopher-style within-doc repetition: duplicate 2-gram fraction +
+    // burstiest-gram count, a narrow scan-speed projection.
+    "pl_t7_repetition" -> ((s, d) =>
+      TextOps.withRepetition(Tables.documents(s, d), 2)
+        .select("doc_id", "n_grams", "n_distinct_grams",
+          "rep_frac", "max_gram_count")),
 
     // Exact dedup: hash-groupBy clusters (one shuffle on a 16-byte key).
     "pl_d1_exact_clusters" -> ((s, d) =>
@@ -453,6 +466,22 @@ object PipelineQueries {
                  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS n_bpe_tokens,
                  $rollingFpSql AS rolling_fp
           FROM documents""",
+
+    // rep_frac = (G - distinct)/G as one IEEE division of exact ints;
+    // max_gram_count via per-distinct-gram occurrence counts (equals
+    // the Spark side's longest-equal-run over the sorted gram array).
+    "pl_t7_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${ngramAllSql(2)} AS g FROM documents)
+          SELECT doc_id,
+                 CAST(len(g) AS BIGINT) AS n_grams,
+                 CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams,
+                 CASE WHEN len(g) = 0 THEN 0.0
+                      ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                           / CAST(len(g) AS DOUBLE) END AS rep_frac,
+                 CAST(coalesce(list_max(list_transform(list_distinct(g),
+                        x -> len(list_filter(g, y -> y = x)))), 0) AS BIGINT)
+                   AS max_gram_count
+          FROM t""",
 
     // Rational-idf TF-IDF (score = tf*N/df in exact-integer-then-one-
     // division IEEE steps — bit-identical on both engines).

@@ -127,6 +127,12 @@ class PlanShapeSpec extends SparkSpec {
     assertNoGlobalSort(pd, "spanDedup")
   }
 
+  test("repetition metrics are a shuffle-free narrow plan") {
+    val pr = plan(graft.pipeline.TextOps.withRepetition(docs, 2))
+    assert(!pr.contains("Exchange"),
+      s"withRepetition must be a pure projection, got:\n$pr")
+  }
+
   test("sampling and chunking are shuffle-free narrow plans") {
     import org.apache.spark.sql.functions._
     val pu = plan(graft.pipeline.Sampling.uniform(docs, col("doc_id"), 250000L))

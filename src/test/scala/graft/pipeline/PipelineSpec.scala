@@ -308,6 +308,23 @@ class PipelineSpec extends SparkSpec {
       "pigeonhole recall violated — a hamming<=3 pair missed every bucket")
   }
 
+  test("repetition metrics: hand-computed exact values") {
+    val df = Seq(
+      (1L, "a b a b a"),        // grams a_b,b_a,a_b,b_a: G=4, distinct=2
+      (2L, "x y z"),            // G=2, all distinct
+      (3L, "solo"),             // no grams
+      (4L, "w w w w"))          // w_w x3: G=3, distinct=1
+      .toDF("doc_id", "text")
+    val r = TextOps.withRepetition(df, 2).orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("n_grams"), x.getAs[Long]("n_distinct_grams"),
+        x.getAs[Double]("rep_frac"), x.getAs[Long]("max_gram_count")))
+    assert(r.toSeq == Seq(
+      (4L, 2L, 0.5, 2L),
+      (2L, 2L, 0.0, 1L),
+      (0L, 0L, 0.0, 0L),
+      (3L, 1L, 2.0 / 3.0, 3L)))
+  }
+
   test("decontamination: shared-gram counts exact, clean docs absent") {
     val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
     val corpus = Seq(
