@@ -193,6 +193,35 @@ object TextOps {
           .cast("long").as("n_chunk_tokens"))
   }
 
+  /** Greedy sequence packing (the GPT-style concat-then-cut layout):
+    * documents are concatenated in doc_id order within a shard and cut
+    * into fixed-budget token sequences; each doc is tagged with its
+    * token start offset in the shard's stream and the sequence its
+    * first token lands in. This is the example-packing stage between
+    * chunking and the trainer — it decides which docs share a context
+    * window (and therefore which cross-doc attention masks apply).
+    *
+    * Scale: packing is embarrassingly parallel across shards — the
+    * production layout runs one packer per output shard, and `shard =
+    * doc_id mod shards` makes the assignment deterministic and
+    * layout-independent. Within a shard the offsets are ONE
+    * running-sum window over the shard partitioning; no global sort,
+    * no driver state. Shard count is the parallelism knob: at 100 TB
+    * it goes to the output-file count, keeping every window group
+    * executor-sized.
+    */
+  def packSequences(df: DataFrame, seqLen: Int, shards: Int = 8): DataFrame = {
+    require(seqLen >= 1 && shards >= 1,
+      s"need seqLen >= 1 and shards >= 1, got seqLen=$seqLen shards=$shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
+      .withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"start_off div $seqLen"))
+  }
+
   /** TF-IDF top-k terms per document — the classic salience ranking a
     * corpus pipeline uses for keyword extraction / topic hints.
     *

@@ -393,6 +393,12 @@ object PipelineQueries {
         Tables.documents(s, d), col("doc_id"), col("lang"), 10)
         .select("doc_id", "lang", "source", "n_chars")),
 
+    // Sequence packing: concat-then-cut into 128-token sequences, 8
+    // parallel shards — the example-packing stage before the trainer.
+    "pl_c2_packing" -> ((s, d) =>
+      TextOps.packSequences(Tables.documents(s, d), 128, 8)
+        .select("doc_id", "shard", "n_tokens", "start_off", "seq_id")),
+
     // The end-to-end training-data EXPORT: quality gate ∧ exact-dup
     // keeper ∧ near-dup-loser drop (the pl_p1 population), then
     // stride-window chunking — documents in, training sequences out,
@@ -887,6 +893,22 @@ object PipelineQueries {
                  CAST(len(list_slice(tk, chunk_idx*24 + 1, chunk_idx*24 + 32))
                    AS BIGINT) AS n_chunk_tokens
           FROM c""",
+
+    // Pure integer arithmetic: running token sum per shard (exclusive
+    // frame) and integer division for the sequence id.
+    "pl_c2_packing" ->
+      s"""SELECT doc_id,
+                 CAST(doc_id % 8 AS BIGINT) AS shard,
+                 CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(sum(len($toksSql)) OVER (
+                        PARTITION BY doc_id % 8 ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_off,
+                 CAST(coalesce(sum(len($toksSql)) OVER (
+                        PARTITION BY doc_id % 8 ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 128 AS BIGINT) AS seq_id
+          FROM documents""",
 
     "pl_a1_knn_brute" ->
       s"""WITH $vSql,

@@ -308,6 +308,21 @@ class PipelineSpec extends SparkSpec {
       "pigeonhole recall violated — a hamming<=3 pair missed every bucket")
   }
 
+  test("sequence packing: per-shard offsets and sequence ids exact") {
+    // doc_ids 1, 9, 17 share shard 1 (mod 8); 2 is alone in shard 2
+    val df = Seq(
+      (1L, "a b c"),            // shard 1: start 0
+      (9L, "d e"),              // shard 1: start 3
+      (17L, "f g h i"),         // shard 1: start 5 -> seq 1 at len 4
+      (2L, "x")).toDF("doc_id", "text")
+    val r = TextOps.packSequences(df, 4, 8).orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("shard"),
+        x.getAs[Long]("start_off"), x.getAs[Long]("seq_id")))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 0L, 0L), (2L, 2L, 0L, 0L),
+      (9L, 1L, 3L, 0L), (17L, 1L, 5L, 1L)))
+  }
+
   test("repetition metrics: hand-computed exact values") {
     val df = Seq(
       (1L, "a b a b a"),        // grams a_b,b_a,a_b,b_a: G=4, distinct=2
