@@ -308,6 +308,29 @@ class PipelineSpec extends SparkSpec {
       "pigeonhole recall violated — a hamming<=3 pair missed every bucket")
   }
 
+  test("sampling: nested across rates, aligned across tables, layout-stable") {
+    import graft.pipeline.Sampling
+    // nesting: the 10% sample is a strict subset of the 30% sample
+    // (same salt — membership is draw < ppm, monotone in ppm)
+    val s10 = Sampling.uniform(docs, col("doc_id"), 100000L).select("doc_id")
+    val s30 = Sampling.uniform(docs, col("doc_id"), 300000L).select("doc_id")
+    assert(s10.exceptAll(s30).count() == 0, "10% sample must nest in 30%")
+    assert(s10.count() < s30.count())
+    // alignment: sampling a second 'table' (a projection of the same
+    // ids) with the same salt/key selects exactly the same ids
+    val other = docs.select(col("doc_id"), col("lang"))
+    val sOther = Sampling.uniform(other, col("doc_id"), 100000L).select("doc_id")
+    assert(s10.exceptAll(sOther).count() == 0
+      && sOther.exceptAll(s10).count() == 0,
+      "same-key samples must align across tables")
+    // layout independence: membership survives repartitioning
+    val sShuffled = Sampling.uniform(docs.repartition(13), col("doc_id"), 100000L)
+      .select("doc_id")
+    assert(s10.exceptAll(sShuffled).count() == 0
+      && sShuffled.exceptAll(s10).count() == 0,
+      "sample membership must not depend on partition layout")
+  }
+
   test("sequence packing: per-shard offsets and sequence ids exact") {
     // doc_ids 1, 9, 17 share shard 1 (mod 8); 2 is alone in shard 2
     val df = Seq(
