@@ -133,6 +133,24 @@ class PlanShapeSpec extends SparkSpec {
       s"withRepetition must be a pure projection, got:\n$pr")
   }
 
+  test("gram-derived entries prune the documents scan to (doc_id, text)") {
+    import org.apache.spark.sql.functions._
+    // the documents table carries lang/source/n_chars alongside text;
+    // a gram pipeline that drags them to the scan reads the whole
+    // table at 100 TB for a 2-column computation
+    for ((what, df) <- Seq(
+      ("pl_t7", graft.pipeline.TextOps.withRepetition(docs, 2)
+        .select("doc_id", "n_grams")),
+      ("pl_d10", graft.pipeline.Dedup.contaminated(
+        docs, docs.filter(col("doc_id") % 37 === 0), 4)),
+      ("pl_c2", graft.pipeline.TextOps.packSequences(docs, 128, 8)
+        .select("doc_id", "shard", "seq_id")))) {
+      val p = plan(df)
+      assert(!p.contains("n_chars") && !p.contains("source"),
+        s"$what scan not pruned to the columns it uses:\n$p")
+    }
+  }
+
   test("sampling and chunking are shuffle-free narrow plans") {
     import org.apache.spark.sql.functions._
     val pu = plan(graft.pipeline.Sampling.uniform(docs, col("doc_id"), 250000L))
