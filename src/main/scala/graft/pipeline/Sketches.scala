@@ -234,4 +234,61 @@ object Sketches {
       .select(col("_k").as("probe_key"),
         (coalesce(col("_nm"), lit(0L)) === size(col("_pb"))).as("bloom_hit"))
   }
+
+  /** Fixed-bin histogram — the distribution-profile member of the
+    * sketch family, and the deterministic quantile substitute: bounded
+    * (≤ nbins rows out), mergeable (groupBy-sum IS the merge, the
+    * CMS/HLL contract — shards and streams combine for free), and
+    * bit-deterministic (pure integer bin arithmetic, no sampling —
+    * unlike GK/t-digest sketches whose state depends on arrival
+    * order). Returns one row per NON-EMPTY bin: (bin, lo_edge,
+    * hi_edge, cnt, cum_cnt), cum_cnt the running total in bin order —
+    * quantile q reads off as the first bin with cum_cnt >= ceil(q·N),
+    * with error bounded by the bin width. This is how a 100 TB
+    * pipeline profiles a distribution (doc lengths, scores) without
+    * the global sort an exact percentile costs.
+    *
+    * Scale: one bounded keyed aggregation with map-side combine
+    * (≤ nbins partial rows per task), then a window over ≤ nbins rows
+    * for the cumulative — the single-partition window is bounded by
+    * nbins, never by data. Values below `lo` clamp into the first
+    * bin, at/above `hi` into the last (explicit edge policy so the
+    * bins partition the whole domain).
+    */
+  def histogram(df: DataFrame, value: Column,
+                lo: Long, hi: Long, nbins: Int): DataFrame = {
+    require(nbins >= 1 && hi > lo && (hi - lo) % nbins == 0,
+      s"need hi > lo and nbins dividing the range, got [$lo,$hi)/$nbins")
+    val width = (hi - lo) / nbins
+    val bin = least(greatest(
+      floor((value.cast("long") - lo) / width).cast("long"), lit(0L)),
+      lit((nbins - 1).toLong))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * width).as("lo_edge"),
+        (lit(lo) + (col("bin") + 1L) * width).as("hi_edge"),
+        col("cnt"),
+        sum("cnt").over(w).as("cum_cnt"))
+  }
+
+  /** Quantile read-off from a [[histogram]]: for each q, the smallest
+    * bin whose cumulative count reaches ceil(q·N); the estimate is
+    * that bin's LOWER edge (deterministic; true value lies within
+    * [lo_edge, hi_edge)). Driver-side over the ≤ nbins collected rows
+    * — the histogram IS the bounded sketch, reading it is free.
+    */
+  def histogramQuantiles(hist: DataFrame, qs: Seq[Double]): Seq[(Double, Long)] = {
+    val rows = hist.orderBy("bin")
+      .select("lo_edge", "cnt", "cum_cnt").collect()
+    val n = if (rows.isEmpty) 0L else rows.last.getAs[Long]("cum_cnt")
+    qs.map { q =>
+      val target = math.ceil(q * n).toLong.max(1L)
+      val row = rows.find(_.getAs[Long]("cum_cnt") >= target)
+        .getOrElse(rows.last)
+      (q, row.getAs[Long]("lo_edge"))
+    }
+  }
 }

@@ -346,6 +346,14 @@ object PipelineQueries {
       Sketches.hllSummary(toks, col("tok"), 8)
     }),
 
+    // Distribution profile: fixed-bin histogram of document token
+    // counts (16 bins over [0,128), width 8) — the deterministic
+    // quantile sketch of the family; bounded, mergeable, no sampling.
+    "pl_k5_histogram" -> ((s, d) =>
+      Sketches.histogram(
+        Tables.documents(s, d).select(size(split(col("text"), " ")).as("v")),
+        col("v"), 0L, 128L, 16)),
+
     // Bloom-filter membership: build over customer keys (d=4, m=8192),
     // probe every distinct events.user_id; the summary row carries the
     // false-positive accounting (hits ⊇ members always — one-sided).
@@ -792,6 +800,23 @@ object PipelineQueries {
                    AS hll_raw_est,
                  exact_distinct
           FROM a, e""",
+
+    // Histogram mirror: same clamped integer binning, same running
+    // cumulative over bin order — pure integer arithmetic throughout.
+    "pl_k5_histogram" ->
+      s"""WITH v AS (
+            SELECT least(greatest(CAST(floor(len($toksSql) / 8) AS BIGINT),
+                                  0), 15) AS bin
+            FROM documents),
+          h AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt
+                FROM v GROUP BY 1)
+          SELECT bin,
+                 CAST(bin * 8 AS BIGINT) AS lo_edge,
+                 CAST((bin + 1) * 8 AS BIGINT) AS hi_edge,
+                 cnt,
+                 CAST(sum(cnt) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+          FROM h""",
 
     // Bloom mirror: same md5-derived positions, same all-d-bits-set
     // membership rule; counts must agree exactly (hash-deterministic).

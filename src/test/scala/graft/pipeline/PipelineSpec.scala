@@ -308,6 +308,30 @@ class PipelineSpec extends SparkSpec {
       "pigeonhole recall violated — a hamming<=3 pair missed every bucket")
   }
 
+  test("histogram: clamped bins, cumulative counts, quantile read-off") {
+    val df = Seq(-5L, 0L, 7L, 8L, 127L, 128L, 200L).toDF("v")
+    val h = Sketches.histogram(df, col("v"), 0L, 128L, 16)
+    val rows = h.orderBy("bin").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("lo_edge"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("cum_cnt")))
+    // below-lo clamps to bin 0; at/above-hi clamps to the last bin
+    assert(rows.toSeq == Seq((0L, 0L, 3L, 3L), (1L, 8L, 1L, 4L),
+      (15L, 120L, 3L, 7L)))
+    val qs = Sketches.histogramQuantiles(h, Seq(0.5, 1.0)).toMap
+    assert(qs(0.5) == 8L)  // ceil(0.5*7)=4 -> first cum>=4 is bin 1
+    assert(qs(1.0) == 120L)
+    // merge property: histogram of a union == groupBy-sum of shard
+    // histograms (the CMS/HLL contract)
+    val h2 = Sketches.histogram(Seq(7L, 300L).toDF("v"), col("v"), 0L, 128L, 16)
+    val merged = h.select("bin", "cnt").union(h2.select("bin", "cnt"))
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+    val direct = Sketches.histogram(
+      Seq(-5L, 0L, 7L, 8L, 127L, 128L, 200L, 7L, 300L).toDF("v"),
+      col("v"), 0L, 128L, 16).select("bin", "cnt")
+    assert(merged.exceptAll(direct).count() == 0
+      && direct.exceptAll(merged).count() == 0)
+  }
+
   test("sampling: nested across rates, aligned across tables, layout-stable") {
     import graft.pipeline.Sampling
     // nesting: the 10% sample is a strict subset of the 30% sample
