@@ -74,4 +74,48 @@ object EventOps {
       .select(col("user_id"), col("event_id"), col("ts"),
         col("match_id"), col("match_ts"))
   }
+
+  /** Ordered-step funnel: per user, the timestamp of the first `steps(0)`
+    * event, the first `steps(1)` event strictly AFTER it, the first
+    * `steps(2)` strictly after that, … — the conversion-path measure
+    * (signup → click → purchase) every event pipeline reports. Returns
+    * (`user_id`, `s1_us` … `sN_us` nullable, `funnel_stage` = number of
+    * steps completed); every user with at least one step-1 event appears.
+    *
+    * Composition, not self-joins: one user-keyed shuffle, then per step
+    * a running-min window (the step-k candidate at a row qualifies iff
+    * it is strictly after the step-(k-1) running min AT THAT ROW) and a
+    * final per-user aggregation. N steps cost N window projections over
+    * the SAME partitioning — Catalyst plans one Exchange + one Sort,
+    * not N self-joins of the fact table.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    val w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events
+      .where(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tu"), col("event_type"))
+    // running first-reach time of each step, folded left to right:
+    // step k's candidate rows are those strictly after step k-1's
+    // running minimum as of that row
+    val withRuns = steps.zipWithIndex.foldLeft(base) {
+      case (df, (step, 0)) =>
+        df.withColumn("_r0",
+          min(when(col("event_type") === step, col("tu"))).over(w))
+      case (df, (step, k)) =>
+        df.withColumn(s"_r$k",
+          min(when(col("event_type") === step &&
+            col(s"_r${k - 1}").isNotNull && col("tu") > col(s"_r${k - 1}"),
+            col("tu"))).over(w))
+    }
+    val stepCols = steps.indices.map(k => min(col(s"_r$k")).as(s"s${k + 1}_us"))
+    val agg = withRuns.groupBy("user_id").agg(stepCols.head, stepCols.tail: _*)
+    val stage = steps.indices.map(k =>
+      when(col(s"s${k + 1}_us").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    agg.filter(col("s1_us").isNotNull)
+      .withColumn("funnel_stage", stage)
+  }
 }

@@ -39,6 +39,14 @@ object EventQueries {
           coalesce(col("match_id"), lit(-1L)).as("click_id"),
           coalesce(expr("match_ts div 1000"), lit(-1L)).as("click_us"))),
 
+    // Ordered-step conversion funnel signup → click → purchase: first
+    // reach-time of each step strictly after the previous step's first
+    // reach — one user-keyed shuffle, N running-min windows over the
+    // same sort, never N self-joins.
+    "ev3_funnel" -> ((s, d) =>
+      EventOps.funnel(Tables.events(s, d),
+        Seq("signup", "click", "purchase"))),
+
     // Semi-structured extraction: pull a typed field out of the JSON
     // `props` column and aggregate it. get_json_object is a codegen'd
     // path expression — the scan-speed way to read JSON-in-a-string
@@ -102,6 +110,47 @@ object EventQueries {
 
     // NULL props / missing key fall out of count(k)/sum(k) identically
     // on both engines (aggregate null-skipping).
+    // Same running-min chain: step k's candidates are rows strictly
+    // after step k-1's running minimum at that row; chained CTEs mirror
+    // the chained window projections. Pure integer microseconds.
+    "ev3_funnel" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tu, event_type
+           FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')),
+         r0 AS (
+           SELECT *, min(CASE WHEN event_type = 'signup' THEN tu END)
+                       OVER w AS _r0
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                        ROWS UNBOUNDED PRECEDING)),
+         r1 AS (
+           SELECT *, min(CASE WHEN event_type = 'click'
+                               AND _r0 IS NOT NULL AND tu > _r0
+                              THEN tu END) OVER w AS _r1
+           FROM r0
+           WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                        ROWS UNBOUNDED PRECEDING)),
+         r2 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase'
+                               AND _r1 IS NOT NULL AND tu > _r1
+                              THEN tu END) OVER w AS _r2
+           FROM r1
+           WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                        ROWS UNBOUNDED PRECEDING)),
+         a AS (
+           SELECT user_id,
+                  CAST(min(_r0) AS BIGINT) AS s1_us,
+                  CAST(min(_r1) AS BIGINT) AS s2_us,
+                  CAST(min(_r2) AS BIGINT) AS s3_us
+           FROM r2 GROUP BY 1)
+         SELECT user_id, s1_us, s2_us, s3_us,
+                CAST((CASE WHEN s1_us IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN s2_us IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN s3_us IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS funnel_stage
+         FROM a WHERE s1_us IS NOT NULL""",
+
     // Integer-only contract (see the Spark side): Spark NULLs a
     // non-integral k where DuckDB's CAST rounds/errors — the mirror
     // holds only while props.k is an integer, which TESTDATA declares.

@@ -220,6 +220,14 @@ class PlanShapeSpec extends SparkSpec {
     val pa = plan(graft.ops.EventOps.asofAttribute(events, "click", "purchase"))
     assertNoGlobalSort(pa, "asofAttribute")
     assert(!pa.contains("Join"), "as-of composition must not plan a join")
+    // funnel: N steps ride ONE user partitioning — windows + agg, no
+    // self-joins of the fact table
+    val pf = plan(graft.ops.EventOps.funnel(events,
+      Seq("signup", "click", "purchase")))
+    assertNoGlobalSort(pf, "funnel")
+    assert(!pf.contains("Join"), "funnel composition must not plan a join")
+    assert(pf.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"funnel should reuse one user partitioning (window + agg):\n$pf")
   }
 
   test("KMV k-minimum pass is TakeOrdered, not a global sort") {

@@ -62,6 +62,32 @@ class EventOpsSpec extends SparkSpec {
     assert(b.nonEmpty && b == rows(stream))
   }
 
+  test("funnel: strict ordering, ties excluded, pre-step events ignored") {
+    def e(id: Long, u: Long, tUs: Long, t: String) = (id, u, tUs * 1000L, t)
+    val ev = Seq(
+      e(1, 1, 10, "signup"), e(2, 1, 20, "click"), e(3, 1, 30, "purchase"),
+      // user 2: click BEFORE signup doesn't count; click AT signup time
+      // (strict >) doesn't count; purchase without a qualifying click
+      // doesn't count
+      e(4, 2, 5, "click"), e(5, 2, 10, "signup"), e(6, 2, 10, "click"),
+      e(7, 2, 15, "purchase"),
+      // user 3: never signs up -> absent from the funnel
+      e(8, 3, 10, "click"), e(9, 3, 20, "purchase"),
+      // user 4: out-of-order purchase before the first qualifying click
+      // is skipped; the later one counts
+      e(10, 4, 10, "signup"), e(11, 4, 15, "purchase"), e(12, 4, 20, "click"),
+      e(13, 4, 25, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventOps.funnel(ev, Seq("signup", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("funnel_stage"),
+        Option(x.get(x.fieldIndex("s2_us"))), Option(x.get(x.fieldIndex("s3_us")))))
+    assert(r.toSeq == Seq(
+      (1L, 3L, Some(20L), Some(30L)),
+      (2L, 1L, None, None),
+      (4L, 3L, Some(20L), Some(25L))))
+  }
+
   test("KMV sketch: estimate within 15% of a known distinct count") {
     val n = 5000
     val toks = (0 until n).map(i => s"tok_$i").toDF("tok")
