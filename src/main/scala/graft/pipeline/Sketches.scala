@@ -135,14 +135,23 @@ object Sketches {
     * groupBy-max IS the HLL merge, so shards/streams combine for free
     * (same property the CMS build has).
     */
+  /** The (register, rho) projection — the ONE definition of the HLL
+    * hash split, shared by the global and grouped register builds.
+    */
+  private def hllRegRho(item: Column, p: Int): (Column, Column) = {
+    val m = 1L << p
+    val rhoMax = 61 - p
+    val h = TextOps.hash60(concat(lit("hll|"), item))
+    val w = shiftright(h, p)
+    (h % m,
+      when(w > 0, lit(rhoMax) - length(conv(w, 10, 2)))
+        .otherwise(lit(rhoMax)).cast("int"))
+  }
+
   def hllRegisters(items: DataFrame, item: Column, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p out of [4,16]: $p")
-    val m = 1L << p
-    val h = TextOps.hash60(concat(lit("hll|"), item))
-    items.select((h % m).as("reg"), shiftright(h, p).as("_w"))
-      .withColumn("rho",
-        when(col("_w") > 0, lit(61 - p) - length(conv(col("_w"), 10, 2)))
-          .otherwise(lit(61 - p)).cast("int"))
+    val (reg, rho) = hllRegRho(item, p)
+    items.select(reg.as("reg"), rho.as("rho"))
       .groupBy("reg").agg(max("rho").as("max_rho"))
   }
 
@@ -175,6 +184,36 @@ object Sketches {
       .withColumn("hll_raw_est",
         lit(Sketches.hllConst(p)) / col("harmonic_s").cast("double"))
       .crossJoin(exact)
+  }
+
+  /** Per-GROUP HLL distinct summary — the "distinct users per
+    * day/source/type" query a 100 TB pipeline cannot answer with exact
+    * `count(distinct)` per group (a full shuffle of every (group,
+    * value) pair). Two bounded keyed aggregations: (group, reg) →
+    * max rho — ≤ m partial rows PER GROUP per task via map-side
+    * combine, and the groupBy-max IS the per-group sketch merge — then
+    * group → the same exact-integer harmonic sum and single-division
+    * raw estimate as [[hllSummary]]. State is groups × m registers,
+    * never groups × distinct-values.
+    */
+  def hllGrouped(items: DataFrame, group: Column, item: Column,
+                 p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of [4,16]: $p")
+    val m = 1L << p
+    val rhoMax = 61 - p
+    val (reg, rho) = hllRegRho(item, p)
+    items.select(group.as("grp"), reg.as("reg"), rho.as("rho"))
+      .groupBy("grp", "reg").agg(max("rho").as("max_rho"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n_obs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rhoMax - max_rho)"))
+          .as("_s_obs"))
+      .select(col("grp"), col("n_obs"),
+        (lit(m) - col("n_obs")).as("n_zero_registers"),
+        (col("_s_obs") + (lit(m) - col("n_obs")) * (1L << rhoMax))
+          .as("harmonic_s"))
+      .withColumn("hll_raw_est",
+        lit(Sketches.hllConst(p)) / col("harmonic_s").cast("double"))
   }
 
   /** α_m · m² · 2^(61−p) for the raw estimator — ONE Scala double

@@ -354,6 +354,20 @@ object PipelineQueries {
         Tables.documents(s, d).select(size(split(col("text"), " ")).as("v")),
         col("v"), 0L, 128L, 16)),
 
+    // Per-group HLL: distinct users per event_type as groups × m
+    // register state (never groups × values); exact distinct joined
+    // alongside for estimate-vs-truth per group, KMV style.
+    "pl_k6_hll_grouped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val est = Sketches.hllGrouped(ev, col("event_type"), col("user_id"), 8)
+      val exact = ev.groupBy(col("event_type").as("grp"))
+        .agg(count_distinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "grp")
+        .select(col("grp").as("event_type"), col("n_obs"),
+          col("n_zero_registers"), col("harmonic_s"),
+          col("hll_raw_est"), col("exact_distinct"))
+    }),
+
     // Bloom-filter membership: build over customer keys (d=4, m=8192),
     // probe every distinct events.user_id; the summary row carries the
     // false-positive accounting (hits ⊇ members always — one-sided).
@@ -800,6 +814,38 @@ object PipelineQueries {
                    AS hll_raw_est,
                  exact_distinct
           FROM a, e""",
+
+    // Grouped HLL mirror: the pl_k4 register split per group, same
+    // exact-integer harmonic sum and interpolated-constant division.
+    "pl_k6_hll_grouped" ->
+      s"""WITH h AS (
+            SELECT event_type AS grp, ${h60("'hll|' || user_id")} AS h
+            FROM events),
+          r AS (
+            SELECT grp, h % 256 AS reg,
+                   CASE WHEN (h >> 8) > 0
+                        THEN 53 - length(printf('%b', h >> 8))
+                        ELSE 53 END AS rho
+            FROM h),
+          mx AS (SELECT grp, reg, max(rho) AS max_rho FROM r GROUP BY 1, 2),
+          a AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(sum(1::BIGINT << (53 - max_rho)) AS BIGINT) AS s_obs
+            FROM mx GROUP BY 1),
+          e AS (SELECT event_type AS grp,
+                       CAST(count(DISTINCT user_id) AS BIGINT)
+                         AS exact_distinct
+                FROM events GROUP BY 1)
+          SELECT a.grp AS event_type,
+                 n_obs,
+                 CAST(256 - n_obs AS BIGINT) AS n_zero_registers,
+                 CAST(s_obs + (256 - n_obs) * (1::BIGINT << 53) AS BIGINT)
+                   AS harmonic_s,
+                 ${Sketches.hllConst(8)}
+                   / CAST(s_obs + (256 - n_obs) * (1::BIGINT << 53) AS DOUBLE)
+                   AS hll_raw_est,
+                 exact_distinct
+          FROM a JOIN e USING (grp)""",
 
     // Histogram mirror: same clamped integer binning, same running
     // cumulative over bin order — pure integer arithmetic throughout.

@@ -88,6 +88,26 @@ class EventOpsSpec extends SparkSpec {
       (4L, 3L, Some(20L), Some(25L))))
   }
 
+  test("grouped HLL: per-group estimates within 20% of known distincts") {
+    // group A: 2000 distinct values; group B: 100 — estimates must
+    // track each group independently
+    val df = ((0 until 2000).map(i => ("A", s"a_$i")) ++
+      (0 until 100).map(i => ("B", s"b_$i")) ++
+      (0 until 500).map(i => ("B", s"b_${i % 100}"))) // dups don't move B
+      .toDF("grp0", "v")
+    val r = Sketches.hllGrouped(df, col("grp0"), col("v"), 8)
+      .collect().map(x => x.getAs[String]("grp") ->
+        (x.getAs[Double]("hll_raw_est"), x.getAs[Long]("n_zero_registers")))
+      .toMap
+    // A (n >> m): the raw estimator applies directly
+    assert(math.abs(r("A")._1 - 2000) / 2000.0 < 0.2, s"A est ${r("A")._1}")
+    // B (n << m): raw HLL over-reads by design; the documented
+    // caller-side small-range correction is linear counting over the
+    // published zero-register count
+    val estB = 256.0 * math.log(256.0 / r("B")._2)
+    assert(math.abs(estB - 100) / 100.0 < 0.2, s"B linear-count est $estB")
+  }
+
   test("KMV sketch: estimate within 15% of a known distinct count") {
     val n = 5000
     val toks = (0 until n).map(i => s"tok_$i").toDF("tok")
