@@ -71,6 +71,38 @@ object Sampling {
     * materializes. Strata are assumed ≫ k but any single stratum is
     * one partition-group — same skew bound as any per-group top-k.
     */
+  /** Deterministic train/val/test assignment: label each row by where
+    * its draw falls in cumulative ppm bands — `splits = Seq("train" ->
+    * 900000, "val" -> 50000, "test" -> 50000)` sends draw < 900000 to
+    * train, < 950000 to val, the rest to test. The same membership
+    * properties as [[uniform]] apply: the assignment is a pure function
+    * of (salt, key), so it is repeatable across runs and engines,
+    * stable under repartitioning, and a row NEVER migrates between
+    * splits as the corpus grows (no leakage of val/test into train on
+    * re-runs — the property RNG splits lack). Keying by a document id
+    * keeps all chunks of a document in one split.
+    *
+    * Scale: a pure narrow projection — no shuffle, no state; the label
+    * is one md5 + a literal CASE chain at scan speed.
+    */
+  def splitLabels(df: DataFrame, key: Column, splits: Seq[(String, Long)],
+                  labelCol: String = "split",
+                  salt: String = "tvt"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "bad split spec")
+    require(splits.map(_._2).sum == Million,
+      s"split ppms must sum to 1e6: ${splits.map(_._2).sum}")
+    require(!df.columns.contains(labelCol),
+      s"input must not carry a $labelCol column")
+    val d = draw(salt, key)
+    val cuts = splits.scanLeft(0L)(_ + _._2).tail
+    // last band is `otherwise` so the full [0, 1e6) range is covered
+    val label = splits.init.zip(cuts.init).foldRight(
+      lit(splits.last._1): Column) {
+      case (((name, _), cut), acc) => when(d < cut, name).otherwise(acc)
+    }
+    df.withColumn(labelCol, label)
+  }
+
   def topKPerStratum(df: DataFrame, key: Column, stratum: Column, k: Int,
                      salt: String = "smp"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

@@ -313,6 +313,63 @@ object Sketches {
         sum("cnt").over(w).as("cum_cnt"))
   }
 
+  /** Per-GROUP histogram + quantile read-off, fully distributed — the
+    * "p50/p95 doc length per language" corpus-health metric at a scale
+    * where per-group exact percentiles (a full sort per group) are off
+    * the table. Same clamped integer binning as [[histogram]]; the
+    * cumulative window and the quantile selection run over ≤ nbins
+    * rows PER GROUP (bounded by the sketch, never the data), so
+    * nothing here is driver-side and no group ever holds more than
+    * nbins × |qs| rows past the first aggregation.
+    *
+    * Quantiles are RATIONALS (num, den): the rank target is
+    * ceil(num·N/den) computed in pure integer arithmetic
+    * ((num·N + den − 1) div den), so the read-off is bit-identical on
+    * any engine — a double 0.9·N can straddle an integer boundary by
+    * one ulp and flip ceil() between engines.
+    *
+    * Output: (grp, num, den, q_est) — q_est is the LOWER edge of the
+    * smallest bin whose cumulative count reaches the target (the
+    * [[histogramQuantiles]] policy, per group).
+    *
+    * Scale: one (grp, bin) keyed aggregation with map-side combine,
+    * one grp-partitioned window over bounded rows, a ×|qs| literal
+    * explode, and one bounded (grp, q) min — two keyed shuffles total.
+    */
+  def histogramGroupedQuantiles(df: DataFrame, group: Column, value: Column,
+                                lo: Long, hi: Long, nbins: Int,
+                                qs: Seq[(Int, Int)]): DataFrame = {
+    require(nbins >= 1 && hi > lo && (hi - lo) % nbins == 0,
+      s"need hi > lo and nbins dividing the range, got [$lo,$hi)/$nbins")
+    require(qs.nonEmpty && qs.forall { case (n, d) => n >= 0 && n <= d && d > 0 },
+      s"quantiles must be rationals in [0,1]: $qs")
+    val width = (hi - lo) / nbins
+    val bin = least(greatest(
+      floor((value.cast("long") - lo) / width).cast("long"), lit(0L)),
+      lit((nbins - 1).toLong))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val qlit = array(qs.map { case (n, d) =>
+      struct(lit(n.toLong).as("num"), lit(d.toLong).as("den")) }: _*)
+    df.select(group.as("grp"), bin.as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+      .select(col("grp"), col("bin"),
+        (lit(lo) + col("bin") * width).as("lo_edge"),
+        sum("cnt").over(wCum).as("cum_cnt"))
+      .withColumn("n", max("cum_cnt").over(wN))
+      .select(col("grp"), col("lo_edge"), col("cum_cnt"), col("n"),
+        explode(qlit).as("q"))
+      // ceil(num·N/den) in pure integer arithmetic (`div` is integral):
+      // a double num/den·N can straddle an integer boundary by one ulp
+      .withColumn("target",
+        greatest(expr("(q.num * n + q.den - 1) div q.den"), lit(1L)))
+      .filter(col("cum_cnt") >= col("target"))
+      .groupBy(col("grp"), col("q.num").as("num"), col("q.den").as("den"))
+      .agg(min("lo_edge").as("q_est"))
+  }
+
   /** Quantile read-off from a [[histogram]]: for each q, the smallest
     * bin whose cumulative count reaches ceil(q·N); the estimate is
     * that bin's LOWER edge (deterministic; true value lies within

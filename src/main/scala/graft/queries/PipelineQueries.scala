@@ -368,6 +368,16 @@ object PipelineQueries {
           col("hll_raw_est"), col("exact_distinct"))
     }),
 
+    // Per-language doc-length quantiles (p50/p90) read off a grouped
+    // histogram sketch — per-group percentiles with NO per-group sort;
+    // rational quantile targets keep the rank integer-exact cross-engine.
+    "pl_k7_quantile_grouped" -> ((s, d) =>
+      Sketches.histogramGroupedQuantiles(
+        Tables.documents(s, d), col("lang"), col("n_chars"),
+        0L, 640L, 16, Seq((1, 2), (9, 10)))
+        .select(col("grp").as("lang"), col("num"), col("den"),
+          col("q_est"))),
+
     // Bloom-filter membership: build over customer keys (d=4, m=8192),
     // probe every distinct events.user_id; the summary row carries the
     // false-positive accounting (hits ⊇ members always — one-sided).
@@ -414,6 +424,24 @@ object PipelineQueries {
       graft.pipeline.Sampling.topKPerStratum(
         Tables.documents(s, d), col("doc_id"), col("lang"), 10)
         .select("doc_id", "lang", "source", "n_chars")),
+
+    // Deterministic 90/5/5 train/val/test assignment keyed by doc_id —
+    // labels verified per-doc (not just counts), so the oracle proves
+    // no row ever migrates between splits.
+    "pl_s4_split" -> ((s, d) =>
+      graft.pipeline.Sampling.splitLabels(
+        Tables.documents(s, d), col("doc_id"),
+        Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L))
+        .select("doc_id", "lang", "split")),
+
+    // Denylist scrubbing (the PII-redaction shape): whole-word-mask
+    // two corpus terms, verify the masked text byte-for-byte via md5
+    // plus the per-doc redaction count.
+    "pl_t8_redact" -> ((s, d) =>
+      TextOps.redactTerms(Tables.documents(s, d),
+        Seq("customer", "spark"), "[REDACTED]")
+        .select(col("doc_id"), col("n_redacted"),
+          md5(col("text")).as("masked_fp"))),
 
     // Sequence packing: concat-then-cut into 128-token sequences, 8
     // parallel shards — the example-packing stage before the trainer.
@@ -864,6 +892,31 @@ object PipelineQueries {
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
           FROM h""",
 
+    // Grouped-quantile mirror: same clamped binning, same per-group
+    // cumulative, same integer ceil(num·N/den) rank target.
+    "pl_k7_quantile_grouped" ->
+      s"""WITH b AS (
+            SELECT lang AS grp,
+                   least(greatest(CAST(floor(n_chars / 40) AS BIGINT),
+                                  0), 15) AS bin
+            FROM documents),
+          h AS (SELECT grp, bin, CAST(count(*) AS BIGINT) AS cnt
+                FROM b GROUP BY 1, 2),
+          w AS (SELECT grp, bin, CAST(bin * 40 AS BIGINT) AS lo_edge,
+                       CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS cum_cnt
+                FROM h),
+          n AS (SELECT *, max(cum_cnt) OVER (PARTITION BY grp) AS n
+                FROM w),
+          q AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+                                      (9, 10)) t(num, den)),
+          j AS (SELECT grp, num, den, lo_edge, cum_cnt,
+                       greatest((num * n + den - 1) // den, 1) AS target
+                FROM n, q)
+          SELECT grp AS lang, num, den, min(lo_edge) AS q_est
+          FROM j WHERE cum_cnt >= target GROUP BY 1, 2, 3""",
+
     // Bloom mirror: same md5-derived positions, same all-d-bits-set
     // membership rule; counts must agree exactly (hash-deterministic).
     "pl_k3_bloom" ->
@@ -945,6 +998,28 @@ object PipelineQueries {
                               doc_id ASC) AS rk
             FROM documents)
           WHERE rk <= 10""",
+
+    // Split-assignment mirror: same md5 draw, same cumulative CASE
+    // bands — per-doc labels, so migration between splits would hash-fail.
+    "pl_s4_split" ->
+      s"""SELECT doc_id, lang,
+                 CASE WHEN d < 900000 THEN 'train'
+                      WHEN d < 950000 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, lang,
+                       ${h60("'tvt|' || doc_id")} % 1000000 AS d
+                FROM documents)""",
+
+    // Redaction mirror: RE2 \\b == Java \\b for plain-word terms; the
+    // 'g' flag matches Spark's replace-all default; md5 over the masked
+    // text makes the compare byte-exact.
+    "pl_t8_redact" ->
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '\\b(customer|spark)\\b')) AS BIGINT) AS n_redacted,
+                 md5(regexp_replace(text, '\\b(customer|spark)\\b',
+                   '[REDACTED]', 'g')) AS masked_fp
+          FROM documents""",
 
     // Chunk grid mirror: starts at 0, stride 24 while new tokens remain;
     // list_slice is inclusive-bounds 1-based (Spark slice is

@@ -164,6 +164,13 @@ class PlanShapeSpec extends SparkSpec {
     val pc = plan(graft.pipeline.TextOps.chunkTokens(docs, 32, 24))
     assert(!pc.contains("Exchange"),
       s"chunking must be narrow (stage tokens, bounded explode), got:\n$pc")
+    val pv = plan(graft.pipeline.Sampling.splitLabels(docs, col("doc_id"),
+      Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L)))
+    assert(!pv.contains("Exchange"),
+      s"split assignment must be a narrow projection, got:\n$pv")
+    val pr = plan(graft.pipeline.TextOps.redactTerms(docs, Seq("customer")))
+    assert(!pr.contains("Exchange"),
+      s"redaction must be a narrow projection, got:\n$pr")
   }
 
   test("bloom build and probe: equi-keyed joins only, no forced broadcast") {
@@ -228,6 +235,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pf.contains("Join"), "funnel composition must not plan a join")
     assert(pf.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
       s"funnel should reuse one user partitioning (window + agg):\n$pf")
+  }
+
+  test("grouped HLL: map-side combine on both aggs, two keyed shuffles") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val p = plan(graft.pipeline.Sketches.hllGrouped(
+      events, col("event_type"), col("user_id"), 8))
+    assertNoGlobalSort(p, "hllGrouped")
+    // partial aggregation is the scale property: per-task partials are
+    // bounded at groups-per-task × m rows BEFORE the shuffle
+    assert(p.contains("partial_max"),
+      s"register build must map-side combine (partial_max), got:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected exactly (grp, reg) and (grp) shuffles:\n$p")
+  }
+
+  test("grouped quantiles: map-side combine, group-keyed shuffles only") {
+    import org.apache.spark.sql.functions._
+    val p = plan(graft.pipeline.Sketches.histogramGroupedQuantiles(
+      docs, col("lang"), col("n_chars"), 0L, 640L, 16,
+      Seq((1, 2), (9, 10))))
+    assertNoGlobalSort(p, "histogramGroupedQuantiles")
+    assert(p.contains("partial_count"),
+      s"(grp, bin) build must map-side combine, got:\n$p")
+    // (grp, bin) agg + grp window; the final (grp, num, den) agg rides
+    // the existing grp partitioning (subset rule) — no third exchange
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected exactly the (grp, bin) and (grp) shuffles:\n$p")
   }
 
   test("KMV k-minimum pass is TakeOrdered, not a global sort") {

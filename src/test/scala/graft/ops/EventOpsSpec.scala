@@ -108,6 +108,21 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(estB - 100) / 100.0 < 0.2, s"B linear-count est $estB")
   }
 
+  test("grouped quantiles: hand-computed bin read-off per group") {
+    val df = ((0 until 100).map(i => ("A", i.toLong)) ++
+      (0 until 7).map(_ => ("B", 5L))).toDF("g", "v")
+    val r = Sketches.histogramGroupedQuantiles(df, col("g"), col("v"),
+        0L, 100L, 10, Seq((1, 2), (9, 10)))
+      .collect()
+      .map(x => (x.getAs[String]("grp"), x.getAs[Long]("num")) ->
+        x.getAs[Long]("q_est")).toMap
+    // A: uniform 0..99 → p50 rank 50 lands in bin [40,50), p90 in [80,90)
+    assert(r(("A", 1L)) == 40L && r(("A", 9L)) == 80L)
+    // B: constant 5 → every quantile reads bin [0,10)
+    assert(r(("B", 1L)) == 0L && r(("B", 9L)) == 0L)
+    assert(r.size == 4)
+  }
+
   test("KMV sketch: estimate within 15% of a known distinct count") {
     val n = 5000
     val toks = (0 until n).map(i => s"tok_$i").toDF("tok")

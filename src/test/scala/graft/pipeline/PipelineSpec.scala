@@ -88,6 +88,48 @@ class PipelineSpec extends SparkSpec {
     assert(st.length == 500 && st.forall(_.getString(1) == "zh"))
   }
 
+  test("splitLabels: total partition, repeatable, growth-stable, ~proportional") {
+    val df = (1L to 2000L).map(i => (i, s"d$i")).toDF("doc_id", "x")
+    val splits = Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L)
+    val a = Sampling.splitLabels(df, col("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.size == 2000) // every row labeled, none dropped or duplicated
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 1700 && n("train") < 1950, s"train ${n("train")}")
+    assert(n("val") > 50 && n("val") < 160, s"val ${n("val")}")
+    assert(n("test") > 50 && n("test") < 160, s"test ${n("test")}")
+    // growth stability: adding rows never migrates an existing row's split
+    val grown = (1L to 3000L).map(i => (i, s"d$i")).toDF("doc_id", "x")
+    val g = Sampling.splitLabels(grown, col("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.forall { case (k, v) => g(k) == v })
+    // guards: ppms must cover [0, 1e6); no label-column shadowing
+    intercept[IllegalArgumentException] {
+      Sampling.splitLabels(df, col("doc_id"), Seq("a" -> 1L))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitLabels(df.withColumn("split", lit("x")),
+        col("doc_id"), splits)
+    }
+  }
+
+  test("redactTerms: whole-word masking with exact counts") {
+    val df = Seq(
+      (1L, "the customer saw customers and a customer spark sparkle"),
+      (2L, "nothing to mask here"),
+      (3L, "spark spark spark")).toDF("doc_id", "text")
+    val r = TextOps.redactTerms(df, Seq("customer", "spark"), "[X]")
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[String]("text"), x.getAs[Long]("n_redacted"))).toMap
+    // word boundaries: "customers"/"sparkle" survive
+    assert(r(1L) == ("the [X] saw customers and a [X] [X] sparkle", 3L))
+    assert(r(2L) == ("nothing to mask here", 0L))
+    assert(r(3L) == ("[X] [X] [X]", 3L))
+    intercept[IllegalArgumentException] {
+      TextOps.redactTerms(df, Seq("bad.regex"))
+    }
+  }
+
   test("topKPerStratum: exact quota, deterministic, growth-stable") {
     val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")
