@@ -434,6 +434,26 @@ object PipelineQueries {
         Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L))
         .select("doc_id", "lang", "split")),
 
+    // Leakage-safe split: near-dup CLUSTER members must share a split,
+    // or a val/test doc's near-duplicate trains the model on the eval
+    // set. Key the split draw by the cluster representative (singletons
+    // by their own id) — one left equi-join of the corpus against the
+    // pairs-derived cluster frame, then the same narrow label.
+    "pl_s5_split_leakage_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.nearDupPairs(docs, 0.7)
+      try {
+        val reps = Dedup.dupClusters(pairs).select("doc_id", "cluster_rep")
+        val withRep = docs.select(col("doc_id"))
+          .join(reps, Seq("doc_id"), "left")
+          .withColumn("rep_id", coalesce(col("cluster_rep"), col("doc_id")))
+          .drop("cluster_rep")
+        graft.pipeline.Sampling.splitLabels(withRep, col("rep_id"),
+          Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L))
+          .select("doc_id", "rep_id", "split")
+      } finally graft.pipeline.Caches.release(pairs)
+    }),
+
     // Denylist scrubbing (the PII-redaction shape): whole-word-mask
     // two corpus terms, verify the masked text byte-for-byte via md5
     // plus the per-doc redaction count.
@@ -1009,6 +1029,31 @@ object PipelineQueries {
           FROM (SELECT doc_id, lang,
                        ${h60("'tvt|' || doc_id")} % 1000000 AS d
                 FROM documents)""",
+
+    // Leakage-safe-split mirror: pl_d3's cluster CTE, singletons
+    // coalesced to self, then the pl_s4 draw keyed by the rep.
+    "pl_s5_split_leakage_safe" ->
+      s"""WITH RECURSIVE $truthPairsSql,
+          edges AS (
+            SELECT doc1 AS s, doc2 AS d FROM verified
+            UNION SELECT doc2, doc1 FROM verified),
+          reach(id, r) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+          labeled AS (
+            SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+          rep AS (
+            SELECT dd.doc_id,
+                   coalesce(l.cluster_rep, dd.doc_id) AS rep_id
+            FROM documents dd LEFT JOIN labeled l ON l.doc_id = dd.doc_id)
+          SELECT doc_id, rep_id,
+                 CASE WHEN ${h60("'tvt|' || rep_id")} % 1000000 < 900000
+                        THEN 'train'
+                      WHEN ${h60("'tvt|' || rep_id")} % 1000000 < 950000
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM rep""",
 
     // Redaction mirror: RE2 \\b == Java \\b for plain-word terms; the
     // 'g' flag matches Spark's replace-all default; md5 over the masked

@@ -113,6 +113,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split: cluster members share a split, singletons match by-id") {
+    val splits = Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L)
+    val docs = (1L to 50L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+    val withRep = docs
+      .join(Dedup.dupClusters(pairs).select("doc_id", "cluster_rep"),
+        Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_rep"), col("doc_id")))
+      .drop("cluster_rep")
+    val lab = Sampling.splitLabels(withRep, col("rep_id"), splits)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(lab(1L) == lab(2L) && lab(2L) == lab(3L)) // chain = one split
+    assert(lab(10L) == lab(11L))
+    val plain = Sampling.splitLabels(docs, col("doc_id"), splits)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    val clustered = Set(1L, 2L, 3L, 10L, 11L)
+    assert(lab.filterNot(kv => clustered(kv._1)) ==
+      plain.filterNot(kv => clustered(kv._1)))
+  }
+
   test("redactTerms: whole-word masking with exact counts") {
     val df = Seq(
       (1L, "the customer saw customers and a customer spark sparkle"),
