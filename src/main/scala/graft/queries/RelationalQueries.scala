@@ -170,6 +170,27 @@ object RelationalQueries {
         .select("event_id", "user_id", "event_type", "cents",
           "c_name", "c_nationkey")),
 
+    // J5: co-located join via bucketed table layout — pay the shuffle
+    // once at write time, then the fact ⋈ dim join on the bucket key
+    // plans with no exchange on either side (PlanShapeSpec asserts the
+    // shuffle-free plan; this entry asserts the RESULT is identical to
+    // the plain join over raw parquet). The standing answer at 100 TB
+    // to "every downstream query joins this table on the same key".
+    "j5_bucketed_join" -> ((s, d) => {
+      graft.ops.BucketedLayout.writeBucketed(
+        events(s, d).select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        "graft_ev_bucketed", "user_id", 16, "/tmp/graft_bucketed/ev")
+      graft.ops.BucketedLayout.writeBucketed(
+        customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "graft_cust_bucketed", "c_custkey", 16, "/tmp/graft_bucketed/cust")
+      graft.ops.BucketedLayout.coLocatedJoin(s,
+          "graft_ev_bucketed", "graft_cust_bucketed",
+          "user_id", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+    }),
+
     // J3-shape: anti-join conformance count (rows violating an FK).
     // Reference: xova/apps/xova/check.py:38-52.
     "j3_anti_join" -> ((s, d) =>
@@ -272,6 +293,13 @@ object RelationalQueries {
                 CAST(round(value * 100) AS BIGINT) AS cents,
                 c_name, c_nationkey
          FROM events JOIN customer ON user_id = c_custkey""",
+    // The layout must be invisible in the result: plain join + agg.
+    "j5_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""",
     "j3_anti_join" ->
       """SELECT count(*) AS n_customers_without_orders
          FROM customer WHERE NOT EXISTS

@@ -237,6 +237,32 @@ class PlanShapeSpec extends SparkSpec {
       s"funnel should reuse one user partitioning (window + agg):\n$pf")
   }
 
+  test("bucketed co-located join plans no exchange on either side") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_id"))
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.ops.BucketedLayout.writeBucketed(
+      ev, "graft_test_ev_b", "user_id", 4, "/tmp/graft_test_bucketed/ev")
+    graft.ops.BucketedLayout.writeBucketed(
+      cust, "graft_test_cust_b", "c_custkey", 4,
+      "/tmp/graft_test_bucketed/cust")
+    // disable broadcast so the plan must rely on the bucket layout —
+    // the property under test is "no shuffle", not "small side wins"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.ops.BucketedLayout.coLocatedJoin(spark,
+        "graft_test_ev_b", "graft_test_cust_b", "user_id", "c_custkey"))
+      assert(p.contains("SortMergeJoin"),
+        s"expected a sort-merge join over bucketed scans, got:\n$p")
+      assert(!p.contains("Exchange"),
+        s"co-located join must not plan any exchange:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("grouped HLL: map-side combine on both aggs, two keyed shuffles") {
     import org.apache.spark.sql.functions._
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
