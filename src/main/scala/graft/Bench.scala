@@ -72,7 +72,15 @@ object Bench {
     }
     case class Timing(cold: Pass, warm: Pass)
     def time(name: String): Timing = {
+      // Pay accumulated GC debt OUTSIDE the timed region: after ~95
+      // entries in one JVM, a later entry otherwise collects earlier
+      // entries' garbage inside its own pass — observed as stochastic
+      // 2–5× CPU inflation concentrated in the streaming tail (st4
+      // cpu 72.9 vs 14.0 s on identical code, round 8). One explicit
+      // full GC per pass makes each reading pay only its own debt.
+      System.gc()
       val cold = once(name) // cold: JIT + parquet footers + session lazy init
+      System.gc()
       val warm = once(name) // warm: the headline number
       if (only.nonEmpty) println(
         f"[bench] $name cold=${cold.wall}%.3f warm=${warm.wall}%.3f " +
