@@ -88,6 +88,54 @@ class PipelineSpec extends SparkSpec {
     assert(st.length == 500 && st.forall(_.getString(1) == "zh"))
   }
 
+  test("sketches merge: shard-built sketches re-aggregate to the whole-corpus sketch") {
+    // The scale claim under test: "the groupBy IS the sketch merge" —
+    // build each sketch on two disjoint corpus shards, merge with the
+    // SAME aggregation (sum / max / distinct-union), and require exact
+    // equality with the one-pass whole-corpus build. This is what makes
+    // every sketch shard-parallel and stream-combinable for free.
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"),
+      (crc32(col("text")) % 2 === 0).as("shard"))
+    val (a, b) = (toks.filter(col("shard")), toks.filter(!col("shard")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    // CMS: per-cell counts add
+    val cmsWhole = Sketches.cmsSketch(toks, col("tok"))
+    val cmsMerged = Sketches.cmsSketch(a, col("tok"))
+      .union(Sketches.cmsSketch(b, col("tok")))
+      .groupBy("seed", "cell").agg(sum("cnt").as("cnt"))
+    assert(rows(cmsMerged) == rows(cmsWhole))
+
+    // HLL: per-register maxima max
+    val hllWhole = Sketches.hllRegisters(toks, col("tok"))
+    val hllMerged = Sketches.hllRegisters(a, col("tok"))
+      .union(Sketches.hllRegisters(b, col("tok")))
+      .groupBy("reg").agg(max("max_rho").as("max_rho"))
+    assert(rows(hllMerged) == rows(hllWhole))
+
+    // Bloom: set bits union
+    val blWhole = Sketches.bloomBits(toks, col("tok"))
+    val blMerged = Sketches.bloomBits(a, col("tok"))
+      .union(Sketches.bloomBits(b, col("tok"))).distinct()
+    assert(rows(blMerged) == rows(blWhole))
+
+    // Histogram: per-bin counts add (cum_cnt re-derives from cnt, so
+    // compare the additive core)
+    def core(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select("bin", "cnt"))
+    val hWhole = Sketches.histogram(
+      toks.select(length(col("tok")).as("v")), col("v"), 0L, 32L, 8)
+    val hMerged = Sketches.histogram(
+        a.select(length(col("tok")).as("v")), col("v"), 0L, 32L, 8)
+      .select("bin", "cnt")
+      .union(Sketches.histogram(
+        b.select(length(col("tok")).as("v")), col("v"), 0L, 32L, 8)
+        .select("bin", "cnt"))
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+    assert(core(hMerged.toDF()) == core(hWhole))
+  }
+
   test("splitLabels: total partition, repeatable, growth-stable, ~proportional") {
     val df = (1L to 2000L).map(i => (i, s"d$i")).toDF("doc_id", "x")
     val splits = Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L)
