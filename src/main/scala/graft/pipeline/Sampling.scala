@@ -82,6 +82,11 @@ object Sampling {
     * re-runs — the property RNG splits lack). Keying by a document id
     * keeps all chunks of a document in one split.
     *
+    * NULL keys: the draw is NULL, every `<` comparison is false, and
+    * the row lands in the LAST band (the CASE-otherwise semantic the
+    * oracle shares) — deterministic, but note it differs from
+    * [[uniform]], where a NULL key's row is filtered out.
+    *
     * Scale: a pure narrow projection — no shuffle, no state; the label
     * is one md5 + a literal CASE chain at scan speed.
     */

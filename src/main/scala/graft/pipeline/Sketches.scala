@@ -353,7 +353,13 @@ object Sketches {
     val wN = org.apache.spark.sql.expressions.Window.partitionBy("grp")
     val qlit = array(qs.map { case (n, d) =>
       struct(lit(n.toLong).as("num"), lit(d.toLong).as("den")) }: _*)
-    df.select(group.as("grp"), bin.as("bin"))
+    // NULL values are dropped explicitly: a NULL bin would otherwise
+    // ride the cumulative window under engine-specific NULL ordering
+    // (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST) and skew
+    // cum_cnt differently per engine. Oracle mirrors must filter the
+    // same way.
+    df.filter(value.isNotNull)
+      .select(group.as("grp"), bin.as("bin"))
       .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
       .select(col("grp"), col("bin"),
         (lit(lo) + col("bin") * width).as("lo_edge"),

@@ -919,7 +919,7 @@ object PipelineQueries {
             SELECT lang AS grp,
                    least(greatest(CAST(floor(n_chars / 40) AS BIGINT),
                                   0), 15) AS bin
-            FROM documents),
+            FROM documents WHERE n_chars IS NOT NULL),
           h AS (SELECT grp, bin, CAST(count(*) AS BIGINT) AS cnt
                 FROM b GROUP BY 1, 2),
           w AS (SELECT grp, bin, CAST(bin * 40 AS BIGINT) AS lo_edge,
