@@ -177,13 +177,17 @@ object RelationalQueries {
     // the plain join over raw parquet). The standing answer at 100 TB
     // to "every downstream query joins this table on the same key".
     "j5_bucketed_join" -> ((s, d) => {
+      // per-process path: a concurrent Verify/Bench JVM must not
+      // clobber this one's bucket files mid-scan (table names are
+      // safe as-is — the in-memory catalog is per-JVM)
+      val root = s"/tmp/graft_bucketed_${ProcessHandle.current().pid()}"
       graft.ops.BucketedLayout.writeBucketed(
         events(s, d).select(col("user_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
-        "graft_ev_bucketed", "user_id", 16, "/tmp/graft_bucketed/ev")
+        "graft_ev_bucketed", "user_id", 16, s"$root/ev")
       graft.ops.BucketedLayout.writeBucketed(
         customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
-        "graft_cust_bucketed", "c_custkey", 16, "/tmp/graft_bucketed/cust")
+        "graft_cust_bucketed", "c_custkey", 16, s"$root/cust")
       graft.ops.BucketedLayout.coLocatedJoin(s,
           "graft_ev_bucketed", "graft_cust_bucketed",
           "user_id", "c_custkey")
