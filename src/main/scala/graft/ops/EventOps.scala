@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   * there is nothing to skew — the classic MERGE-sort as-of plan.
   */
 object EventOps {
+
+  /** `events.ts` arrives as parquet `timestamp[us]` (Spark
+    * TIMESTAMP_NTZ; the wall-clock IS the UTC instant by the TESTDATA
+    * contract). Every harness pins `spark.sql.session.timeZone=UTC`,
+    * so the NTZ→instant cast is exact and `unix_micros` recovers the
+    * integer microseconds all session/bin arithmetic runs on — pure
+    * integer space, no double rounding, matching DuckDB `epoch_us`.
+    */
+  def eventTs(c: Column): Column = c.cast("timestamp")
+
+  /** Exact epoch microseconds of an event-time column (see [[eventTs]]). */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 
   /** Gap-based sessions per user. Input contract: `user_id` (long),
     * `TS` (timestamp), `cents` (long, integer-lifted value). Output:
@@ -96,7 +108,7 @@ object EventOps {
     val base = events
       .where(col("event_type").isin(steps: _*))
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tu"), col("event_type"))
+        epochUs(col("ts")).as("tu"), col("event_type"))
     // running first-reach time of each step, folded left to right:
     // step k's candidate rows are those strictly after step k-1's
     // running minimum as of that row

@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.ops.EventOps
 
 /** Event-log analytics entries (sessionization, as-of join) over the
-  * `events` table. Exactness: `ts` is epoch-nanos Long (nanosAsLong)
-  * and the fixture is micro-grain, so `ts div 1000` == DuckDB
-  * `epoch_us(ts)` exactly; `value` sits on a 1/100 grid → cents are
-  * integer-lifted. All session/attribution arithmetic is pure integer.
+  * `events` table. Exactness: `ts` is parquet `timestamp[us]`
+  * (TIMESTAMP_NTZ) and [[EventOps.epochUs]] recovers its integer
+  * microseconds exactly (== DuckDB `epoch_us(ts)`); `value` sits on a
+  * 1/100 grid → cents are integer-lifted. All session/attribution
+  * arithmetic is pure integer.
   */
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -23,7 +24,7 @@ object EventQueries {
     "ev1_sessionize" -> ((s, d) => {
       val ev = Tables.events(s, d).select(
         col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("TS"),
+        EventOps.eventTs(col("ts")).as("TS"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       EventOps.sessionize(ev, GapSeconds)
     }),
@@ -35,9 +36,9 @@ object EventQueries {
         .select(
           col("user_id"),
           col("event_id").as("purchase_id"),
-          expr("ts div 1000").as("purchase_us"),
+          EventOps.epochUs(col("ts")).as("purchase_us"),
           coalesce(col("match_id"), lit(-1L)).as("click_id"),
-          coalesce(expr("match_ts div 1000"), lit(-1L)).as("click_us"))),
+          coalesce(EventOps.epochUs(col("match_ts")), lit(-1L)).as("click_us"))),
 
     // Ordered-step conversion funnel signup → click → purchase: first
     // reach-time of each step strictly after the previous step's first

@@ -14,8 +14,9 @@ import org.apache.spark.sql.expressions.Window
   *    the accumulated IEEE error (~1e-9 at 60k rows) never reaches the
   *    rounding boundary, so any summation order yields the same output.
   *  - Running/cumulative sums use integer cents so window frames are exact.
-  *  - Timestamps are projected as DATE or epoch seconds (the events table
-  *    is nanosecond-precision parquet; Spark truncates to micros).
+  *  - Timestamps are projected as DATE or epoch seconds/micros (every
+  *    timestamp column is microsecond-precision parquet; both engines
+  *    read it exactly, and the session timezone is pinned to UTC).
   */
 object RelationalQueries {
   import Tables._
@@ -79,12 +80,13 @@ object RelationalQueries {
     // A1-shape: time-bin grouped aggregation (uniform time averaging:
     // TIME=mean, INTERVAL=sum, per 2h bin per user).
     // Reference: xova/apps/xova/averaging.py:251-255.
-    // (ts is epoch-nanos Long under nanosAsLong — integer `div` is exact.
-    // `div` truncates toward zero, matching the oracle's floor only for
-    // nonnegative epochs; the events table is post-1970 by construction.)
+    // (ts is parquet timestamp[us]; unix_micros of the UTC-pinned cast
+    // recovers exact integer micros, and integer `div` truncates toward
+    // zero, matching the oracle's floor only for nonnegative epochs;
+    // the events table is post-1970 by construction.)
     "a1_time_bin_agg" -> ((s, d) =>
       events(s, d)
-        .withColumn("bin", expr("ts div 7200000000000"))
+        .withColumn("bin", expr("unix_micros(CAST(ts AS TIMESTAMP)) div 7200000000"))
         .groupBy("user_id", "bin")
         .agg(
           count(lit(1)).as("n_samples"),
@@ -209,7 +211,8 @@ object RelationalQueries {
       events(s, d)
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .filter(col("prev_ts").isNotNull &&
-          (expr("ts div 1000000000") - expr("prev_ts div 1000000000")) > 3600L)
+          (expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000") -
+            expr("unix_micros(CAST(prev_ts AS TIMESTAMP)) div 1000000")) > 3600L)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_gaps"))
     }),

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * identical answers, not just that it runs.
   *
   * Exactness: `value` lives on a 1/100 grid → integer-lifted sums;
-  * event timestamps are nanos-as-long (TESTDATA.md) → window assignment
-  * is integer arithmetic on both engines.
+  * event timestamps are parquet micros (TIMESTAMP_NTZ, UTC-pinned
+  * session) → window assignment is exact micro-grain arithmetic on
+  * both engines.
   */
 object StreamingQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -74,9 +75,8 @@ object StreamingQueries {
       // glob-filtered to the events table
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        // ts is epoch-nanos Long (nanosAsLong); driver data is
-        // microsecond-grain so `div 1000` is exact
-        .withColumn("TS", timestamp_micros(expr("ts div 1000")))
+        // ts is TIMESTAMP_NTZ micros; the UTC-pinned cast is exact
+        .withColumn("TS", col("ts").cast("timestamp"))
       val windowed = src
         .withWatermark("TS", "1 hour")
         .groupBy(window(col("TS"), "3600 seconds"), col("user_id"))
@@ -142,7 +142,7 @@ object StreamingQueries {
       val src = s.readStream.schema(schema).parquet(streamDir.getAbsolutePath)
       val evs = src.select(
           col("user_id"),
-          expr("ts div 1000").as("tu"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tu"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
           (col("event_type") === "__flush").as("flush"))
         .as[graft.streaming.EventStream.SessEvent]
@@ -154,11 +154,13 @@ object StreamingQueries {
       try {
         q.processAllAvailable()
         // flush sentinels: one far-future row per user (ts well beyond
-        // any gap; the sessionizer closes without opening a session)
+        // any gap; the sessionizer closes without opening a session).
+        // LocalDateTime literal -> TIMESTAMP_NTZ, matching the stream
+        // schema read from events.parquet.
         val sentinel = Tables.events(s, d).select(col("user_id")).distinct()
           .select(
             lit(-1L).as("event_id"),
-            lit(Long.MaxValue / 2).as("ts"),
+            lit(java.time.LocalDateTime.of(9000, 1, 1, 0, 0)).as("ts"),
             col("user_id"),
             lit("__flush").as("event_type"),
             lit(0.0).as("value"),
@@ -251,7 +253,7 @@ object StreamingQueries {
         stage(ev, "000")
         val src = s.readStream.schema(ev.schema)
           .parquet(streamDir.getAbsolutePath)
-          .withColumn("TS", timestamp_micros(expr("ts div 1000")))
+          .withColumn("TS", col("ts").cast("timestamp"))
         val windowed = src
           .withWatermark("TS", "2 hours")
           .groupBy(window(col("TS"), "3600 seconds"), col("user_id"))
@@ -268,8 +270,7 @@ object StreamingQueries {
           // the planted late batch: year-old copies, all behind the
           // watermark — the engine must drop every one of them
           stage(ev.filter(pmod(col("event_id"), lit(97)) === 0)
-            .withColumn("ts",
-              col("ts") - lit(365L * 24L * 3600L * 1000000000L)), "001")
+            .withColumn("ts", col("ts") - expr("INTERVAL 365 DAYS")), "001")
           q.processAllAvailable() // batch 2: drop late, emit closed windows
         } finally q.stop()
         val out = s.table(name).collect()
@@ -341,12 +342,12 @@ object StreamingQueries {
           .parquet(streamDir.getAbsolutePath)
         val clicks = src().filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
-            timestamp_micros(expr("ts div 1000")).as("CTS"))
+            col("ts").cast("timestamp").as("CTS"))
           .withWatermark("CTS", "2 hours")
         val purchases = src().filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"),
             col("user_id").as("p_user_id"),
-            timestamp_micros(expr("ts div 1000")).as("PTS"))
+            col("ts").cast("timestamp").as("PTS"))
           .withWatermark("PTS", "2 hours")
         val joined = clicks.join(purchases,
             col("user_id") === col("p_user_id") &&

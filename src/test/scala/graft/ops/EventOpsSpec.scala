@@ -63,7 +63,7 @@ class EventOpsSpec extends SparkSpec {
   }
 
   test("funnel: strict ordering, ties excluded, pre-step events ignored") {
-    def e(id: Long, u: Long, tUs: Long, t: String) = (id, u, tUs * 1000L, t)
+    def e(id: Long, u: Long, tUs: Long, t: String) = (id, u, tUs, t)
     val ev = Seq(
       e(1, 1, 10, "signup"), e(2, 1, 20, "click"), e(3, 1, 30, "purchase"),
       // user 2: click BEFORE signup doesn't count; click AT signup time
@@ -78,6 +78,7 @@ class EventOpsSpec extends SparkSpec {
       e(10, 4, 10, "signup"), e(11, 4, 15, "purchase"), e(12, 4, 20, "click"),
       e(13, 4, 25, "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts")))
     val r = EventOps.funnel(ev, Seq("signup", "click", "purchase"))
       .orderBy("user_id").collect()
       .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("funnel_stage"),
