@@ -100,9 +100,21 @@ object EventOps {
     * final per-user aggregation. N steps cost N window projections over
     * the SAME partitioning — Catalyst plans one Exchange + one Sort,
     * not N self-joins of the fact table.
+    *
+    * `maxStepGapUs` adds the conversion-window constraint real funnel
+    * reporting uses ("step k within X of step k-1"): a step-k candidate
+    * qualifies only inside `(_r(k-1), _r(k-1) + gap]`. The running min
+    * of each step is its FIRST completion time (rows arrive in `tu`
+    * order, so the prefix-min is set once and never lowered), so the
+    * window anchors on the previous step's first completion — the
+    * standard strict-chain funnel definition. Same plan shape: the gap
+    * is one extra predicate per window projection, no new Exchange.
     */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, steps: Seq[String],
+             maxStepGapUs: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    require(maxStepGapUs.forall(_ > 0),
+      s"maxStepGapUs must be positive, got $maxStepGapUs")
     val w = Window.partitionBy("user_id").orderBy("tu", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = events
@@ -110,8 +122,13 @@ object EventOps {
       .select(col("user_id"), col("event_id"),
         epochUs(col("ts")).as("tu"), col("event_type"))
     // running first-reach time of each step, folded left to right:
-    // step k's candidate rows are those strictly after step k-1's
-    // running minimum as of that row
+    // step k's candidate rows are those strictly after (and, with a
+    // conversion window, within gap of) step k-1's running minimum as
+    // of that row
+    def inWindow(prev: Column): Column = maxStepGapUs match {
+      case Some(g) => col("tu") > prev && col("tu") <= prev + g
+      case None    => col("tu") > prev
+    }
     val withRuns = steps.zipWithIndex.foldLeft(base) {
       case (df, (step, 0)) =>
         df.withColumn("_r0",
@@ -119,7 +136,7 @@ object EventOps {
       case (df, (step, k)) =>
         df.withColumn(s"_r$k",
           min(when(col("event_type") === step &&
-            col(s"_r${k - 1}").isNotNull && col("tu") > col(s"_r${k - 1}"),
+            col(s"_r${k - 1}").isNotNull && inWindow(col(s"_r${k - 1}")),
             col("tu"))).over(w))
     }
     val stepCols = steps.indices.map(k => min(col(s"_r$k")).as(s"s${k + 1}_us"))

@@ -33,6 +33,15 @@ object Dedup {
   // verified 100%/100% recall on the sf0.01/sf0.1 corpora with
   // candidate counts at 0.008% of all pairs.
 
+  /** Default oversized-bucket cap for [[nearDupPairs]]/[[simhashPairs]]
+    * — the m²/2 candidate blow-up guard is ON unless a caller
+    * explicitly passes 0 (round-8 verdict: an opt-in guard protects
+    * nobody). 10k members ≈ 5·10⁷ candidates from one pathological
+    * key — the most a single bucket should ever contribute; every
+    * exclusion is counted to the log, never silent.
+    */
+  val DefaultMaxBucketSize = 10000
+
   /** Exact-dup clusters: (md5, n_copies, keeper = min doc id). */
   def exactClusters(docs: DataFrame): DataFrame =
     docs
@@ -93,12 +102,15 @@ object Dedup {
     *   boilerplate-heavy crawl can put millions of near-identical docs
     *   in one bucket and stall the join). Buckets above the cap are
     *   EXCLUDED and counted to the log — explicit recall accounting,
-    *   never a silent stall. 0 = unlimited (every bucket admitted);
-    *   exact-dup clustering (pl_d1) is the right tool for the mass
+    *   never a silent stall. The guard is ON BY DEFAULT (10k members ≈
+    *   a 5·10⁷-candidate bucket join, the most a single oversized key
+    *   should ever cost; capped-path correctness is oracle-gated by
+    *   pl_d11_capped_neardup); pass 0 to explicitly run unguarded.
+    *   Exact-dup clustering (pl_d1) is the right tool for the mass
     *   inside a capped bucket.
     */
   def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7,
-                   maxBucketSize: Int = 0): DataFrame = {
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val (out, sigs) = nearDupPairsPlan(docs, minJaccard, maxBucketSize)
     try Caches.materialize(out) finally sigs.unpersist(blocking = false)
   }
@@ -199,10 +211,12 @@ object Dedup {
     *   in one chunk-bucket). Over-cap buckets are EXCLUDED and counted
     *   to the log (explicit recall accounting: pairs whose ONLY
     *   agreeing chunk is capped are lost; exact-dup clustering is the
-    *   right tool for the mass inside). 0 = unlimited.
+    *   right tool for the mass inside). ON BY DEFAULT (see
+    *   [[DefaultMaxBucketSize]]); pass 0 to explicitly run unguarded.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   nChunks: Int = 4, maxBucketSize: Int = 0): DataFrame = {
+                   nChunks: Int = 4,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val (out, sh) = simhashPairsPlan(docs, maxHamming, nChunks, maxBucketSize)
     // pair-sized result out, fingerprint cache released (see nearDupPairs)
     try Caches.materialize(out) finally sh.unpersist(blocking = false)

@@ -247,6 +247,39 @@ object TextOps {
       .withColumn("seq_id", expr(s"start_off div $seqLen"))
   }
 
+  /** Per-sequence packing composition — the attention-mask input a
+    * trainer actually consumes: for every (sequence, document) overlap
+    * one row `(shard, seq_id, doc_id, span_start, span_len)`, where
+    * `span_start` is the doc fragment's offset INSIDE the sequence and
+    * `span_len` its token count. A doc spanning a sequence cut emits
+    * one row per sequence it touches (so Σ span_len per doc =
+    * n_tokens, and Σ span_len per full sequence = seqLen — the
+    * mask-builder invariants). Zero-token docs occupy no tokens and
+    * emit no span.
+    *
+    * Scale: [[packSequences]]'s running-sum window (one shard-keyed
+    * shuffle) plus a BOUNDED posexplode — a doc of n tokens touches
+    * ≤ n/seqLen + 1 sequences, so output is ≈ corpus/seqLen + docs
+    * rows. No extra shuffle, no join, no driver state.
+    */
+  def packSpans(df: DataFrame, seqLen: Int, shards: Int = 8): DataFrame = {
+    val packed = packSequences(df, seqLen, shards)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"))
+      .filter(col("n_tokens") > 0L)
+    packed
+      // sequences touched: floor(start/L) .. floor((end-1)/L), end exclusive
+      .withColumn("_end_off", col("start_off") + col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("start_off"), col("_end_off"),
+        explode(sequence(expr(s"start_off div $seqLen"),
+          expr(s"(_end_off - 1) div $seqLen"))).as("seq_id"))
+      .withColumn("_seq_base", col("seq_id") * seqLen)
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (greatest(col("start_off"), col("_seq_base")) - col("_seq_base"))
+          .as("span_start"),
+        (least(col("_end_off"), col("_seq_base") + seqLen) -
+          greatest(col("start_off"), col("_seq_base"))).as("span_len"))
+  }
+
   /** TF-IDF top-k terms per document — the classic salience ranking a
     * corpus pipeline uses for keyword extraction / topic hints.
     *

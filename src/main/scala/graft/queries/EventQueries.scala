@@ -18,6 +18,9 @@ object EventQueries {
   /** 4-hour inactivity gap (micros). */
   private val GapSeconds = 14400L
 
+  /** 4-hour funnel conversion window (micros) — ev4_funnel_window. */
+  private val FunnelGapUs = 14400L * 1000000L
+
   val queries: Map[String, Q] = Map(
     // Gap-based sessionization via the NATIVE session_window
     // aggregation (one shuffle on user_id; per-user ordinal window).
@@ -47,6 +50,16 @@ object EventQueries {
     "ev3_funnel" -> ((s, d) =>
       EventOps.funnel(Tables.events(s, d),
         Seq("signup", "click", "purchase"))),
+
+    // Same funnel under a 4-hour conversion window: step k counts only
+    // within the window of step k-1's first completion — the constraint
+    // every production funnel report carries. Identical plan shape (the
+    // gap is a predicate inside the same window projections); users who
+    // convert slowly drop a stage relative to ev3_funnel.
+    "ev4_funnel_window" -> ((s, d) =>
+      EventOps.funnel(Tables.events(s, d),
+        Seq("signup", "click", "purchase"),
+        maxStepGapUs = Some(FunnelGapUs))),
 
     // Semi-structured extraction: pull a typed field out of the JSON
     // `props` column and aggregate it. get_json_object is a codegen'd
@@ -135,6 +148,48 @@ object EventQueries {
          r2 AS (
            SELECT *, min(CASE WHEN event_type = 'purchase'
                                AND _r1 IS NOT NULL AND tu > _r1
+                              THEN tu END) OVER w AS _r2
+           FROM r1
+           WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                        ROWS UNBOUNDED PRECEDING)),
+         a AS (
+           SELECT user_id,
+                  CAST(min(_r0) AS BIGINT) AS s1_us,
+                  CAST(min(_r1) AS BIGINT) AS s2_us,
+                  CAST(min(_r2) AS BIGINT) AS s3_us
+           FROM r2 GROUP BY 1)
+         SELECT user_id, s1_us, s2_us, s3_us,
+                CAST((CASE WHEN s1_us IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN s2_us IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN s3_us IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS funnel_stage
+         FROM a WHERE s1_us IS NOT NULL""",
+
+    // ev3's chain with the conversion-window predicate added to each
+    // step's CASE — the gap literal must match FunnelGapUs.
+    "ev4_funnel_window" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tu, event_type
+           FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')),
+         r0 AS (
+           SELECT *, min(CASE WHEN event_type = 'signup' THEN tu END)
+                       OVER w AS _r0
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                        ROWS UNBOUNDED PRECEDING)),
+         r1 AS (
+           SELECT *, min(CASE WHEN event_type = 'click'
+                               AND _r0 IS NOT NULL AND tu > _r0
+                               AND tu <= _r0 + 14400000000
+                              THEN tu END) OVER w AS _r1
+           FROM r0
+           WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                        ROWS UNBOUNDED PRECEDING)),
+         r2 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase'
+                               AND _r1 IS NOT NULL AND tu > _r1
+                               AND tu <= _r1 + 14400000000
                               THEN tu END) OVER w AS _r2
            FROM r1
            WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id

@@ -219,6 +219,26 @@ object PipelineQueries {
     "pl_d2_minhash_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(Tables.documents(s, d), 0.7)),
 
+    // The CAPPED production path, correctness-gated (round-8 verdict:
+    // the default-on guard must be oracle-checked, not just spec'd): a
+    // boilerplate farm is planted — 20 identical docs under fresh ids —
+    // whose LSH buckets (size exactly 20: all copies share every band
+    // hash; md5 band collisions with real docs don't occur) blow the
+    // cap of 8 and are excluded, so none of the 190 planted pairs
+    // emerge; every real bucket is untouched. Expected output ≡ the
+    // uncapped pl_d2 pairs over the ORIGINAL corpus, which is exactly
+    // what the independent all-pairs oracle computes — the cap's
+    // surgical-exclusion contract is hash-matched, not merely counted.
+    "pl_d11_capped_neardup" -> ((s, d) => {
+      val planted = s.range(20).select(
+        (col("id") + 10000000L).as("doc_id"),
+        lit((0 until 40).map(i => s"plantedboilerplate$i").mkString(" "))
+          .as("text"))
+      Dedup.nearDupPairs(
+        Tables.documents(s, d).select("doc_id", "text").unionAll(planted),
+        0.7, maxBucketSize = 8)
+    }),
+
     // Duplicate-cluster resolution: connected components over the pairs.
     // The intermediate pairs frame is materialized (see Caches) and
     // owned here — released once dupClusters has consumed it (safe:
@@ -443,14 +463,23 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.nearDupPairs(docs, 0.7)
       try {
-        val reps = Dedup.dupClusters(pairs).select("doc_id", "cluster_rep")
-        val withRep = docs.select(col("doc_id"))
-          .join(reps, Seq("doc_id"), "left")
-          .withColumn("rep_id", coalesce(col("cluster_rep"), col("doc_id")))
-          .drop("cluster_rep")
-        graft.pipeline.Sampling.splitLabels(withRep, col("rep_id"),
-          Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L))
-          .select("doc_id", "rep_id", "split")
+        val clusters = Dedup.dupClusters(pairs)
+        // materialize the final labels so the clusters checkpoint can be
+        // released HERE instead of leaking (round-8 find: a lazy result
+        // keeps the cluster blocks pinned and the harness's blanket
+        // release never sees them — production would write to a sink at
+        // this point, which frees them the same way)
+        try {
+          val reps = clusters.select("doc_id", "cluster_rep")
+          val withRep = docs.select(col("doc_id"))
+            .join(reps, Seq("doc_id"), "left")
+            .withColumn("rep_id", coalesce(col("cluster_rep"), col("doc_id")))
+            .drop("cluster_rep")
+          graft.pipeline.Caches.materialize(
+            graft.pipeline.Sampling.splitLabels(withRep, col("rep_id"),
+              Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L))
+              .select("doc_id", "rep_id", "split"))
+        } finally graft.pipeline.Caches.release(clusters)
       } finally graft.pipeline.Caches.release(pairs)
     }),
 
@@ -468,6 +497,14 @@ object PipelineQueries {
     "pl_c2_packing" -> ((s, d) =>
       TextOps.packSequences(Tables.documents(s, d), 128, 8)
         .select("doc_id", "shard", "n_tokens", "start_off", "seq_id")),
+
+    // Per-sequence packing composition: which doc fragments occupy each
+    // 128-token sequence (cut-spanning docs emit one row per sequence
+    // touched) — the attention-mask input. Bounded explode over pl_c2's
+    // window output; Σ span_len per doc = n_tokens by construction.
+    "pl_c3_pack_spans" -> ((s, d) =>
+      TextOps.packSpans(Tables.documents(s, d), 128, 8)
+        .select("shard", "seq_id", "doc_id", "span_start", "span_len")),
 
     // The end-to-end training-data EXPORT: quality gate ∧ exact-dup
     // keeper ∧ near-dup-loser drop (the pl_p1 population), then
@@ -585,6 +622,14 @@ object PipelineQueries {
          FROM documents GROUP BY 1""",
 
     "pl_d2_minhash_pairs" ->
+      s"""WITH $truthPairsSql
+          SELECT doc1, doc2, n_inter, n1, n2, jaccard FROM verified""",
+
+    // Capped run over corpus + planted boilerplate ≡ uncapped pairs
+    // over the ORIGINAL corpus (the planted bucket is excluded whole,
+    // real buckets untouched) — so the oracle is pl_d2's independent
+    // all-pairs ground truth, unchanged.
+    "pl_d11_capped_neardup" ->
       s"""WITH $truthPairsSql
           SELECT doc1, doc2, n_inter, n1, n2, jaccard FROM verified""",
 
@@ -1100,6 +1145,33 @@ object PipelineQueries {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       0) // 128 AS BIGINT) AS seq_id
           FROM documents""",
+
+    // pl_c2's running sums, then one row per (doc, sequence) overlap.
+    // Pure integer arithmetic; range() is end-exclusive so the last
+    // touched sequence is (end_off - 1) // 128.
+    "pl_c3_pack_spans" ->
+      s"""WITH p AS (
+            SELECT doc_id,
+                   CAST(doc_id % 8 AS BIGINT) AS shard,
+                   CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(len($toksSql)) OVER (
+                          PARTITION BY doc_id % 8 ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_off
+            FROM documents),
+          spans AS (
+            SELECT shard, doc_id, start_off,
+                   start_off + n_tokens AS end_off,
+                   unnest(range(start_off // 128,
+                                (start_off + n_tokens - 1) // 128 + 1)) AS seq_id
+            FROM p WHERE n_tokens > 0)
+          SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                 CAST(greatest(start_off, seq_id * 128) - seq_id * 128
+                   AS BIGINT) AS span_start,
+                 CAST(least(end_off, (seq_id + 1) * 128)
+                      - greatest(start_off, seq_id * 128)
+                   AS BIGINT) AS span_len
+          FROM spans""",
 
     "pl_a1_knn_brute" ->
       s"""WITH $vSql,

@@ -86,7 +86,8 @@ object RelationalQueries {
     // the events table is post-1970 by construction.)
     "a1_time_bin_agg" -> ((s, d) =>
       events(s, d)
-        .withColumn("bin", expr("unix_micros(CAST(ts AS TIMESTAMP)) div 7200000000"))
+        .withColumn("tu", graft.ops.EventOps.epochUs(col("ts")))
+        .withColumn("bin", expr("tu div 7200000000"))
         .groupBy("user_id", "bin")
         .agg(
           count(lit(1)).as("n_samples"),
@@ -210,9 +211,13 @@ object RelationalQueries {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       events(s, d)
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        // second-TRUNCATED difference (div before subtract), matching
+        // the oracle's date_trunc('second') — raw-micros differencing
+        // diverges on sub-second alignment
+        .withColumn("_tu", graft.ops.EventOps.epochUs(col("ts")))
+        .withColumn("_ptu", graft.ops.EventOps.epochUs(col("prev_ts")))
         .filter(col("prev_ts").isNotNull &&
-          (expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000") -
-            expr("unix_micros(CAST(prev_ts AS TIMESTAMP)) div 1000000")) > 3600L)
+          (expr("_tu div 1000000") - expr("_ptu div 1000000")) > 3600L)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_gaps"))
     }),

@@ -75,8 +75,9 @@ object StreamingQueries {
       // glob-filtered to the events table
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        // ts is TIMESTAMP_NTZ micros; the UTC-pinned cast is exact
-        .withColumn("TS", col("ts").cast("timestamp"))
+        // ts is TIMESTAMP_NTZ micros; EventOps.eventTs carries the
+        // UTC-pinned exactness contract
+        .withColumn("TS", graft.ops.EventOps.eventTs(col("ts")))
       val windowed = src
         .withWatermark("TS", "1 hour")
         .groupBy(window(col("TS"), "3600 seconds"), col("user_id"))
@@ -142,7 +143,7 @@ object StreamingQueries {
       val src = s.readStream.schema(schema).parquet(streamDir.getAbsolutePath)
       val evs = src.select(
           col("user_id"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tu"),
+          graft.ops.EventOps.epochUs(col("ts")).as("tu"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
           (col("event_type") === "__flush").as("flush"))
         .as[graft.streaming.EventStream.SessEvent]
@@ -253,7 +254,7 @@ object StreamingQueries {
         stage(ev, "000")
         val src = s.readStream.schema(ev.schema)
           .parquet(streamDir.getAbsolutePath)
-          .withColumn("TS", col("ts").cast("timestamp"))
+          .withColumn("TS", graft.ops.EventOps.eventTs(col("ts")))
         val windowed = src
           .withWatermark("TS", "2 hours")
           .groupBy(window(col("TS"), "3600 seconds"), col("user_id"))
@@ -342,12 +343,12 @@ object StreamingQueries {
           .parquet(streamDir.getAbsolutePath)
         val clicks = src().filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
-            col("ts").cast("timestamp").as("CTS"))
+            graft.ops.EventOps.eventTs(col("ts")).as("CTS"))
           .withWatermark("CTS", "2 hours")
         val purchases = src().filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"),
             col("user_id").as("p_user_id"),
-            col("ts").cast("timestamp").as("PTS"))
+            graft.ops.EventOps.eventTs(col("ts")).as("PTS"))
           .withWatermark("PTS", "2 hours")
         val joined = clicks.join(purchases,
             col("user_id") === col("p_user_id") &&

@@ -220,7 +220,7 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val ev = events.select(col("user_id"),
-      col("ts").cast("timestamp").as("TS"),
+      graft.ops.EventOps.eventTs(col("ts")).as("TS"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val ps = plan(graft.ops.EventOps.sessionize(ev, 14400))
     assertNoGlobalSort(ps, "sessionize")

@@ -78,7 +78,10 @@ class EventOpsSpec extends SparkSpec {
       e(10, 4, 10, "signup"), e(11, 4, 15, "purchase"), e(12, 4, 20, "click"),
       e(13, 4, 25, "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
-      .withColumn("ts", timestamp_micros(col("ts")))
+      // TIMESTAMP_NTZ, matching events.parquet's production type (the
+      // UTC session tz makes the LTZ→NTZ wall-clock cast the identity)
+      // so epochUs's NTZ→instant path is the one under test.
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
     val r = EventOps.funnel(ev, Seq("signup", "click", "purchase"))
       .orderBy("user_id").collect()
       .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("funnel_stage"),
@@ -87,6 +90,33 @@ class EventOpsSpec extends SparkSpec {
       (1L, 3L, Some(20L), Some(30L)),
       (2L, 1L, None, None),
       (4L, 3L, Some(20L), Some(25L))))
+  }
+
+  test("funnel conversion window: slow steps drop out, chain anchors on first completion") {
+    def e(id: Long, u: Long, tUs: Long, t: String) = (id, u, tUs, t)
+    val ev = Seq(
+      // u1 converts fast: every step within 5µs of the previous
+      e(1, 1, 10, "signup"), e(2, 1, 14, "click"), e(3, 1, 18, "purchase"),
+      // u2 is the planted slow path: click lands 6µs after signup
+      // (outside the 5µs window) — stage stops at 1 even though a
+      // purchase follows; without the window u2 would reach stage 3
+      e(4, 2, 10, "signup"), e(5, 2, 16, "click"), e(6, 2, 18, "purchase"),
+      // u3: the FIRST in-window click (t=13) anchors the purchase
+      // window; the purchase at 19 is outside (13+5), so stage 2 —
+      // proving the chain anchors on first completion, not "any pair"
+      e(7, 3, 10, "signup"), e(8, 3, 13, "click"), e(9, 3, 14, "click"),
+      e(10, 3, 19, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+    def stages(gapUs: Option[Long]) =
+      EventOps.funnel(ev, Seq("signup", "click", "purchase"), gapUs)
+        .orderBy("user_id").collect()
+        .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("funnel_stage")))
+        .toSeq
+    assert(stages(Some(5L)) == Seq((1L, 3L), (2L, 1L), (3L, 2L)))
+    // the unconstrained funnel converts all three — the window is what
+    // excluded the slow user, not the data
+    assert(stages(None) == Seq((1L, 3L), (2L, 3L), (3L, 3L)))
   }
 
   test("grouped HLL: per-group estimates within 20% of known distincts") {
