@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
@@ -10,6 +11,37 @@ import java.nio.file.{Files, Paths}
   * is reported (isolates JVM/parquet-footer warmup), and the JSON line is
   * written to /root/repo/BENCH.json as well as stdout so the driver never
   * has to fish it out of sbt log noise.
+  *
+  * Self-adjudication (VERDICT r8 #1): per-entry performance bands live
+  * in committed BANDS.json (`entry → {wall: [lo,hi], cpu: [lo,hi]}`,
+  * suite-context basis, established at load < `load_max`). After timing,
+  * every entry gets a machine verdict in BENCH.json ("verdicts"), by the
+  * read-the-bench rule:
+  *
+  *   in_band            wall and CPU inside (or under) their bands.
+  *   case1_contended    wall above band, CPU inside — external load
+  *                      stole cores; the CPU number is the truth,
+  *                      classify from the band.
+  *   case3_load         CPU above band but load_warm ≫ the band's
+  *                      basis load — the CPU reading itself is
+  *                      contaminated (GC pressure / lock spinning on a
+  *                      contended 32-thread JVM); classify from the
+  *                      band, re-probe when idle.
+  *   case4_suite_infl   CPU above band at LOW load (r8's pl_d3
+  *                      signature: accumulated-JVM inflation — GC debt
+  *                      and cleaner backlog from ~100 prior entries
+  *                      billed to one pass), PROVEN transient by an
+  *                      automatic end-of-suite re-probe landing back
+  *                      inside the band. Classify from the band.
+  *   case2_regression   CPU above band at low load AND the re-probe
+  *                      stays above — the operator genuinely does more
+  *                      work. Bisect with `runMain graft.Bench <entry>`.
+  *
+  * The re-probe is what makes case 2 vs case 4 mechanical instead of a
+  * judge re-running entries by hand: transient suite-context inflation
+  * cannot survive a settled re-run, a real regression cannot pass one.
+  * Each pass also records `gc_ms` (collector time during the pass) so a
+  * reader can see directly when a reading is GC-dominated.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,9 +85,17 @@ object Bench {
     // re-running anything.
     def loadNow: Double = osBean.getSystemLoadAverage
 
-    case class Pass(wall: Double, cpu: Double, load: Double)
+    // Collector time INSIDE a pass: the direct signal for the r8
+    // accumulated-JVM failure mode (an entry billed for earlier
+    // entries' garbage shows cpu_warm ≫ band with gc_ms to match).
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
+
+    case class Pass(wall: Double, cpu: Double, load: Double, gcMs: Long)
     def once(name: String): Pass = {
-      val l0 = loadNow; val c0 = procCpuSec; val t0 = System.nanoTime()
+      val l0 = loadNow; val g0 = gcMs; val c0 = procCpuSec
+      val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
@@ -64,10 +104,10 @@ object Bench {
         graft.pipeline.Caches.releaseQuiet(df)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return Pass(-1.0, -1.0, math.max(l0, loadNow))
+        return Pass(-1.0, -1.0, math.max(l0, loadNow), 0L)
       }
       Pass((System.nanoTime() - t0) / 1e9, procCpuSec - c0,
-        math.max(l0, loadNow))
+        math.max(l0, loadNow), gcMs - g0)
     }
     case class Timing(cold: Pass, warm: Pass)
     def time(name: String): Timing = {
@@ -84,11 +124,71 @@ object Bench {
       if (only.nonEmpty) println(
         f"[bench] $name cold=${cold.wall}%.3f warm=${warm.wall}%.3f " +
           f"cpu_cold=${cold.cpu}%.3f cpu_warm=${warm.cpu}%.3f " +
-          f"load_cold=${cold.load}%.1f load_warm=${warm.load}%.1f")
+          f"load_cold=${cold.load}%.1f load_warm=${warm.load}%.1f " +
+          f"gc_cold=${cold.gcMs}ms gc_warm=${warm.gcMs}ms")
       Timing(cold, warm)
     }
 
+    // ---- bands (committed BANDS.json; suite-context basis) ----
+    case class Band(wallHi: Double, cpuHi: Double)
+    val bandsPath = Paths.get("/root/repo/BANDS.json")
+    val (bands, bandLoadMax): (Map[String, Band], Double) =
+      if (!Files.exists(bandsPath)) (Map.empty, 8.0)
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(bandsPath))
+        // bands are sf-specific; applying sf0.1 bands to a sf0.01 run
+        // would flag everything as "fast" noise
+        val sfOk = sfDir.endsWith(root.path("sf").asText(""))
+        val lm = root.path("load_max").asDouble(8.0)
+        if (!sfOk) (Map.empty, lm)
+        else {
+          val es = root.path("entries")
+          val m = es.fieldNames.asScala.map { k =>
+            val e = es.path(k)
+            k -> Band(e.path("wall").path(1).asDouble(Double.MaxValue),
+              e.path("cpu").path(1).asDouble(Double.MaxValue))
+          }.toMap
+          (m, lm)
+        }
+      }
+
     val results = names.map(n => n -> time(n))
+
+    // classify; collect regression candidates for the end-of-suite
+    // re-probe (the case-2-vs-case-4 decider)
+    def classify(t: Timing, b: Band): String = {
+      val wallIn = t.warm.wall >= 0 && t.warm.wall <= b.wallHi
+      val cpuIn = t.warm.cpu >= 0 && t.warm.cpu <= b.cpuHi
+      if (t.warm.wall < 0) "failed"
+      else if (wallIn && cpuIn) "in_band"
+      else if (cpuIn) "case1_contended"
+      else if (t.warm.load > 1.5 * bandLoadMax) "case3_load"
+      else "candidate" // cpu above band at low load: case 2 or case 4
+    }
+    val firstPass: Map[String, String] = results.map { case (k, t) =>
+      k -> bands.get(k).map(b => classify(t, b)).getOrElse(
+        if (t.warm.wall < 0) "failed" else "no_band")
+    }.toMap
+    val candidates = firstPass.collect { case (k, "candidate") => k }.toSeq.sorted
+    val reprobes: Map[String, Timing] = candidates.map { k =>
+      // settle, then re-run the full cold+warm cycle: transient
+      // suite-context inflation (GC debt, cleaner backlog) does not
+      // survive a settled re-run; a real regression does
+      System.gc(); Thread.sleep(500)
+      k -> time(k)
+    }.toMap
+    val verdicts: Map[String, String] = firstPass.map {
+      case (k, "candidate") =>
+        val b = bands(k); val r = reprobes(k)
+        k -> (classify(r, b) match {
+          case "in_band" | "case1_contended" => "case4_suite_infl"
+          case "case3_load" => "case3_load" // machine got busy mid-re-probe
+          case _ => "case2_regression"
+        })
+      case (k, v) => k -> v
+    }
+
     // "queries" stays name→warm-wall (the driver's schema); the per-entry
     // cold/warm wall+CPU detail rides alongside for adjudication.
     val qs = results.map { case (k, t) => "\"" + k + "\":" + t.warm.wall }
@@ -96,12 +196,25 @@ object Bench {
     val detail = results.map { case (k, t) =>
       "\"" + k + "\":{\"cold\":" + t.cold.wall + ",\"warm\":" + t.warm.wall +
         ",\"cpu_cold\":" + t.cold.cpu + ",\"cpu_warm\":" + t.warm.cpu +
-        ",\"load_cold\":" + t.cold.load + ",\"load_warm\":" + t.warm.load + "}"
+        ",\"load_cold\":" + t.cold.load + ",\"load_warm\":" + t.warm.load +
+        ",\"gc_cold_ms\":" + t.cold.gcMs + ",\"gc_warm_ms\":" + t.warm.gcMs + "}"
     }.mkString("{", ",", "}")
+    val verdictJson = results.map { case (k, _) =>
+      "\"" + k + "\":\"" + verdicts(k) + "\""
+    }.mkString("{", ",", "}")
+    val reprobeJson = reprobes.toSeq.sortBy(_._1).map { case (k, t) =>
+      "\"" + k + "\":{\"warm\":" + t.warm.wall + ",\"cpu_warm\":" + t.warm.cpu +
+        ",\"load_warm\":" + t.warm.load + "}"
+    }.mkString("{", ",", "}")
+    val summary = verdicts.values.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (v, xs) => "\"" + v + "\":" + xs.size }
+      .mkString("{", ",", "}")
     val total = results.map(_._2.warm.wall).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""detail":$detail,"cpu_proc_sec":$procCpuSec,""" +
+        s""""detail":$detail,"verdicts":$verdictJson,""" +
+        s""""verdict_summary":$summary,"reprobe":$reprobeJson,""" +
+        s""""cpu_proc_sec":$procCpuSec,""" +
         s""""load_avg":${osBean.getSystemLoadAverage},"sf":"$sfDir"}"""
     // Single-entry runs are bisection probes; never clobber the pinned
     // full-suite BENCH.json with a partial result.

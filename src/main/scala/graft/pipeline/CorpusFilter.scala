@@ -35,13 +35,19 @@ object CorpusFilter {
     * and the staged signature cache the caller must unpersist after
     * materializing whatever it derives — the single implementation of
     * the keep rule, shared by [[kept]] and the pl_p2 training-chunk
-    * export so the thresholds cannot silently diverge.
+    * export so the thresholds cannot silently diverge. The near-dup
+    * stage runs with [[Dedup.DefaultMaxBucketSize]] (round 9: the
+    * production composition must get the default-on m²/2 guard, not
+    * the unguarded demo path) — a capped-out bucket means those docs
+    * are not counted as near-dup losers, which only ever KEEPS more
+    * docs; exact-dup dropping still handles the mass inside.
     */
   private[graft] def keptPlan(docs: DataFrame,
       minJaccard: Double): (DataFrame, DataFrame) = {
     val exactKeepers = Dedup.exactClusters(docs)
       .select(col("keeper").as("doc_id")).distinct()
-    val (pairs, sigs) = Dedup.nearDupPairsPlan(docs, minJaccard, 0)
+    val (pairs, sigs, _) = Dedup.nearDupPairsPlan(docs, minJaccard,
+      Dedup.DefaultMaxBucketSize)
     val nearDupLosers = pairs.select(col("doc2").as("doc_id")).distinct()
     val out = TextOps.withQuality(docs).filter(col("keep"))
       .join(exactKeepers, Seq("doc_id"), "semi")

@@ -111,17 +111,38 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7,
                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val (out, sigs) = nearDupPairsPlan(docs, minJaccard, maxBucketSize)
-    try Caches.materialize(out) finally sigs.unpersist(blocking = false)
+    val (out, sigs, over) = nearDupPairsPlan(docs, minJaccard, maxBucketSize)
+    try {
+      val m = Caches.materialize(out)
+      logExclusions(over, s"LSH bucket(s) over cap $maxBucketSize")
+      m
+    } finally sigs.unpersist(blocking = false)
   }
 
+  /** Recall accounting for a bucket-cap exclusion frame, AFTER the main
+    * result is materialized — counting at plan-construction time (the
+    * round-9 first cut) put an eager job barrier in front of every
+    * caller's real work and serialized composed pipelines; here the
+    * count reuses the still-warm signature cache and costs one small
+    * aggregate after the fact.
+    */
+  private def logExclusions(over: Option[DataFrame], what: String): Unit =
+    over.foreach { o =>
+      val n = o.count()
+      if (n > 0) println(
+        s"[dedup] $n $what excluded from the candidate join " +
+          "(recall accounting — see Scaladoc)")
+    }
+
   /** The lazy plan behind [[nearDupPairs]] plus the staged signature
-    * cache (caller releases) — exposed so plan-shape tests can audit
-    * the REAL join structure (the public wrapper returns a materialized
-    * scan whose plan shows nothing).
+    * cache (caller releases) and, when a cap is set, the lazy over-cap
+    * bucket frame for recall accounting — exposed so plan-shape tests
+    * can audit the REAL join structure (the public wrapper returns a
+    * materialized scan whose plan shows nothing). Pure plan
+    * construction: NO job runs here.
     */
   private[graft] def nearDupPairsPlan(docs: DataFrame, minJaccard: Double,
-                                      maxBucketSize: Int): (DataFrame, DataFrame) = {
+      maxBucketSize: Int): (DataFrame, DataFrame, Option[DataFrame]) = {
     // The signature frame feeds both sides of the bucket self-join AND
     // the verification lookup — without a persist Spark re-tokenizes and
     // re-hashes the corpus 3-4x (plan-verified: 4 FileScans, 0 reuse).
@@ -129,22 +150,17 @@ object Dedup {
     val sigs = withMinhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bdAll = bands(sigs)
-    val bd =
-      if (maxBucketSize <= 0) bdAll
-      else {
-        val sizes = bdAll.groupBy("band_id", "band_hash")
-          .agg(count(lit(1)).as("_BN"))
-        val over = sizes.filter(col("_BN") > maxBucketSize)
-        val nOver = over.count()
-        if (nOver > 0) println(
-          s"[dedup] $nOver LSH bucket(s) over cap $maxBucketSize excluded " +
-            "from the candidate join (recall accounting — see Scaladoc)")
-        // over-cap bucket set is <= corpus/cap rows — usually tiny, but
-        // no forced broadcast: AQE demotes the anti-join to broadcast
-        // when it IS tiny and shuffles when it isn't
-        bdAll.join(over.select("band_id", "band_hash"),
-          Seq("band_id", "band_hash"), "left_anti")
-      }
+    // over-cap bucket set is <= corpus/cap rows — usually tiny, but
+    // no forced broadcast: AQE demotes the anti-join to broadcast
+    // when it IS tiny and shuffles when it isn't
+    val overOpt =
+      if (maxBucketSize <= 0) None
+      else Some(bdAll.groupBy("band_id", "band_hash")
+        .agg(count(lit(1)).as("_BN"))
+        .filter(col("_BN") > maxBucketSize))
+    val bd = overOpt.fold(bdAll)(over =>
+      bdAll.join(over.select("band_id", "band_hash"),
+        Seq("band_id", "band_hash"), "left_anti"))
     val cand = bd.as("x")
       .join(bd.as("y"), Seq("band_id", "band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -163,7 +179,7 @@ object Dedup {
         col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc1", "doc2", "n_inter", "n1", "n2", "jaccard")
-    (out, sigs)
+    (out, sigs, overOpt)
   }
 
   /** 32-bit SimHash over distinct tokens: bit b is set iff strictly
@@ -217,15 +233,21 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    nChunks: Int = 4,
                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val (out, sh) = simhashPairsPlan(docs, maxHamming, nChunks, maxBucketSize)
+    val (out, sh, over) = simhashPairsPlan(docs, maxHamming, nChunks, maxBucketSize)
     // pair-sized result out, fingerprint cache released (see nearDupPairs)
-    try Caches.materialize(out) finally sh.unpersist(blocking = false)
+    try {
+      val m = Caches.materialize(out)
+      logExclusions(over, s"simhash chunk-bucket(s) over cap $maxBucketSize")
+      m
+    } finally sh.unpersist(blocking = false)
   }
 
-  /** Lazy plan + staged fingerprint cache (see [[nearDupPairsPlan]]). */
+  /** Lazy plan + staged fingerprint cache + lazy over-cap frame (see
+    * [[nearDupPairsPlan]]). Pure plan construction: NO job runs here.
+    */
   private[graft] def simhashPairsPlan(docs: DataFrame, maxHamming: Int,
-                                      nChunks: Int,
-                                      maxBucketSize: Int = 0): (DataFrame, DataFrame) = {
+      nChunks: Int,
+      maxBucketSize: Int = 0): (DataFrame, DataFrame, Option[DataFrame]) = {
     require(maxHamming < nChunks,
       s"pigeonhole recall needs maxHamming < nChunks ($maxHamming >= $nChunks)")
     val width = 32 / nChunks
@@ -247,18 +269,13 @@ object Dedup {
     // oversized-bucket guard, same shape as nearDupPairs: count members
     // per (chunk, value), anti-join out the over-cap buckets (no
     // broadcast hint — AQE demotes when the over-cap set is tiny)
-    val chunks =
-      if (maxBucketSize <= 0) chunksAll
-      else {
-        val over = chunksAll.groupBy("c", "cv")
-          .agg(count(lit(1)).as("_BN"))
-          .filter(col("_BN") > maxBucketSize)
-        val nOver = over.count()
-        if (nOver > 0) println(
-          s"[dedup] $nOver simhash chunk-bucket(s) over cap $maxBucketSize " +
-            "excluded from the candidate join (recall accounting — see Scaladoc)")
-        chunksAll.join(over.select("c", "cv"), Seq("c", "cv"), "left_anti")
-      }
+    val overOpt =
+      if (maxBucketSize <= 0) None
+      else Some(chunksAll.groupBy("c", "cv")
+        .agg(count(lit(1)).as("_BN"))
+        .filter(col("_BN") > maxBucketSize))
+    val chunks = overOpt.fold(chunksAll)(over =>
+      chunksAll.join(over.select("c", "cv"), Seq("c", "cv"), "left_anti"))
     val out = chunks.as("x").join(chunks.as("y"), Seq("c", "cv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
@@ -266,7 +283,7 @@ object Dedup {
           .cast("bigint").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    (out, sh)
+    (out, sh, overOpt)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted-index join —

@@ -254,8 +254,10 @@ object TextOps {
     * `span_len` its token count. A doc spanning a sequence cut emits
     * one row per sequence it touches (so Σ span_len per doc =
     * n_tokens, and Σ span_len per full sequence = seqLen — the
-    * mask-builder invariants). Zero-token docs occupy no tokens and
-    * emit no span.
+    * mask-builder invariants). Note an empty text still carries ONE
+    * empty token (`split("") → [""]`, the documented chunker
+    * semantics) and so occupies one slot; the n_tokens > 0 guard is
+    * for genuinely zero-length token arrays only.
     *
     * Scale: [[packSequences]]'s running-sum window (one shard-keyed
     * shuffle) plus a BOUNDED posexplode — a doc of n tokens touches

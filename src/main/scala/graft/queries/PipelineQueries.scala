@@ -221,22 +221,25 @@ object PipelineQueries {
 
     // The CAPPED production path, correctness-gated (round-8 verdict:
     // the default-on guard must be oracle-checked, not just spec'd): a
-    // boilerplate farm is planted — 20 identical docs under fresh ids —
-    // whose LSH buckets (size exactly 20: all copies share every band
+    // boilerplate farm is planted — 60 identical docs under fresh ids —
+    // whose LSH buckets (size exactly 60: all copies share every band
     // hash; md5 band collisions with real docs don't occur) blow the
-    // cap of 8 and are excluded, so none of the 190 planted pairs
+    // cap of 50 and are excluded, so none of the 1770 planted pairs
     // emerge; every real bucket is untouched. Expected output ≡ the
     // uncapped pl_d2 pairs over the ORIGINAL corpus, which is exactly
     // what the independent all-pairs oracle computes — the cap's
     // surgical-exclusion contract is hash-matched, not merely counted.
+    // (Cap 50, not lower: sf0.1's natural near-dup groups put up to
+    // ~10 docs in one band bucket — the cap must clear every REAL
+    // bucket at any fixture SF or real pairs would be excluded too.)
     "pl_d11_capped_neardup" -> ((s, d) => {
-      val planted = s.range(20).select(
+      val planted = s.range(60).select(
         (col("id") + 10000000L).as("doc_id"),
         lit((0 until 40).map(i => s"plantedboilerplate$i").mkString(" "))
           .as("text"))
       Dedup.nearDupPairs(
         Tables.documents(s, d).select("doc_id", "text").unionAll(planted),
-        0.7, maxBucketSize = 8)
+        0.7, maxBucketSize = 50)
     }),
 
     // Duplicate-cluster resolution: connected components over the pairs.

@@ -54,9 +54,22 @@ class PlanShapeSpec extends SparkSpec {
   // plan builders underneath, then drop their staged (unmaterialized)
   // cache marks.
   test("MinHash-LSH dedup never plans an all-pairs join") {
-    val (out, sigs) = Dedup.nearDupPairsPlan(docs, 0.7, 0)
+    val (out, sigs, _) = Dedup.nearDupPairsPlan(docs, 0.7, 0)
     try assertNoAllPairs(plan(out), "nearDupPairs")
     finally sigs.unpersist(blocking = false)
+  }
+
+  test("capped MinHash-LSH path (the default) never plans an all-pairs join") {
+    // the default-on bucket guard adds a size aggregate + anti-join;
+    // the candidate join must stay bucket-keyed and the plan must stay
+    // job-free at construction time (the round-9 first cut ran an
+    // eager count here and serialized every composed pipeline)
+    val (out, sigs, over) = Dedup.nearDupPairsPlan(docs, 0.7,
+      Dedup.DefaultMaxBucketSize)
+    try {
+      assertNoAllPairs(plan(out), "nearDupPairs(capped)")
+      assert(over.isDefined)
+    } finally sigs.unpersist(blocking = false)
   }
 
   test("n-gram Jaccard inverted index never plans an all-pairs join") {
@@ -97,7 +110,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("simhash pigeonhole pairing never plans an all-pairs join") {
-    val (out, sh) = Dedup.simhashPairsPlan(docs, 3, 4)
+    val (out, sh, _) = Dedup.simhashPairsPlan(docs, 3, 4)
     try assertNoAllPairs(plan(out), "simhashPairs")
     finally sh.unpersist(blocking = false)
   }

@@ -336,6 +336,25 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("bucket cap is ON by default: a >10k-member bucket is excluded without opting in") {
+    // round-8 verdict: an opt-in guard protects nobody. A boilerplate
+    // bucket one over DefaultMaxBucketSize must be excluded by the
+    // DEFAULT call — no maxBucketSize argument anywhere — while the
+    // real near pair survives. (If the default ever regressed to
+    // unlimited this test would grind through a 5*10^7-candidate join.)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok40", "tok99")
+    val clone = (1 to 40).map(i => s"x$i").mkString(" ")
+    val n = Dedup.DefaultMaxBucketSize + 1
+    val docs = spark.range(2, n + 2L).selectExpr("id AS doc_id")
+      .withColumn("text", lit(clone))
+      .unionAll(Seq((0L, base), (1L, near)).toDF("doc_id", "text"))
+    val pairs = Dedup.nearDupPairs(docs, 0.7)
+    try assert(pairs.select("doc1", "doc2").as[(Long, Long)]
+      .collect().toSet == Set((0L, 1L)))
+    finally Caches.release(pairs)
+  }
+
   test("dup clusters: a 64-long chain resolves to one cluster") {
     // worst case for plain propagation (diameter = n-1 rounds);
     // pointer jumping must converge in ~log2(n) rounds
@@ -480,6 +499,35 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq == Seq(
       (1L, 1L, 0L, 0L), (2L, 2L, 0L, 0L),
       (9L, 1L, 3L, 0L), (17L, 1L, 5L, 1L)))
+  }
+
+  test("pack spans: cut-spanning docs split, mask-builder invariants hold") {
+    // shard 1 stream (seqLen 4): doc 1 tokens [0,3), doc 9 [3,5) — spans
+    // the seq-0/seq-1 cut — doc 17 [5,9) — spans the seq-1/seq-2 cut;
+    // doc 25 is "empty" but carries ONE empty token (split("") → [""],
+    // the documented chunker semantics) so it occupies slot [9,10)
+    val df = Seq(
+      (1L, "a b c"), (9L, "d e"), (17L, "f g h i"), (25L, ""),
+      (2L, "x")).toDF("doc_id", "text")
+    val r = TextOps.packSpans(df, 4, 8)
+      .orderBy("shard", "seq_id", "span_start").collect()
+      .map(x => (x.getAs[Long]("shard"), x.getAs[Long]("seq_id"),
+        x.getAs[Long]("doc_id"), x.getAs[Long]("span_start"),
+        x.getAs[Long]("span_len")))
+    assert(r.toSeq == Seq(
+      (1L, 0L, 1L, 0L, 3L),   // doc 1 fills seq 0 tokens 0-2
+      (1L, 0L, 9L, 3L, 1L),   // doc 9's first token closes seq 0
+      (1L, 1L, 9L, 0L, 1L),   // ...and its second opens seq 1
+      (1L, 1L, 17L, 1L, 3L),  // doc 17 continues seq 1
+      (1L, 2L, 17L, 0L, 1L),  // ...and spills into seq 2
+      (1L, 2L, 25L, 1L, 1L),  // the empty-token doc occupies one slot
+      (2L, 0L, 2L, 0L, 1L)))
+    // invariants a mask builder relies on: per doc Σ span_len = n_tokens;
+    // every non-final sequence in a shard is exactly full
+    val byDoc = r.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    assert(byDoc == Map(1L -> 3L, 9L -> 2L, 17L -> 4L, 25L -> 1L, 2L -> 1L))
+    val bySeq = r.groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._5).sum)
+    assert(bySeq((1L, 0L)) == 4L && bySeq((1L, 1L)) == 4L)
   }
 
   test("repetition metrics: hand-computed exact values") {
