@@ -26,15 +26,20 @@ import json, re, sys
 LOAD_MAX = 8.0
 
 # (run-file substring, entry) readings to ignore:
-#  - BENCH_r08: pl_d3/pl_s5 readings adjudicated as measurement artifacts
-#    (VERDICT r8 "what's wrong" 1-2).
-#  - r9 run1 predates the round-9 default-on bucket caps + pl_s5
-#    materialize, which changed the true cost of the four entries below.
-EXCLUDE = {
-    ("BENCH_r08", "pl_d3_dup_clusters"), ("BENCH_r08", "pl_s5_split_leakage_safe"),
-    ("bench1", "pl_d2_minhash_pairs"), ("bench1", "pl_d3_dup_clusters"),
-    ("bench1", "pl_d8_simhash_pairs"), ("bench1", "pl_s5_split_leakage_safe"),
-}
+#  - bench_r8 (the r8-committed BENCH.json): pl_d3/pl_s5 readings
+#    adjudicated as measurement artifacts (VERDICT r8 "what's wrong" 1-2).
+#  - r9 runs 1-2 predate the final round-9 cap plumbing (run1: no caps;
+#    run2: eager over-cap count, later made lazy; pl_p1/pl_p2 gained the
+#    guard only after run2) — every cap-family entry bands from run3+.
+CAP_FAMILY = ["pl_d2_minhash_pairs", "pl_d3_dup_clusters",
+              "pl_d8_simhash_pairs", "pl_s5_split_leakage_safe",
+              "pl_d11_capped_neardup", "pl_p1_corpus_filter",
+              "pl_p2_training_chunks"]
+EXCLUDE = (
+    {("bench_r8", "pl_d3_dup_clusters"),
+     ("bench_r8", "pl_s5_split_leakage_safe")} |
+    {(run, e) for run in ("bench1", "bench2") for e in CAP_FAMILY}
+)
 
 
 def main():
@@ -42,7 +47,7 @@ def main():
     suite = {}  # entry -> [(warm, cpu, load)]
     for rf in runs:
         j = json.load(open(rf))
-        assert j["sf"].endswith("sf0.1"), f"{rf} is not a sf0.1 run"
+        assert str(j["sf"]).endswith("0.1"), f"{rf} is not a sf0.1 run"
         for k, d in j["detail"].items():
             if any(tag in rf and e == k for tag, e in EXCLUDE):
                 continue
