@@ -248,6 +248,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pf.contains("Join"), "funnel composition must not plan a join")
     assert(pf.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
       s"funnel should reuse one user partitioning (window + agg):\n$pf")
+    // the conversion window is one extra predicate per window
+    // projection — identical plan shape, no new Exchange
+    val pw = plan(graft.ops.EventOps.funnel(events,
+      Seq("signup", "click", "purchase"), Some(3600000000L)))
+    assert(!pw.contains("Join"), "windowed funnel must not plan a join")
+    assert(pw.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"windowed funnel must keep the single user partitioning:\n$pw")
   }
 
   test("bucketed co-located join plans no exchange on either side") {
