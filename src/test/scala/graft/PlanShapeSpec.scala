@@ -164,6 +164,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pack spans: one shard-keyed exchange, bounded explode, no join") {
+    // the per-sequence composition must cost exactly what packing
+    // costs — the running-sum window's shard partitioning — plus a
+    // narrow explode; a join back to the packing output would double
+    // the shuffle at 100 TB
+    val p = plan(graft.pipeline.TextOps.packSpans(docs, 128, 8))
+    assert(!p.contains("Join"), s"packSpans must not plan a join:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"packSpans must reuse the single shard partitioning:\n$p")
+    assert(p.contains("Generate"),
+      s"packSpans should explode spans below the window output:\n$p")
+  }
+
   test("sampling and chunking are shuffle-free narrow plans") {
     import org.apache.spark.sql.functions._
     val pu = plan(graft.pipeline.Sampling.uniform(docs, col("doc_id"), 250000L))

@@ -8,13 +8,19 @@ Band policy (suite-context basis — probe CPU is NOT comparable to suite
 CPU because an isolated JVM charges all JIT to its one entry; probe WALL
 is comparable since JIT runs on spare threads):
 
-- cpu_hi  = max suite cpu_warm over readings taken at load_warm < LOAD_MAX,
-            padded (1.30 with >=2 readings, 1.45 with 1).
-- wall_hi = max over {suite warms at load < LOAD_MAX} ∪ {probe warms},
-            padded the same way.
-- When an entry has NO low-load reading (the streaming tail drives the
-  machine past LOAD_MAX by itself), fall back to min over all readings
-  * 1.35 — the least-contended reading observed, padded.
+- Readings qualify for band-building at load_warm < BAND_LOAD_CUT = 12
+  — the same cutoff Bench's case-3 rule treats as contamination
+  (1.5 * load_max). A stricter cutoff was tried and rejected: the
+  streaming tail runs at self-inflicted load 8-13 in EVERY clean run,
+  so filtering at 8 left those entries one atypical low-load reading
+  and a band their normal regime overruns (st6/w2 false case-2 flags,
+  round-9 run 5).
+- cpu_hi  = max qualifying suite cpu_warm, padded (1.30 with >=2
+  readings, 1.45 with 1).
+- wall_hi = max over {qualifying suite warms} ∪ {probe warms}, padded
+  the same way.
+- When an entry has NO qualifying reading, fall back to min over all
+  readings * 1.35 — the least-contended reading observed, padded.
 - lo bounds are informational (min * 0.6): verdicts only compare hi.
 
 Run files may carry per-entry exclusions via the EXCLUDE map below
@@ -23,7 +29,8 @@ change must not set the band for the new code).
 """
 import json, re, sys
 
-LOAD_MAX = 8.0
+LOAD_MAX = 8.0        # exported to BANDS.json: case-3 anchor (contaminated > 1.5x)
+BAND_LOAD_CUT = 12.0  # reading qualifies for band-building below this
 
 # (run-file substring, entry) readings to ignore:
 #  - bench_r8 (the r8-committed BENCH.json): pl_d3/pl_s5 readings
@@ -66,7 +73,7 @@ def main():
 
     entries = {}
     for k, rs in sorted(suite.items()):
-        low = [r for r in rs if r[2] < LOAD_MAX]
+        low = [r for r in rs if r[2] < BAND_LOAD_CUT]
         pw = [w for w, _ in probes.get(k, [])]
         if low:
             cpus = [c for _, c, _ in low]
@@ -75,13 +82,13 @@ def main():
             cpu_hi = max(cpus) * pad
             wall_hi = max(walls) * (1.30 if len(walls) >= 2 else 1.45)
             cpu_lo, wall_lo = min(cpus) * 0.6, min(walls) * 0.6
-            basis = f"suite({len(low)} low-load)" + (f"+probe({len(pw)})" if pw else "")
+            basis = f"suite({len(low)} @load<{BAND_LOAD_CUT:g})" + (f"+probe({len(pw)})" if pw else "")
         else:
             cpus = [c for _, c, _ in rs]
             walls = [w for w, _, _ in rs] + pw
             cpu_hi, wall_hi = min(cpus) * 1.35, min(walls) * 1.35
             cpu_lo, wall_lo = min(cpus) * 0.6, min(walls) * 0.6
-            basis = f"no low-load reading; min-of-{len(rs)} * 1.35"
+            basis = f"no qualifying reading; min-of-{len(rs)} * 1.35"
         e = {"wall": [round(wall_lo, 2), round(wall_hi, 2)],
              "cpu": [round(cpu_lo, 2), round(cpu_hi, 2)],
              "basis": basis}
