@@ -184,6 +184,65 @@ object TextOps {
     df.withColumn("rolling_fp",
       graft.expressions.RollingMinHash(col(textCol), k))
 
+  /** PII-pattern detection stats — the scrubbing TRIAGE step before
+    * [[redactTerms]]-style masking: per-doc counts of email-, US-phone-
+    * and SSN-shaped substrings plus a `has_pii` routing flag. Patterns
+    * are the RE2-compatible subset (no lookaround; ASCII `\b`) so any
+    * engine counts identically; they are deliberately shape-based
+    * (detection recall is a corpus-policy question — the operator's
+    * contract is exact countability, not NER).
+    *
+    * Scale: three codegen'd regex projections at scan speed — no
+    * shuffle, no state.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  def withPiiStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    def n(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("bigint")
+    df.withColumn("n_emails", n(EmailPattern))
+      .withColumn("n_phones", n(PhonePattern))
+      .withColumn("n_ssns", n(SsnPattern))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ssns") > 0L)
+  }
+
+  /** Corpus-relative rare-token scoring — the exactly-computable core
+    * of an LM-based quality signal: the fraction of a doc's token
+    * INSTANCES whose corpus-wide frequency is at or below `permille`‰
+    * of all token instances (gibberish, OCR noise and boilerplate IDs
+    * concentrate rare tokens; log-perplexity itself is not bit-stable
+    * cross-engine, an integer threshold on the same counts is). Rare
+    * iff `freq * 1000 <= permille * total` — all-integer, then ONE
+    * IEEE division for the fraction (deterministic, the tfidf rule).
+    * Docs with no nonempty tokens emit no row (mirrors the tf stage).
+    *
+    * Scale: term-count aggregate (one shuffle with map-side combine),
+    * term-keyed join back to the postings (no broadcast hint — the
+    * vocabulary is corpus-dependent, AQE demotes when it measures
+    * small), doc-keyed final aggregate. Like TF-IDF, the corpus total
+    * arrives as a literal from one count(*) job at plan-build time.
+    */
+  def rarityScores(docs: DataFrame, permille: Long = 1,
+                   textCol: String = "text"): DataFrame = {
+    require(permille >= 1 && permille <= 1000, s"permille in [1,1000]: $permille")
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val total = toks.count()
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+    toks.join(freq, "term")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("freq") * 1000L <= lit(permille * total), 1L)
+          .otherwise(0L)).as("n_rare"))
+      .withColumn("rare_frac",
+        col("n_rare").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Fixed-size token chunking with stride — the sequence-window stage
     * that turns documents into training-context-sized pieces (tokenizer
     * "overflow with stride" semantics): chunk i covers tokens

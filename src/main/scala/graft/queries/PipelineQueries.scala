@@ -495,6 +495,29 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_redacted"),
           md5(col("text")).as("masked_fp"))),
 
+    // PII-shape triage counts. The fixture corpus contains no digits,
+    // so a deterministic PII suffix is planted on every 25th doc INSIDE
+    // the query (mirrored verbatim in the oracle — same pl_d11 pattern:
+    // planting is part of the entry, the operator stays clean); the
+    // remaining docs prove the zero side of the count.
+    "pl_t9_pii" -> ((s, d) => {
+      val four = lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")
+      val aug = Tables.documents(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(25L)) === 0L,
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@ex.com call 555-123-"), four,
+            lit(" or ssn 987-65-"), four))
+          .otherwise(col("text")))
+      TextOps.withPiiStats(aug)
+        .select("doc_id", "n_emails", "n_phones", "n_ssns", "has_pii")
+    }),
+
+    // Corpus-relative rarity: the 1-permille rare-token fraction per
+    // doc (the exactly-computable LM-quality proxy — see TextOps).
+    "pl_t10_rarity" -> ((s, d) =>
+      TextOps.rarityScores(Tables.documents(s, d), 1)
+        .select("doc_id", "n_tokens", "n_rare", "rare_frac")),
+
     // Sequence packing: concat-then-cut into 128-token sequences, 8
     // parallel shards — the example-packing stage before the trainer.
     "pl_c2_packing" -> ((s, d) =>
@@ -1132,6 +1155,53 @@ object PipelineQueries {
                  CAST(len(list_slice(tk, chunk_idx*24 + 1, chunk_idx*24 + 32))
                    AS BIGINT) AS n_chunk_tokens
           FROM c""",
+
+    // Identical planting CASE, identical RE2-subset patterns; counts
+    // via len(regexp_extract_all) mirror Spark's size(...).
+    "pl_t9_pii" ->
+      s"""WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 25 = 0
+                        THEN text || ' contact u' || doc_id ||
+                             '@ex.com call 555-123-' ||
+                             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                             ' or ssn 987-65-' ||
+                             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE text END AS text
+            FROM documents),
+          c AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS n_ssns
+            FROM aug)
+          SELECT doc_id, n_emails, n_phones, n_ssns,
+                 (n_emails + n_phones + n_ssns) > 0 AS has_pii
+          FROM c""",
+
+    // All-integer rarity threshold (freq*1000 <= total), one IEEE
+    // division for the fraction — the tfidf exactness rule.
+    "pl_t10_rarity" ->
+      s"""WITH tk AS (
+            SELECT doc_id, tok AS term
+            FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+            WHERE tok <> ''),
+          total AS (SELECT count(*) AS t FROM tk),
+          freq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+                   FROM tk GROUP BY 1)
+          SELECT tk.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN freq.freq * 1000 <= total.t
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+                 CAST(sum(CASE WHEN freq.freq * 1000 <= total.t
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS rare_frac
+          FROM tk JOIN freq USING (term), total
+          GROUP BY 1""",
 
     // Pure integer arithmetic: running token sum per shard (exclusive
     // frame) and integer division for the sequence id.

@@ -530,6 +530,36 @@ class PipelineSpec extends SparkSpec {
     assert(bySeq((1L, 0L)) == 4L && bySeq((1L, 1L)) == 4L)
   }
 
+  test("PII stats: shape counts exact, SSN and phone shapes do not cross-match") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org here"),       // 2 emails
+      (2L, "call 555-123-4567 or 555-000-1111 now"),    // 2 phones
+      (3L, "ssn 123-45-6789 inside"),                   // 1 ssn
+      (4L, "digits 1234-567-8901 12-345-6789"),         // malformed: none
+      (5L, "clean text only"))
+      .toDF("doc_id", "text")
+    val r = TextOps.withPiiStats(df).orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("n_emails"), x.getAs[Long]("n_phones"),
+        x.getAs[Long]("n_ssns"), x.getAs[Boolean]("has_pii")))
+    assert(r.toSeq == Seq(
+      (2L, 0L, 0L, true),
+      (0L, 2L, 0L, true),
+      (0L, 0L, 1L, true),
+      (0L, 0L, 0L, false),
+      (0L, 0L, 0L, false)))
+  }
+
+  test("rarity scores: corpus-relative threshold, exact fractions") {
+    // corpus: 12 nonempty token instances; permille=100 -> rare iff
+    // freq*1000 <= 100*12 = 1200, i.e. freq <= 1 ("odd" only)
+    val df = Seq(
+      (1L, "a a b odd"), (2L, "a b b a"), (3L, "b a a b")).toDF("doc_id", "text")
+    val r = TextOps.rarityScores(df, 100).orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_rare"),
+        x.getAs[Double]("rare_frac")))
+    assert(r.toSeq == Seq((4L, 1L, 0.25), (4L, 0L, 0.0), (4L, 0L, 0.0)))
+  }
+
   test("repetition metrics: hand-computed exact values") {
     val df = Seq(
       (1L, "a b a b a"),        // grams a_b,b_a,a_b,b_a: G=4, distinct=2
