@@ -16,9 +16,13 @@ is comparable since JIT runs on spare threads):
   and a band their normal regime overruns (st6/w2 false case-2 flags,
   round-9 run 5).
 - cpu_hi  = max qualifying suite cpu_warm, padded (1.30 with >=2
-  readings, 1.45 with 1).
+  readings, 1.45 with 1) plus an absolute 0.4 s slack: every reading
+  carries ~0.1-0.3 s of granularity noise (process-CPU sampling, GC
+  jitter) independent of entry size, so sub-second entries otherwise
+  false-flag on noise a multiplicative pad cannot absorb (t5/t9/t10
+  case-4 churn, round-9 run 8).
 - wall_hi = max over {qualifying suite warms} ∪ {probe warms}, padded
-  the same way.
+  the same way plus 0.15 s absolute slack.
 - When an entry has NO qualifying reading, fall back to min over all
   readings * 1.35 — the least-contended reading observed, padded.
 - lo bounds are informational (min * 0.6): verdicts only compare hi.
@@ -79,14 +83,15 @@ def main():
             cpus = [c for _, c, _ in low]
             walls = [w for w, _, _ in low] + pw
             pad = 1.30 if len(low) >= 2 else 1.45
-            cpu_hi = max(cpus) * pad
-            wall_hi = max(walls) * (1.30 if len(walls) >= 2 else 1.45)
+            cpu_hi = max(cpus) * pad + 0.4
+            wall_hi = max(walls) * (1.30 if len(walls) >= 2 else 1.45) + 0.15
             cpu_lo, wall_lo = min(cpus) * 0.6, min(walls) * 0.6
             basis = f"suite({len(low)} @load<{BAND_LOAD_CUT:g})" + (f"+probe({len(pw)})" if pw else "")
         else:
             cpus = [c for _, c, _ in rs]
             walls = [w for w, _, _ in rs] + pw
-            cpu_hi, wall_hi = min(cpus) * 1.35, min(walls) * 1.35
+            cpu_hi = min(cpus) * 1.35 + 0.4
+            wall_hi = min(walls) * 1.35 + 0.15
             cpu_lo, wall_lo = min(cpus) * 0.6, min(walls) * 0.6
             basis = f"no qualifying reading; min-of-{len(rs)} * 1.35"
         e = {"wall": [round(wall_lo, 2), round(wall_hi, 2)],
