@@ -363,6 +363,85 @@ object StreamingQueries {
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         rm(tmp)
       }
+    }),
+
+    // Streaming ordered-step funnel: the ev3 first-completion chain run
+    // by the streaming engine with ONE fixed-width reach vector per
+    // user in the state store — O(steps) state per user regardless of
+    // history, vs buffering the event log. The corpus streams as three
+    // time-ordered slices (st7-style mtime staging) so the chain must
+    // survive micro-batch boundaries in the state store; per-user
+    // flush sentinels (far-future ts, sorting last) emit the final
+    // vectors in Append mode. Oracle: the SAME SQL as batch ev3 — the
+    // stateful stream must reproduce the window composition exactly.
+    "st8_stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      import java.io.File
+      import java.nio.file.Files
+      val name = "graft_st8_sink"
+      val steps = Seq("signup", "click", "purchase")
+      val ev = Tables.events(s, d)
+      val tmp = Files.createTempDirectory("graft_st8").toFile
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try {
+        val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
+        // harness-scale global sort (staging only; the streamed plan
+        // never sorts across users)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+        val sliced = ev.withColumn("_slice", ntile(3).over(w))
+        (1 to 3).foreach { i =>
+          val staging = new File(tmp, s"staging_$i")
+          sliced.filter(col("_slice") === i).drop("_slice")
+            .coalesce(1).write.parquet(staging.getAbsolutePath)
+          val f = staging.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new File(streamDir, f"$i%03d_slice.parquet")
+          Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(1000000L * i) // arrival order = time order
+        }
+        val sentinel = ev.select(col("user_id")).distinct()
+          .select(
+            lit(-1L).as("event_id"),
+            lit(java.time.LocalDateTime.of(9000, 1, 1, 0, 0)).as("ts"),
+            col("user_id"),
+            lit("__flush").as("event_type"),
+            lit(0.0).as("value"),
+            lit(null).cast("string").as("props"))
+        val fstage = new File(tmp, "staging_flush")
+        sentinel.coalesce(1).write.parquet(fstage.getAbsolutePath)
+        val ff = fstage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val fdst = new File(streamDir, "004_flush.parquet")
+        Files.move(ff.toPath, fdst.toPath)
+        fdst.setLastModified(1000000L * 4)
+
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.getAbsolutePath)
+        val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) {
+          case (acc, (st, i)) =>
+            when(col("event_type") === st, lit(i)).otherwise(acc)
+        }
+        val fev = src
+          .filter(col("event_type").isin((steps :+ "__flush"): _*))
+          .select(col("user_id"), col("event_id"),
+            graft.ops.EventOps.epochUs(col("ts")).as("tu"),
+            stepIdx.as("step"),
+            (col("event_type") === "__flush").as("flush"))
+          .as[graft.streaming.EventStream.FunnelEvent]
+        val collected = sinkToLocal(s, name,
+          graft.streaming.EventStream.funnel(fev, steps.size).toDF(), "append")
+        // reach vector -> the batch ev3 column shape (-1 = unreached)
+        val stepCols = steps.indices.map { k =>
+          when(element_at(col("reach"), k + 1) >= 0L,
+            element_at(col("reach"), k + 1)).as(s"s${k + 1}_us")
+        }
+        val stage = steps.indices.map(k =>
+          when(element_at(col("reach"), k + 1) >= 0L, 1L).otherwise(0L))
+          .reduce(_ + _)
+        collected.select(
+          (col("user_id") +: stepCols) :+ stage.as("funnel_stage"): _*)
+      } finally rm(tmp)
     })
   )
 
@@ -423,6 +502,10 @@ object StreamingQueries {
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND epoch_us(p.ts) BETWEEN epoch_us(c.ts)
                                  AND epoch_us(c.ts) + 3600000000""",
+
+    // Identical to the batch ev3 oracle — the stateful streaming
+    // funnel must reproduce the window-composition chain exactly.
+    "st8_stream_funnel" -> EventQueries.oracleSql("ev3_funnel"),
 
     // Identical to the batch pl_k2 sketch CTE — the streamed sketch's
     // d×w count matrix must equal the batch build cell for cell.

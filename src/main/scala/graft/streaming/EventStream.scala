@@ -101,6 +101,65 @@ object EventStream {
     docs.groupBy(md5(col(textCol)).as("md5_fp"))
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
 
+  case class FunnelEvent(user_id: Long, event_id: Long, tu: Long,
+                         step: Int, flush: Boolean)
+  case class FunnelReach(reach: Seq[Long])
+  case class FunnelOut(user_id: Long, reach: Seq[Long])
+
+  /** Incremental ordered-step funnel via flatMapGroupsWithState — the
+    * streaming form of [[graft.ops.EventOps.funnel]] (same
+    * first-completion chain: step k's reach is the first step-k event
+    * strictly after — and, with `maxStepGapUs`, within the window of —
+    * step k-1's reach). State per user is ONE fixed-width vector of
+    * first-reach micros (-1 = unreached), so state never grows with
+    * history — the whole point vs buffering the event log.
+    *
+    * Exactness contract: reach times only ever get SET, at the current
+    * event's time, and events arrive in event-time order (within a
+    * micro-batch the group's rows are sorted by (tu, event_id) — the
+    * batch window's ORDER BY; across batches the caller stages files
+    * in time order, st7-style), so the first qualifying event in
+    * arrival order IS the batch plan's running minimum and the two
+    * implementations are bit-identical. Rows with `flush` set (caller-
+    * appended sentinels, far-future tu so they sort last) emit the
+    * user's final vector and clear state — users who never reach step
+    * 1 emit nothing, mirroring the batch filter.
+    */
+  def funnel(events: Dataset[FunnelEvent], nSteps: Int,
+             maxStepGapUs: Option[Long] = None): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(nSteps >= 2, s"a funnel needs >= 2 steps, got $nSteps")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelReach, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[FunnelReach]) =>
+          val sorted = rows.toArray.sortBy(e => (e.tu, e.event_id))
+          val reach = state.getOption.map(_.reach.toArray)
+            .getOrElse(Array.fill(nSteps)(-1L))
+          var doFlush = false
+          sorted.foreach { e =>
+            if (e.flush) doFlush = true
+            else if (e.step == 0) {
+              if (reach(0) < 0) reach(0) = e.tu
+            } else if (reach(e.step) < 0 && reach(e.step - 1) >= 0 &&
+              e.tu > reach(e.step - 1) &&
+              maxStepGapUs.forall(g => e.tu <= reach(e.step - 1) + g)) {
+              reach(e.step) = e.tu
+            }
+          }
+          if (doFlush) {
+            if (state.exists) state.remove()
+            if (reach(0) >= 0) Iterator.single(FunnelOut(user, reach.toSeq))
+            else Iterator.empty
+          } else {
+            state.update(FunnelReach(reach.toSeq))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Arbitrary stateful processing: running per-user totals via
     * mapGroupsWithState (the custom-state escape hatch for semantics
     * windowed aggregation can't express).

@@ -164,6 +164,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("PII stats are a narrow scan-speed projection") {
+    val p = plan(graft.pipeline.TextOps.withPiiStats(docs)
+      .select("doc_id", "n_emails", "n_phones", "n_ssns", "has_pii"))
+    assert(!p.contains("Exchange"),
+      s"withPiiStats must be shuffle-free:\n$p")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"withPiiStats scan not pruned to doc_id+text:\n$p")
+  }
+
+  test("rarity scoring: keyed shuffles only, no forced broadcast, pruned scan") {
+    val p = plan(graft.pipeline.TextOps.rarityScores(docs, 1))
+    assert(!p.contains("NestedLoop"),
+      s"rarityScores must not plan a nested-loop join:\n$p")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"rarityScores scan not pruned to doc_id+text:\n$p")
+  }
+
   test("pack spans: one shard-keyed exchange, bounded explode, no join") {
     // the per-sequence composition must cost exactly what packing
     // costs — the running-sum window's shard partitioning — plus a

@@ -62,6 +62,17 @@ class EventOpsSpec extends SparkSpec {
     assert(b.nonEmpty && b == rows(stream))
   }
 
+  test("streaming funnel ≡ batch funnel on the fixture") {
+    val batch = graft.queries.EventQueries.queries("ev3_funnel")(spark, sfDir)
+    val stream = graft.queries.StreamingQueries.queries("st8_stream_funnel")(spark, sfDir)
+    val cols = Seq("user_id", "s1_us", "s2_us", "s3_us", "funnel_stage")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(c => coalesce(col(c), lit(-1L))): _*)
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val b = rows(batch)
+    assert(b.nonEmpty && b == rows(stream))
+  }
+
   test("funnel: strict ordering, ties excluded, pre-step events ignored") {
     def e(id: Long, u: Long, tUs: Long, t: String) = (id, u, tUs, t)
     val ev = Seq(
