@@ -87,6 +87,34 @@ object EventOps {
         col("match_id"), col("match_ts"))
   }
 
+  /** Cohort retention — the activity matrix every event pipeline
+    * reports next to funnels: users are cohorted by their FIRST-seen
+    * day and each cell counts distinct users of cohort `cohort_day`
+    * active in bucket `bucket_offset` (offset in `bucketDays`-day
+    * buckets from the cohort day; day = epoch-micros div 86400e6, an
+    * engine-neutral integer — no week-start or timezone conventions
+    * to diverge on). Returns (`cohort_day`, `bucket_offset`,
+    * `n_active`).
+    *
+    * Composition: the cohort day rides a user-partitioned running-min
+    * window (no join back to the fact table), then one cell-keyed
+    * distinct-count aggregate — two keyed shuffles total, nothing
+    * broadcast, nothing driver-side. At 100 TB the distinct expansion
+    * is bounded per cell by cohort size; cells are (days × offsets),
+    * naturally balanced.
+    */
+  def retention(events: DataFrame, bucketDays: Int = 7): DataFrame = {
+    require(bucketDays >= 1, s"bucketDays must be >= 1, got $bucketDays")
+    val w = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"), epochUs(col("ts")).as("tu"))
+      .withColumn("d", expr("tu div 86400000000"))
+      .withColumn("cohort_day", min("d").over(w))
+      .withColumn("bucket_offset", expr(s"(d - cohort_day) div $bucketDays"))
+      .groupBy("cohort_day", "bucket_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+  }
+
   /** Ordered-step funnel: per user, the timestamp of the first `steps(0)`
     * event, the first `steps(1)` event strictly AFTER it, the first
     * `steps(2)` strictly after that, … — the conversion-path measure

@@ -61,6 +61,11 @@ object EventQueries {
         Seq("signup", "click", "purchase"),
         maxStepGapUs = Some(FunnelGapUs))),
 
+    // Weekly cohort retention over the full event log — first-seen-day
+    // cohorts, 7-day activity buckets, distinct active users per cell.
+    "ev5_retention" -> ((s, d) =>
+      EventOps.retention(Tables.events(s, d), 7)),
+
     // Semi-structured extraction: pull a typed field out of the JSON
     // `props` column and aggregate it. get_json_object is a codegen'd
     // path expression — the scan-speed way to read JSON-in-a-string
@@ -164,6 +169,18 @@ object EventQueries {
                    + (CASE WHEN s3_us IS NOT NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS funnel_stage
          FROM a WHERE s1_us IS NOT NULL""",
+
+    // Pure integer day/bucket arithmetic (epoch_us // 86400e6) — no
+    // week-start or timezone conventions for the engines to diverge on.
+    "ev5_retention" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+         c AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1)
+         SELECT c.cohort_day,
+                CAST((e.d - c.cohort_day) // 7 AS BIGINT) AS bucket_offset,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+         FROM e JOIN c USING (user_id)
+         GROUP BY 1, 2""",
 
     // ev3's chain with the conversion-window predicate added to each
     // step's CASE — the gap literal must match FunnelGapUs.

@@ -285,6 +285,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pw.contains("Join"), "windowed funnel must not plan a join")
     assert(pw.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
       s"windowed funnel must keep the single user partitioning:\n$pw")
+    // retention: cohort day rides the user window (no join back to the
+    // fact table), then one cell-keyed distinct aggregate
+    val prt = plan(graft.ops.EventOps.retention(events, 7))
+    assert(!prt.contains("Join"), "retention must not plan a join")
+    assertNoGlobalSort(prt, "retention")
   }
 
   test("bucketed co-located join plans no exchange on either side") {

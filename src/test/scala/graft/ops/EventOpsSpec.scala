@@ -73,6 +73,28 @@ class EventOpsSpec extends SparkSpec {
     assert(b.nonEmpty && b == rows(stream))
   }
 
+  test("retention: first-seen cohorts, bucket offsets, distinct actives") {
+    val day = 86400000000L
+    val ev = Seq(
+      // u1: first seen day 0, active again days 8 (bucket 1) and 20 (2)
+      (1L, 0L), (1L, 8 * day), (1L, 20 * day),
+      // u2: joins day 1 (same week-0 cell as its own cohort), twice in
+      // bucket 0 — distinct count must collapse the repeat
+      (2L, 1 * day), (2L, 2 * day),
+      // u3: also cohort day 0 — shares u1's cells
+      (3L, 0L), (3L, 9 * day))
+      .toDF("user_id", "us")
+      .select(col("user_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+    val r = EventOps.retention(ev, 7).orderBy("cohort_day", "bucket_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 0L, 2L),  // u1+u3 day-0 activity
+      (0L, 1L, 2L),  // u1 day 8, u3 day 9
+      (0L, 2L, 1L),  // u1 day 20
+      (1L, 0L, 1L))) // u2 both events inside its own bucket 0
+  }
+
   test("funnel: strict ordering, ties excluded, pre-step events ignored") {
     def e(id: Long, u: Long, tUs: Long, t: String) = (id, u, tUs, t)
     val ev = Seq(
