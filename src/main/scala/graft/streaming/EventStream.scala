@@ -135,20 +135,9 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[FunnelEvent],
          state: GroupState[FunnelReach]) =>
-          val sorted = rows.toArray.sortBy(e => (e.tu, e.event_id))
           val reach = state.getOption.map(_.reach.toArray)
             .getOrElse(Array.fill(nSteps)(-1L))
-          var doFlush = false
-          sorted.foreach { e =>
-            if (e.flush) doFlush = true
-            else if (e.step == 0) {
-              if (reach(0) < 0) reach(0) = e.tu
-            } else if (reach(e.step) < 0 && reach(e.step - 1) >= 0 &&
-              e.tu > reach(e.step - 1) &&
-              maxStepGapUs.forall(g => e.tu <= reach(e.step - 1) + g)) {
-              reach(e.step) = e.tu
-            }
-          }
+          val doFlush = advanceReach(reach, rows.toArray, maxStepGapUs)
           if (doFlush) {
             if (state.exists) state.remove()
             if (reach(0) >= 0) Iterator.single(FunnelOut(user, reach.toSeq))
@@ -158,6 +147,28 @@ object EventStream {
             Iterator.empty
           }
       }
+  }
+
+  /** One micro-batch of the funnel chain: fold a group's events (any
+    * order — sorted here by the batch window's (tu, event_id) ORDER BY)
+    * into the reach vector in place; returns whether a flush sentinel
+    * was seen. Package-private so the batch-equivalence property test
+    * can drive the exact state transition the stream executes.
+    */
+  private[graft] def advanceReach(reach: Array[Long],
+      events: Array[FunnelEvent], maxStepGapUs: Option[Long]): Boolean = {
+    var doFlush = false
+    events.sortBy(e => (e.tu, e.event_id)).foreach { e =>
+      if (e.flush) doFlush = true
+      else if (e.step == 0) {
+        if (reach(0) < 0) reach(0) = e.tu
+      } else if (reach(e.step) < 0 && reach(e.step - 1) >= 0 &&
+        e.tu > reach(e.step - 1) &&
+        maxStepGapUs.forall(g => e.tu <= reach(e.step - 1) + g)) {
+        reach(e.step) = e.tu
+      }
+    }
+    doFlush
   }
 
   /** Arbitrary stateful processing: running per-user totals via
