@@ -36,6 +36,25 @@ import scala.jdk.CollectionConverters._
   *   case2_regression   CPU above band at low load AND the re-probe
   *                      stays above — the operator genuinely does more
   *                      work. Bisect with `runMain graft.Bench <entry>`.
+  *   case5_cpu_contended  CPU above band, the re-probe stays above,
+  *                      but the CALIBRATION probe run just before the
+  *                      re-probe is itself inflated ≥ 35% over its
+  *                      pinned nominal — the machine's effective CPU
+  *                      throughput is degraded by something outside
+  *                      this JVM (SMT-sibling pressure, cgroup quota,
+  *                      frequency scaling, a concurrent build), so the
+  *                      entry's CPU reading is contaminated and proves
+  *                      nothing. Re-run when the calibration is clean.
+  *
+  * The calibration probe (round-10 addition, from the round-9 st2
+  * false-positive: a driver-side run flagged case2_regression at
+  * load ≈ 5 while every streaming entry read 2-3x CPU and the median
+  * entry ratio vs a clean run was 0.89 — external pressure the 1-min
+  * load average lags behind) is a fixed-iteration multi-threaded
+  * xorshift spin: pure ALU work, zero allocation, so its wall time
+  * measures exactly "what a CPU-second buys right now". Its nominal
+  * is pinned in BANDS.json (`calib_sec`, built by build_bands.py);
+  * without a pinned nominal the rule degrades to the old case2 default.
   *
   * The re-probe is what makes case 2 vs case 4 mechanical instead of a
   * judge re-running entries by hand: transient suite-context inflation
@@ -44,6 +63,31 @@ import scala.jdk.CollectionConverters._
   * reader can see directly when a reading is GC-dominated.
   */
 object Bench {
+  // sink defeats dead-code elimination of the calibration spin
+  @volatile private var calibSink: Long = 0L
+
+  private def spin(iters: Long): Long = {
+    var x = 88172645463325252L; var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+
+  /** Wall seconds for `nThreads` parallel fixed spins (400M xorshift
+    * steps each). Pure ALU, zero allocation: on an uncontended machine
+    * this is a constant for a given CPU model; inflation measures
+    * external pressure (SMT siblings, cgroup throttling, freq scaling).
+    */
+  private def calibSec(nThreads: Int): Double = {
+    val iters = 400000000L
+    calibSink ^= spin(iters / 8) // JIT warmup outside the timed region
+    val ts = (1 to nThreads).map(_ => new Thread(() => {
+      calibSink ^= spin(iters)
+    }))
+    val t0 = System.nanoTime
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional entry-name args: `runMain graft.Bench ms_a6_spw_regen ...`
@@ -132,16 +176,21 @@ object Bench {
     // ---- bands (committed BANDS.json; suite-context basis) ----
     case class Band(wallHi: Double, cpuHi: Double)
     val bandsPath = Paths.get("/root/repo/BANDS.json")
-    val (bands, bandLoadMax): (Map[String, Band], Double) =
-      if (!Files.exists(bandsPath)) (Map.empty, 8.0)
+    val (bands, bandLoadMax, calibNominal): (Map[String, Band], Double, Option[Double]) =
+      if (!Files.exists(bandsPath)) (Map.empty, 8.0, None)
       else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(Files.readString(bandsPath))
         // bands are sf-specific; applying sf0.1 bands to a sf0.01 run
-        // would flag everything as "fast" noise
-        val sfOk = sfDir.endsWith(root.path("sf").asText(""))
+        // would flag everything as "fast" noise. A bands file with a
+        // missing/empty sf field must NOT silently adjudicate every SF
+        // (endsWith("") is always true), so treat it as a mismatch.
+        val bandSf = root.path("sf").asText("")
+        val sfOk = bandSf.nonEmpty && sfDir.endsWith(bandSf)
         val lm = root.path("load_max").asDouble(8.0)
-        if (!sfOk) (Map.empty, lm)
+        // calibration nominal is sf-independent (pure ALU spin)
+        val cn = Option(root.path("calib_sec").asDouble(0.0)).filter(_ > 0)
+        if (!sfOk) (Map.empty, lm, cn)
         else {
           val es = root.path("entries")
           val m = es.fieldNames.asScala.map { k =>
@@ -149,9 +198,13 @@ object Bench {
             k -> Band(e.path("wall").path(1).asDouble(Double.MaxValue),
               e.path("cpu").path(1).asDouble(Double.MaxValue))
           }.toMap
-          (m, lm)
+          (m, lm, cn)
         }
       }
+
+    // environment sanity reading before any entry runs — recorded to the
+    // JSON so a whole-run contamination is visible even without verdicts
+    val calibStart = calibSec(cpus.toInt)
 
     val results = names.map(n => n -> time(n))
 
@@ -171,6 +224,15 @@ object Bench {
         if (t.warm.wall < 0) "failed" else "no_band")
     }.toMap
     val candidates = firstPass.collect { case (k, "candidate") => k }.toSeq.sorted
+    // calibrate the ENVIRONMENT right where the case-2 call will be
+    // made: a clean calibration makes a surviving over-band re-probe
+    // a real regression; an inflated one makes it unadjudicable
+    // (round-9's st2 false positive — see the case5 scaladoc)
+    val calibReprobe: Option[Double] =
+      if (candidates.isEmpty) None else Some(calibSec(cpus.toInt))
+    val envContaminated = (for {
+      n <- calibNominal; c <- calibReprobe
+    } yield c >= 1.35 * n).getOrElse(false)
     val reprobes: Map[String, Timing] = candidates.map { k =>
       // settle, then re-run the full cold+warm cycle: transient
       // suite-context inflation (GC debt, cleaner backlog) does not
@@ -184,6 +246,10 @@ object Bench {
         k -> (classify(r, b) match {
           case "in_band" | "case1_contended" => "case4_suite_infl"
           case "case3_load" => "case3_load" // machine got busy mid-re-probe
+          // a crashed/transient-failed re-probe proves nothing about
+          // performance — don't mislabel it as a confirmed regression
+          case "failed" => "reprobe_failed"
+          case _ if envContaminated => "case5_cpu_contended"
           case _ => "case2_regression"
         })
       case (k, v) => k -> v
@@ -210,11 +276,14 @@ object Bench {
       .map { case (v, xs) => "\"" + v + "\":" + xs.size }
       .mkString("{", ",", "}")
     val total = results.map(_._2.warm.wall).filter(_ >= 0).sum
+    val calibJson = "{\"start\":" + calibStart +
+      calibReprobe.fold("")(c => ",\"reprobe\":" + c) +
+      calibNominal.fold("")(n => ",\"nominal\":" + n) + "}"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""detail":$detail,"verdicts":$verdictJson,""" +
         s""""verdict_summary":$summary,"reprobe":$reprobeJson,""" +
-        s""""cpu_proc_sec":$procCpuSec,""" +
+        s""""calib":$calibJson,"cpu_proc_sec":$procCpuSec,""" +
         s""""load_avg":${osBean.getSystemLoadAverage},"sf":"$sfDir"}"""
     // Single-entry runs are bisection probes; never clobber the pinned
     // full-suite BENCH.json with a partial result.

@@ -200,8 +200,12 @@ object TextOps {
   val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 
   def withPiiStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    def n(pat: String) =
-      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("bigint")
+    // null text must triage as "no PII found" (0/false), not null —
+    // a has_pii consumer filtering the flag would silently drop
+    // null-text docs otherwise (size/regexp propagate null)
+    def n(pat: String) = coalesce(
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("bigint"),
+      lit(0L))
     df.withColumn("n_emails", n(EmailPattern))
       .withColumn("n_phones", n(PhonePattern))
       .withColumn("n_ssns", n(SsnPattern))
@@ -222,8 +226,8 @@ object TextOps {
     * Scale: term-count aggregate (one shuffle with map-side combine),
     * term-keyed join back to the postings (no broadcast hint — the
     * vocabulary is corpus-dependent, AQE demotes when it measures
-    * small), doc-keyed final aggregate. Like TF-IDF, the corpus total
-    * arrives as a literal from one count(*) job at plan-build time.
+    * small), doc-keyed final aggregate. Unlike TF-IDF, the corpus
+    * total is computed inside the plan — construction is job-free.
     */
   def rarityScores(docs: DataFrame, permille: Long = 1,
                    textCol: String = "text"): DataFrame = {
@@ -231,13 +235,21 @@ object TextOps {
     val toks = docs
       .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
-    val total = toks.count()
+    // corpus total computed INSIDE the plan: a 1-row global aggregate
+    // cross-joined as a broadcast scalar onto the postings (plans a
+    // BroadcastNestedLoopJoin with a single-row build — O(rows·1), the
+    // canonical scalar-attach, NOT a fact×fact loop; PlanShapeSpec pins
+    // exactly this shape). Plan construction stays job-free, so
+    // composing this into a larger pipeline never serializes on an
+    // eager count (ADVICE r9).
+    val total = toks.agg(count(lit(1)).as("_total"))
     val freq = toks.groupBy("term").agg(count(lit(1)).as("freq"))
     toks.join(freq, "term")
+      .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        sum(when(col("freq") * 1000L <= lit(permille * total), 1L)
+        sum(when(col("freq") * 1000L <= lit(permille) * col("_total"), 1L)
           .otherwise(0L)).as("n_rare"))
       .withColumn("rare_frac",
         col("n_rare").cast("double") / col("n_tokens").cast("double"))

@@ -173,10 +173,20 @@ class PlanShapeSpec extends SparkSpec {
       s"withPiiStats scan not pruned to doc_id+text:\n$p")
   }
 
-  test("rarity scoring: keyed shuffles only, no forced broadcast, pruned scan") {
+  test("rarity scoring: keyed shuffles only; sole nested loop is the 1-row total broadcast") {
     val p = plan(graft.pipeline.TextOps.rarityScores(docs, 1))
-    assert(!p.contains("NestedLoop"),
-      s"rarityScores must not plan a nested-loop join:\n$p")
+    // the in-plan corpus total (ADVICE r9: no eager count at plan
+    // construction) is attached as a broadcast scalar — that plans as
+    // ONE BroadcastNestedLoopJoin over a single-row global aggregate
+    // (O(rows·1)); any other nested loop here would be a fact-side
+    // cartesian and must fail
+    val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1,
+      s"rarityScores must plan at most the scalar-total nested loop:\n$p")
+    assert(nlj == 0 || p.contains("output=[_total"),
+      s"the only allowed nested loop is the 1-row corpus-total broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"rarityScores must not plan a cartesian product:\n$p")
     assert(!p.contains("n_chars") && !p.contains("lang"),
       s"rarityScores scan not pruned to doc_id+text:\n$p")
   }

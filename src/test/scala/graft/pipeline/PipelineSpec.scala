@@ -355,6 +355,29 @@ class PipelineSpec extends SparkSpec {
     finally Caches.release(pairs)
   }
 
+  test("pl_d11 cap margin: largest natural bucket at every fixture SF is at most half the cap") {
+    // ADVICE r9: pl_d11's cap of 50 assumes sf fixtures never put a
+    // REAL band bucket anywhere near the cap (planted farm = 60). That
+    // assumption must survive a fixture regeneration, so assert it
+    // against the actual corpora the driver runs: max natural bucket
+    // membership must leave a 2x margin under the pl_d11 cap at the
+    // correctness SF (0.01) and the benched SF (0.1).
+    val cap = 50
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val corpus = spark.read
+        .parquet(s"/root/testdata/$sf/documents.parquet")
+        .select("doc_id", "text")
+      val maxBucket = Dedup.bands(Dedup.withMinhash(corpus))
+        .groupBy("band_id", "band_hash")
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect()(0).getLong(0)
+      assert(maxBucket * 2 <= cap,
+        s"$sf: largest natural LSH bucket ($maxBucket members) is within " +
+          s"2x of the pl_d11 cap ($cap) — regenerated fixture would risk " +
+          "silently dropping real near-dup pairs")
+    }
+  }
+
   test("dup clusters: a 64-long chain resolves to one cluster") {
     // worst case for plain propagation (diameter = n-1 rounds);
     // pointer jumping must converge in ~log2(n) rounds

@@ -56,9 +56,12 @@ EXCLUDE = (
 def main():
     out_path, probes_path, runs = sys.argv[1], sys.argv[2], sys.argv[3:]
     suite = {}  # entry -> [(warm, cpu, load)]
+    calibs = []  # calibration spin readings (suite-start, uncontended-ish)
     for rf in runs:
         j = json.load(open(rf))
         assert str(j["sf"]).endswith("0.1"), f"{rf} is not a sf0.1 run"
+        if j.get("calib", {}).get("start"):
+            calibs.append(j["calib"]["start"])
         for k, d in j["detail"].items():
             if any(tag in rf and e == k for tag, e in EXCLUDE):
                 continue
@@ -106,6 +109,10 @@ def main():
     out = {
         "sf": "sf0.1",
         "load_max": LOAD_MAX,
+        # nominal for Bench's environment-calibration spin: min over the
+        # contributing runs' suite-start readings (min = cleanest
+        # environment observed; the case-5 rule flags >= 1.35x this)
+        **({"calib_sec": round(min(calibs), 3)} if calibs else {}),
         "policy": ("suite-context basis; hi = max(low-load readings) * pad; "
                    "probe walls pooled into wall band (wall is JIT-insensitive), "
                    "probe CPUs recorded separately (an isolated JVM charges all "
