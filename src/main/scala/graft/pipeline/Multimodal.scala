@@ -30,10 +30,12 @@ object Multimodal {
 
   val root = "/root/repo/fixtures/media"
 
-  /** Deterministic synthetic media fixture: 400 rows; image rows carry
-    * a REAL 24-bit BMP (4..28 px wide, width % 4 == 0 so the pixel
-    * array is unpadded; 4..16 px tall; md5-chain pixel bytes), audio
-    * rows carry 200–999 bytes of md5-chain u8 "PCM".
+  /** Deterministic synthetic media fixture: 2000 rows; image rows carry
+    * a REAL 24-bit BMP (4..124 px wide, width % 4 == 0 so the pixel
+    * array is unpadded; 4..64 px tall; md5-chain pixel bytes — ~1300
+    * images / ~9 MB of pixels, so the decode entries measure codec
+    * throughput, not fixed JVM overhead), audio rows carry 200–3999
+    * bytes of md5-chain u8 "PCM".
     */
   def ensure(spark: SparkSession): Unit = synchronized {
     if (!Files.exists(Paths.get(s"$root/media/_SUCCESS"))) generate(spark)
@@ -48,25 +50,30 @@ object Multimodal {
 
   def generate(spark: SparkSession): Unit = {
     import spark.implicits._
-    val ids = (0 until 400).toDF("media_id")
+    val ids = (0 until 2000).toDF("media_id")
     val h = xxhash64(lit("media"), col("media_id"))
-    val audioLen = (pmod(h, lit(800L)) + 200L).cast("int")
-    // md5 chain: 84 * 16 = 1344 bytes >= max image pixel array (28*3*16)
-    // and >= max audio payload (999)
-    val nBlocks = 84
-    val hexChain = concat_ws("",
-      (0 until nBlocks).map(j => md5(concat(col("media_id"), lit(s"|$j")))): _*)
+    val audioLen = (pmod(h, lit(3800L)) + 200L).cast("int")
     val media = ids
       .withColumn("kind",
         when(pmod(h, lit(3L)) < 2, "image").otherwise("audio"))
-      // image dims: width in {4,8,...,28} (mult of 4 => no BMP row
-      // padding), height in 4..16
+      // image dims: width in {4,8,...,124} (mult of 4 => no BMP row
+      // padding), height in 4..64
       .withColumn("width",
-        (pmod(xxhash64(lit("w"), col("media_id")), lit(7L)) * 4 + 4).cast("int"))
+        (pmod(xxhash64(lit("w"), col("media_id")), lit(31L)) * 4 + 4).cast("int"))
       .withColumn("height",
-        (pmod(xxhash64(lit("h"), col("media_id")), lit(13L)) + 4).cast("int"))
+        (pmod(xxhash64(lit("h"), col("media_id")), lit(61L)) + 4).cast("int"))
       .withColumn("channels", lit(3))
       .withColumn("_pix", col("width") * 3 * col("height"))
+      // md5 chain sized per row at runtime (16 payload bytes per md5
+      // block): a literal concat of ceil(124*3*64/16) = 1488 md5 nodes
+      // would blow the expression tree; transform+array_join loops in
+      // ONE expression and the chain stays byte-replayable from
+      // (media_id, block index) on any engine
+      .withColumn("_chain", array_join(transform(
+        sequence(lit(0),
+          floor((greatest(col("_pix"), audioLen) + lit(15)) / 16)
+            .cast("int") - 1),
+        j => md5(concat(col("media_id"), lit("|"), j))), ""))
       // 54-byte BITMAPINFOHEADER BMP, fields little-endian:
       // "BM" | file size | reserved | data offset 54 | header size 40 |
       // width | height | planes 1 | bpp 24 | BI_RGB | image size |
@@ -80,8 +87,8 @@ object Multimodal {
         lit("00000000000000000000000000000000")))
       .withColumn("payload",
         when(col("kind") === "image",
-          unhex(concat(col("_bmp_hdr"), hexChain.substr(lit(1), col("_pix") * 2))))
-        .otherwise(unhex(hexChain.substr(lit(1), audioLen * 2))))
+          unhex(concat(col("_bmp_hdr"), col("_chain").substr(lit(1), col("_pix") * 2))))
+        .otherwise(unhex(col("_chain").substr(lit(1), audioLen * 2))))
       .withColumn("sample_rate",
         when(pmod(xxhash64(lit("sr"), col("media_id")), lit(2L)) === 0, 8000)
           .otherwise(16000))
