@@ -222,6 +222,53 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: one user-keyed state operator, vector-sized state, cleared on flush") {
+    // st8's scale story, locked into the suite (VERDICT r9 #4): the
+    // funnel is ONE flatMapGroupsWithState over the user key — a single
+    // keyed exchange, no join, no range partitioning — and its state is
+    // one fixed-width reach vector per LIVE user (never the event log),
+    // removed at flush.
+    import EventStream.{FunnelEvent, FunnelOut}
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = EventStream.funnel(in.toDS(), 3)
+      .writeStream.format("memory").queryName("stf_plan")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        FunnelEvent(1, 1, 100, 0, flush = false),
+        FunnelEvent(2, 2, 100, 0, flush = false))
+      q.processAllAvailable()
+      val so = q.lastProgress.stateOperators
+      assert(so.length == 1, s"funnel must run exactly one state operator, got ${so.length}")
+      assert(so(0).operatorName.toLowerCase.contains("flatmapgroupswithstate"),
+        s"state operator is ${so(0).operatorName}")
+      assert(so(0).numRowsTotal == 2, "state = one vector per live user")
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf))(q.explain())
+      val p = buf.toString
+      assert(p.contains("FlatMapGroupsWithState"), s"plan:\n$p")
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+        s"funnel stream must shuffle once on the user key:\n$p")
+      assert(!p.contains("Join"), s"funnel stream must not plan a join:\n$p")
+      assert(!p.contains("rangepartitioning") && !p.contains("Exchange SinglePartition"),
+        s"funnel stream must not funnel through one partition or sort globally:\n$p")
+      // advancing a user's steps must not grow state (vector is in place)
+      in.addData(FunnelEvent(1, 3, 200, 1, flush = false))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 2,
+        "advancing a step must not add state rows")
+      // flush sentinels emit the final vectors and CLEAR the store
+      in.addData(
+        FunnelEvent(1, 9, 1000000, 0, flush = true),
+        FunnelEvent(2, 10, 1000000, 0, flush = true))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 0,
+        "flushed users must leave no state behind")
+      assert(spark.table("stf_plan").count() == 2, "both users emitted")
+    } finally q.stop()
+  }
+
   test("streaming visibility averaging equals the batch kernel bit-for-bit") {
     // st2 streams the MS main table one file per micro-batch (bins span
     // batches → real state-store accumulation) and must reproduce the
