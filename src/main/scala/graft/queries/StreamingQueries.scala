@@ -64,6 +64,47 @@ object StreamingQueries {
     } catch { case e: Throwable => rm(tmp); throw e }
   }
 
+  /** Stage the events table as `n` TIME-ORDERED parquet slices plus a
+    * trailing per-user `__flush` sentinel file (far-future ts, so it
+    * sorts last within its group) under `tmp`/stream, mtime-ordered so
+    * the file source streams them in time order. The global sort is
+    * harness staging only — the streamed plan never sorts across
+    * users. Shared by the flush-sentinel stateful entries (st8/st9).
+    */
+  private def stageTimeOrderedSlices(s: SparkSession, ev: DataFrame,
+      tmp: java.io.File, n: Int): java.io.File = {
+    import java.io.File
+    import java.nio.file.Files
+    val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val sliced = ev.withColumn("_slice", ntile(n).over(w))
+    (1 to n).foreach { i =>
+      val staging = new File(tmp, s"staging_$i")
+      sliced.filter(col("_slice") === i).drop("_slice")
+        .coalesce(1).write.parquet(staging.getAbsolutePath)
+      val f = staging.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new File(streamDir, f"$i%03d_slice.parquet")
+      Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000L * i) // arrival order = time order
+    }
+    val sentinel = ev.select(col("user_id")).distinct()
+      .select(
+        lit(-1L).as("event_id"),
+        lit(java.time.LocalDateTime.of(9000, 1, 1, 0, 0)).as("ts"),
+        col("user_id"),
+        lit("__flush").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+    val fstage = new File(tmp, "staging_flush")
+    sentinel.coalesce(1).write.parquet(fstage.getAbsolutePath)
+    val ff = fstage.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val fdst = new File(streamDir, f"${n + 1}%03d_flush.parquet")
+    Files.move(ff.toPath, fdst.toPath)
+    fdst.setLastModified(1000000L * (n + 1))
+    streamDir
+  }
+
   val queries: Map[String, Q] = Map(
     // W2+A1 streaming-shape: 1-hour event-time tumbling windows per
     // user over the events table, run through the streaming engine
@@ -386,36 +427,7 @@ object StreamingQueries {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
       try {
-        val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
-        // harness-scale global sort (staging only; the streamed plan
-        // never sorts across users)
-        val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
-        val sliced = ev.withColumn("_slice", ntile(3).over(w))
-        (1 to 3).foreach { i =>
-          val staging = new File(tmp, s"staging_$i")
-          sliced.filter(col("_slice") === i).drop("_slice")
-            .coalesce(1).write.parquet(staging.getAbsolutePath)
-          val f = staging.listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new File(streamDir, f"$i%03d_slice.parquet")
-          Files.move(f.toPath, dst.toPath)
-          dst.setLastModified(1000000L * i) // arrival order = time order
-        }
-        val sentinel = ev.select(col("user_id")).distinct()
-          .select(
-            lit(-1L).as("event_id"),
-            lit(java.time.LocalDateTime.of(9000, 1, 1, 0, 0)).as("ts"),
-            col("user_id"),
-            lit("__flush").as("event_type"),
-            lit(0.0).as("value"),
-            lit(null).cast("string").as("props"))
-        val fstage = new File(tmp, "staging_flush")
-        sentinel.coalesce(1).write.parquet(fstage.getAbsolutePath)
-        val ff = fstage.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val fdst = new File(streamDir, "004_flush.parquet")
-        Files.move(ff.toPath, fdst.toPath)
-        fdst.setLastModified(1000000L * 4)
-
+        val streamDir = stageTimeOrderedSlices(s, ev, tmp, 3)
         val src = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(streamDir.getAbsolutePath)
         val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) {
@@ -441,6 +453,43 @@ object StreamingQueries {
           .reduce(_ + _)
         collected.select(
           (col("user_id") +: stepCols) :+ stage.as("funnel_stage"): _*)
+      } finally rm(tmp)
+    }),
+
+    // Streaming cohort retention: the ev5 matrix built incrementally —
+    // per-user state is (cohort day, active-bucket set), bounded by the
+    // observation span over bucketDays, never by event count; flush
+    // sentinels emit each user's final row and the batch tail (explode
+    // + cell-keyed count) assembles the matrix, exact because each user
+    // emits each bucket once. Oracle: the SAME SQL as batch ev5 — the
+    // last event-operator family without a streaming proof (VERDICT r9
+    // #5).
+    "st9_stream_retention" -> ((s, d) => {
+      import s.implicits._
+      import java.io.File
+      import java.nio.file.Files
+      val name = "graft_st9_sink"
+      val ev = Tables.events(s, d)
+      val tmp = Files.createTempDirectory("graft_st9").toFile
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try {
+        val streamDir = stageTimeOrderedSlices(s, ev, tmp, 3)
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.getAbsolutePath)
+        val rev = src.select(
+            col("user_id"),
+            graft.ops.EventOps.epochUs(col("ts")).as("tu"),
+            (col("event_type") === "__flush").as("flush"))
+          .as[graft.streaming.EventStream.RetEvent]
+        val collected = sinkToLocal(s, name,
+          graft.streaming.EventStream.retention(rev, 7).toDF(), "append")
+        collected
+          .select(col("cohort_day"), col("user_id"),
+            explode(col("buckets")).as("bucket_offset"))
+          .groupBy("cohort_day", "bucket_offset")
+          .agg(countDistinct("user_id").as("n_active"))
       } finally rm(tmp)
     })
   )
@@ -506,6 +555,10 @@ object StreamingQueries {
     // Identical to the batch ev3 oracle — the stateful streaming
     // funnel must reproduce the window-composition chain exactly.
     "st8_stream_funnel" -> EventQueries.oracleSql("ev3_funnel"),
+
+    // Identical to the batch ev5 oracle — the incremental cohort state
+    // must assemble the same retention matrix cell for cell.
+    "st9_stream_retention" -> EventQueries.oracleSql("ev5_retention"),
 
     // Identical to the batch pl_k2 sketch CTE — the streamed sketch's
     // d×w count matrix must equal the batch build cell for cell.

@@ -171,6 +171,57 @@ object EventStream {
     doFlush
   }
 
+  case class RetEvent(user_id: Long, tu: Long, flush: Boolean)
+  case class RetState(cohortDay: Long, buckets: Seq[Long])
+  case class RetOut(user_id: Long, cohort_day: Long, buckets: Seq[Long])
+
+  /** Incremental cohort retention via flatMapGroupsWithState — the
+    * streaming form of [[graft.ops.EventOps.retention]]'s per-user
+    * half: state per user is (cohort day, set of active bucket
+    * offsets). The cohort day is fixed by the FIRST event (events
+    * arrive in time order — the st8 staging contract — so the first
+    * arrival IS the batch running-min); each later event only adds
+    * `(day - cohort) / bucketDays` to the bucket set, so state is
+    * bounded by the observation span over `bucketDays`, never by event
+    * count. Flush sentinels emit the user's final (cohort, buckets)
+    * and clear state; the caller's batch tail — explode + cell-keyed
+    * count — turns the per-user rows into the retention matrix, which
+    * is exact because each user emits each bucket exactly once.
+    */
+  def retention(events: Dataset[RetEvent], bucketDays: Int): Dataset[RetOut] = {
+    import events.sparkSession.implicits._
+    require(bucketDays >= 1, s"bucketDays must be >= 1, got $bucketDays")
+    val dayUs = 86400000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[RetEvent], state: GroupState[RetState]) =>
+          var cohort = state.getOption.map(_.cohortDay).getOrElse(Long.MinValue)
+          val buckets = scala.collection.mutable.SortedSet.empty[Long] ++
+            state.getOption.map(_.buckets).getOrElse(Seq.empty)
+          var doFlush = false
+          rows.toArray.sortBy(_.tu).foreach { e =>
+            if (e.flush) doFlush = true
+            else {
+              val d = e.tu / dayUs // tu >= 0 by the event-time contract
+              if (cohort == Long.MinValue) cohort = d
+              buckets += (d - cohort) / bucketDays
+            }
+          }
+          if (doFlush) {
+            if (state.exists) state.remove()
+            if (cohort != Long.MinValue)
+              Iterator.single(RetOut(user, cohort, buckets.toSeq))
+            else Iterator.empty
+          } else {
+            if (cohort != Long.MinValue)
+              state.update(RetState(cohort, buckets.toSeq))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Arbitrary stateful processing: running per-user totals via
     * mapGroupsWithState (the custom-state escape hatch for semantics
     * windowed aggregation can't express).

@@ -269,6 +269,43 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention: cohort fixed by first event, buckets merge across batches, flush clears") {
+    import EventStream.RetEvent
+    implicit val sq = spark.sqlContext
+    val day = 86400000000L
+    val in = MemoryStream[RetEvent]
+    val q = EventStream.retention(in.toDS(), 7)
+      .writeStream.format("memory").queryName("str_plan")
+      .outputMode("append").start()
+    try {
+      in.addData(RetEvent(1, 10 * day, flush = false))
+      q.processAllAvailable()
+      // a later batch adds day-24 activity: bucket (24-10)/7 = 2 joins
+      // bucket 0 in the SAME user's state (cross-batch merge), cohort
+      // stays the first-seen day
+      in.addData(RetEvent(1, 24 * day + 5, flush = false))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1)
+      in.addData(RetEvent(1, 0, flush = true))
+      q.processAllAvailable()
+      val r = spark.table("str_plan").collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("cohort_day") == 10)
+      assert(r(0).getAs[scala.collection.Seq[Long]]("buckets").toSeq == Seq(0L, 2L))
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 0,
+        "flushed user must leave no state behind")
+    } finally q.stop()
+  }
+
+  test("streaming retention equals the batch ev5 matrix cell for cell") {
+    val qs = graft.SparkEntry.queries
+    val streamed = qs("st9_stream_retention")(spark, "/root/testdata/sf0.001")
+    val batch = qs("ev5_retention")(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0, "streaming-only cells")
+    assert(batch.exceptAll(streamed).count() == 0, "batch-only cells")
+  }
+
   test("streaming visibility averaging equals the batch kernel bit-for-bit") {
     // st2 streams the MS main table one file per micro-batch (bins span
     // batches → real state-store accumulation) and must reproduce the
