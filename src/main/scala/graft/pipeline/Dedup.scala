@@ -57,12 +57,13 @@ object Dedup {
     * each shingle once instead of NumHashes times is an 8× cut in the
     * hot loop (LSH recall re-verified 100% on the ≥0.7-Jaccard corpus).
     */
-  def withMinhash(docs: DataFrame, n: Int = NumHashes): DataFrame = {
+  def withMinhash(docs: DataFrame, n: Int = NumHashes,
+                  tokenizer: Column => Column = tokens): DataFrame = {
     val P = 4294967291L
     // tokens staged as a real column BEFORE the shingle lambda: an
     // inlined split() inside a higher-order lambda is re-evaluated for
     // every element_at — staging measured 9x on shingle generation
-    val base = docs.withColumn("_tk", tokens(col("text")))
+    val base = docs.withColumn("_tk", tokenizer(col("text")))
       .withColumn("_sh", array_distinct(shingles(col("_tk"))))
       .drop("_tk")
       .withColumn("_h32", transform(col("_sh"), s => pmod(hash60(s), lit(1L << 32))))
@@ -110,8 +111,10 @@ object Dedup {
     *   inside a capped bucket.
     */
   def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7,
-                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val (out, sigs, over) = nearDupPairsPlan(docs, minJaccard, maxBucketSize)
+                   maxBucketSize: Int = DefaultMaxBucketSize,
+                   tokenizer: Column => Column = tokens): DataFrame = {
+    val (out, sigs, over) =
+      nearDupPairsPlan(docs, minJaccard, maxBucketSize, tokenizer)
     try {
       val m = Caches.materialize(out)
       logExclusions(over, s"LSH bucket(s) over cap $maxBucketSize")
@@ -142,12 +145,14 @@ object Dedup {
     * construction: NO job runs here.
     */
   private[graft] def nearDupPairsPlan(docs: DataFrame, minJaccard: Double,
-      maxBucketSize: Int): (DataFrame, DataFrame, Option[DataFrame]) = {
+      maxBucketSize: Int,
+      tokenizer: Column => Column = tokens)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
     // The signature frame feeds both sides of the bucket self-join AND
     // the verification lookup — without a persist Spark re-tokenizes and
     // re-hashes the corpus 3-4x (plan-verified: 4 FileScans, 0 reuse).
     // MEMORY_AND_DISK so a 100 TB corpus spills instead of recomputing.
-    val sigs = withMinhash(docs)
+    val sigs = withMinhash(docs, NumHashes, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bdAll = bands(sigs)
     // over-cap bucket set is <= corpus/cap rows — usually tiny, but

@@ -35,6 +35,28 @@ object TextOps {
   /** Whitespace tokenization (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Normalizing tokenizer for real-world corpora (opt-in — the oracle
+    * corpus contract stays single-space [[tokens]]): split on
+    * whitespace-class RUNS, strip leading/trailing ASCII punctuation
+    * per token, lowercase, drop empties. The whitespace class is the
+    * EXPLICIT set `[ \t\n\r\f]` — Java's `\s` includes `\x0B` while
+    * RE2's does not, so a shorthand class would silently diverge
+    * between engines on vertical tabs; Java `\p{Punct}` and RE2
+    * `[[:punct:]]` are the same ASCII set and `lower` agrees on ASCII,
+    * so DuckDB's
+    * `list_filter(list_transform(regexp_split_to_array(lower(text),
+    * '[ \t\n\r\f]+'), t -> regexp_replace(t,
+    * '^[[:punct:]]+|[[:punct:]]+$', '', 'g')), t -> t <> '')`
+    * reproduces it token for token (pl_t11's contract). Pure
+    * projection — same scan-speed story as [[tokens]]; accepted by the
+    * dedup/chunking operators via their `tokenizer` parameter.
+    */
+  def tokensNorm(text: Column): Column =
+    filter(
+      transform(split(lower(text), "[ \\t\\n\\r\\f]+"),
+        t => regexp_replace(t, "^\\p{Punct}+|\\p{Punct}+$", "")),
+      t => t =!= "")
+
   /** Word k-shingles: ["a","b","c","d"], k=3 → ["a_b_c","b_c_d"]. */
   def shingles(toks: Column, k: Int = 3): Column =
     transform(sequence(lit(0), size(toks) - k), i =>
@@ -271,11 +293,12 @@ object TextOps {
     * shuffle, no state; output is ≈ (1 + overlap) × corpus tokens.
     */
   def chunkTokens(docs: DataFrame, chunkSize: Int, stride: Int,
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  tokenizer: Column => Column = tokens): DataFrame = {
     require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
       s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
     docs
-      .withColumn("_tk", tokens(col(textCol)))
+      .withColumn("_tk", tokenizer(col(textCol)))
       .withColumn("_nc", // number of chunks - 1 (integer ceil-div)
         floor((greatest(size(col("_tk")) - chunkSize, lit(0)) + (stride - 1))
           / stride).cast("int"))

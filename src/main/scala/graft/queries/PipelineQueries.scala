@@ -518,6 +518,27 @@ object PipelineQueries {
       TextOps.rarityScores(Tables.documents(s, d), 1)
         .select("doc_id", "n_tokens", "n_rare", "rare_frac")),
 
+    // Normalizing tokenizer (whitespace-class split + punctuation
+    // strip + lowercase — TextOps.tokensNorm, the opt-in tokenizer the
+    // dedup/chunking operators accept): normalization hazards are
+    // PLANTED on every 10th doc (mixed case, punctuation-wrapped
+    // tokens, tab/CRLF runs, a non-ASCII-punct token that must NOT be
+    // stripped) and the oracle replays the same augmentation — token-
+    // for-token parity proven by an md5 over the joined token stream.
+    "pl_t11_tokens_norm" -> ((s, d) => {
+      val aug = Tables.documents(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(10L)) === 0L,
+          concat(lit("HELLO,\t(World)! "), col("text"),
+            lit("\n  end...  \r\n«ok»")))
+          .otherwise(col("text")))
+      val t = col("_tk")
+      aug.withColumn("_tk", TextOps.tokensNorm(col("text")))
+        .select(col("doc_id"),
+          size(t).cast("bigint").as("n_norm_tokens"),
+          size(array_distinct(t)).cast("bigint").as("n_distinct_norm"),
+          md5(concat_ws(" ", t)).as("norm_fp"))
+    }),
+
     // Sequence packing: concat-then-cut into 128-token sequences, 8
     // parallel shards — the example-packing stage before the trainer.
     "pl_c2_packing" -> ((s, d) =>
@@ -1202,6 +1223,33 @@ object PipelineQueries {
                    / CAST(count(*) AS DOUBLE) AS rare_frac
           FROM tk JOIN freq USING (term), total
           GROUP BY 1""",
+
+    // The tokensNorm contract replayed in RE2: explicit whitespace
+    // class (Java \s and RE2 \s disagree on \x0B), POSIX punct ==
+    // \p{Punct} (ASCII), ASCII lower; md5 over the joined stream is
+    // the token-for-token check.
+    "pl_t11_tokens_norm" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0
+                       THEN 'HELLO,' || chr(9) || '(World)! ' || text ||
+                            chr(10) || '  end...  ' || chr(13) || chr(10) ||
+                            '«ok»'
+                       ELSE text END AS text
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+                  list_filter(list_transform(
+                    regexp_split_to_array(lower(text), '[ \t\n\r\f]+'),
+                    x -> regexp_replace(x, '^[[:punct:]]+|[[:punct:]]+$',
+                                        '', 'g')),
+                    x -> x <> '') AS tk
+           FROM aug)
+         SELECT doc_id,
+                CAST(len(tk) AS BIGINT) AS n_norm_tokens,
+                CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_norm,
+                md5(array_to_string(tk, ' ')) AS norm_fp
+         FROM t""",
 
     // Pure integer arithmetic: running token sum per shard (exclusive
     // frame) and integer division for the sequence id.

@@ -355,6 +355,30 @@ class PipelineSpec extends SparkSpec {
     finally Caches.release(pairs)
   }
 
+  test("tokensNorm: whitespace runs, edge punctuation stripped, case folded, non-ASCII kept") {
+    val df = Seq((1L, "HELLO,\t(World)! \n  end...  \r\n«ok» a--b"))
+      .toDF("doc_id", "text")
+    val tk = df.select(TextOps.tokensNorm(col("text")).as("tk"))
+      .as[Seq[String]].collect()(0)
+    // interior punctuation (a--b) and non-ASCII punctuation («ok») are
+    // kept — only ASCII edge punctuation is stripped
+    assert(tk == Seq("hello", "world", "end", "«ok»", "a--b"))
+  }
+
+  test("near-dup detection accepts the normalizing tokenizer") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val messy = "  " + base.toUpperCase + "!\t" // normalizes to exactly base
+    val near = base.replace("tok40", "tok99")
+    val docs = Seq((0L, base), (1L, messy), (2L, near)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, 0.7, tokenizer = TextOps.tokensNorm)
+    try {
+      val m = pairs.select("doc1", "doc2", "jaccard")
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+      assert(m.keySet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+      assert(m((0L, 1L)) == 1.0, "normalized clone must be an exact dup")
+    } finally Caches.release(pairs)
+  }
+
   test("pl_d11 cap margin: largest natural bucket at every fixture SF is at most half the cap") {
     // ADVICE r9: pl_d11's cap of 50 assumes sf fixtures never put a
     // REAL band bucket anywhere near the cap (planted farm = 60). That
