@@ -23,7 +23,12 @@ object PlanAudit {
       val plan = df.queryExecution.executedPlan.toString()
       val mainScans = plan.linesIterator
         .count(l => l.contains("FileScan") && l.contains("fixtures/ms/main"))
-      val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+      // contains, not trim.startsWith: physical plan lines carry ":- +-"
+      // tree art before the node name
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") ||
+          l.contains("Exchange SinglePartition") ||
+          l.contains("Exchange rangepartitioning"))
       val singleExch = plan.linesIterator
         .count(l => l.contains("Exchange SinglePartition"))
       println(s"== $name: main-table FileScans=$mainScans " +
@@ -39,6 +44,28 @@ object PlanAudit {
     audit("bda.averagedMain",
       Bda.averagedMain(MsTables.main(spark), MsTables.spw(spark),
         MsTables.ddid(spark), Bda.Args()))
+
+    // J2 cost adjudication (VERDICT r9 #7): the full E2 outMain write
+    // plan — averaging + remap + output repartition, exactly what
+    // Bda.run hands to the writer. The r9 refactor dropped the
+    // cross-action persist, so the proof that the averaging shuffle
+    // still runs ONCE is this plan containing a single aggregate over a
+    // single fact scan (the A5/regenerate pre-pass reads the pruned
+    // sizing frame, never the averaged table).
+    locally {
+      val args = graft.queries.BdaQueries.raggedArgs
+      val main = MsTables.main(spark)
+      val spw = MsTables.spw(spark); val ddid = MsTables.ddid(spark)
+      val chanls = Bda.channelisationsSized(main, spw, ddid, args).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+      val (_, _, remapDf) = Bda.regenerate(spark, chanls, spw)
+      val outMain = Bda.remap(Bda.averagedMain(main, spw, ddid, args), remapDf)
+      val p = outMain.queryExecution.executedPlan.toString()
+      val aggs = p.linesIterator.count(l =>
+        l.contains("ObjectHashAggregate") && l.contains("graft_vis_avg"))
+      audit("bda.run outMain (averaging+remap+write layout)", outMain)
+      println(s"== bda.run outMain: graft_vis_avg aggregate nodes=$aggs (2 = one partial+final pair = ONE averaging shuffle)")
+    }
 
     // LLM-pipeline sublinear paths: verify the joins the r7 changes
     // left to AQE plan sanely — no cartesian, no forced-broadcast hint
