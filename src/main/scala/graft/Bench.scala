@@ -112,6 +112,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Opt-in state-store telemetry (GRAFT_STATE_METRICS=1) for the
+    // streaming scale probes: track the max total state rows / bytes
+    // any micro-batch of any query reports since the last reset. The
+    // listener bus is async, so readers sleep briefly before sampling.
+    val stateRowsMax = new java.util.concurrent.atomic.AtomicLong(0)
+    val stateBytesMax = new java.util.concurrent.atomic.AtomicLong(0)
+    if (sys.env.contains("GRAFT_STATE_METRICS"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val ops = e.progress.stateOperators
+            if (ops.nonEmpty) {
+              val rows = ops.map(_.numRowsTotal).sum
+              val bytes = ops.map(_.memoryUsedBytes).sum
+              stateRowsMax.updateAndGet(m => math.max(m, rows))
+              stateBytesMax.updateAndGet(m => math.max(m, bytes))
+              ()
+            }
+          }
+        })
+
     // Process CPU time lets a reader separate contention from regression
     // without re-running: a contended run inflates WALL while this
     // process's CPU stays proportional to actual work (three rounds of
@@ -170,6 +194,12 @@ object Bench {
           f"cpu_cold=${cold.cpu}%.3f cpu_warm=${warm.cpu}%.3f " +
           f"load_cold=${cold.load}%.1f load_warm=${warm.load}%.1f " +
           f"gc_cold=${cold.gcMs}ms gc_warm=${warm.gcMs}ms")
+      if (only.nonEmpty && sys.env.contains("GRAFT_STATE_METRICS")) {
+        Thread.sleep(300) // drain the async listener bus
+        println(s"[state] $name rows_max=${stateRowsMax.get} " +
+          s"bytes_max=${stateBytesMax.get}")
+        stateRowsMax.set(0); stateBytesMax.set(0)
+      }
       Timing(cold, warm)
     }
 
