@@ -98,5 +98,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DotProductL.registryEntry)
     ext.injectFunction(RollingMinHash.registryEntry)
     ext.injectFunction(TokenGramHash.registryEntry)
+    ext.injectFunction(ByteValues.registryEntry)
   }
 }

@@ -98,19 +98,25 @@ object Multimodal {
         when(col("kind") === "image", col("_pix"))
           .otherwise(length(col("payload"))))
       .drop("_pix", "_bmp_hdr")
-    media.repartition(4).write.mode("overwrite").parquet(s"$root/media")
+    // 32 files: media tables must be laid out to DECODE cost, not
+    // bytes — Spark sizes scan splits by bytes (maxPartitionBytes), so
+    // a handful of ~9 MB files caps codec parallelism at a handful of
+    // cores (measured: 4 files ⇒ cpu/wall ≈ 3.5 on local[32]). At
+    // 100 TB the same rule holds: write media with row-count-sized
+    // files (or repartition before the decode stage).
+    media.repartition(32).write.mode("overwrite").parquet(s"$root/media")
   }
 
-  /** Raw payload bytes as an INT array (0–255) from an already-STAGED
-    * uppercase-hex column — the u8-PCM "decode" for audio rows. Native
-    * expressions only. Callers must stage `hex(payload)` with
-    * `withColumn` first: an inlined hex() referenced inside the lambda
-    * would be re-evaluated for every element (O(n²) per row — the
-    * same Catalyst no-CSE-into-lambdas pitfall as shingle staging).
+  /** Raw payload bytes as an INT array (0–255) — the u8-PCM "decode"
+    * for audio rows. A native codegen expression
+    * ([[graft.expressions.ByteValues]]): the hex-string composition it
+    * replaced (`conv(substr(hex(payload), ...))` per element) paid
+    * ~2–4 µs of UTF8String+parse machinery per byte — ~18 s of CPU
+    * over the 1.3 M-byte audio corpus — where a primitive loop pays
+    * nanoseconds.
     */
-  def byteValues(hexPayload: Column): Column =
-    transform(sequence(lit(0), (length(hexPayload) / 2).cast("int") - 1),
-      i => conv(hexPayload.substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
+  def byteValues(payload: Column): Column =
+    graft.expressions.ByteValues(payload)
 
   /** Decoded per-row sample statistics: decoded dims, value count, and
     * sum/min/max over sample values.
@@ -155,20 +161,20 @@ object Multimodal {
     * u8 PCM (sample values = payload bytes, dims pass through).
     */
   def withSampleStats(df: DataFrame): DataFrame = {
-    val bv = byteValues(col("_hexp"))
+    val bv = col("_bv")
     val audioStats = struct(
       col("width").as("dec_width"), col("height").as("dec_height"),
       length(col("payload")).cast("long").as("n_vals"),
-      aggregate(bv, lit(0L), (a, x) => a + x).as("val_sum"),
+      aggregate(bv, lit(0L), (a, x) => a + x.cast("long")).as("val_sum"),
       array_min(bv).as("val_min"), array_max(bv).as("val_max"))
-    // hex only the rows whose branch consumes it — image rows would
-    // otherwise pay an O(bytes) encoding that the codec branch discards
-    df.withColumn("_hexp",
-        when(col("kind") === "audio", hex(col("payload"))))
+    // decode bytes only for the rows whose branch consumes them, staged
+    // once as a column so the three stat references share one pass
+    df.withColumn("_bv",
+        when(col("kind") === "audio", byteValues(col("payload"))))
       .withColumn("_dec",
         when(col("kind") === "image", decodeImage(col("payload")))
           .otherwise(audioStats))
-      .select(col("*"), col("_dec.*")).drop("_dec", "_hexp")
+      .select(col("*"), col("_dec.*")).drop("_dec", "_bv")
   }
 
   case class Resampled(out_sum: Long, out_fp: Long)
@@ -274,16 +280,16 @@ object Multimodal {
   }
 
   def withEmbedding(df: DataFrame, dim: Int = 16): DataFrame = {
-    // hex + byte array staged as columns (inlined inside the lambdas
-    // below they would re-run per element); image rows skip the hex
+    // byte array staged as a column so the dim stride passes share one
+    // decode; image rows skip it (their features come from the codec)
     val strided = transform(sequence(lit(0), lit(dim - 1)), k =>
       aggregate(filter(col("_bv"), (v, i) => i % dim === k),
-        lit(0L), (a, v) => a + v))
-    df.withColumn("_hexp", when(col("kind") === "audio", hex(col("payload"))))
-      .withColumn("_bv", byteValues(col("_hexp")))
+        lit(0L), (a, v) => a + v.cast("long")))
+    df.withColumn("_bv",
+        when(col("kind") === "audio", byteValues(col("payload"))))
       .withColumn("iv",
         when(col("kind") === "image", imageFeatures(dim)(col("payload")))
           .otherwise(strided))
-      .drop("_hexp", "_bv")
+      .drop("_bv")
   }
 }
