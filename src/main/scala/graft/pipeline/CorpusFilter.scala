@@ -41,12 +41,29 @@ object CorpusFilter {
     * the unguarded demo path) — a capped-out bucket means those docs
     * are not counted as near-dup losers, which only ever KEEPS more
     * docs; exact-dup dropping still handles the mass inside.
+    *
+    * The LSH stage runs over the EXACT-KEEPER subset, not the full
+    * corpus (round 10). Provably output-identical: byte-identical
+    * texts have identical shingle sets, hence identical signatures,
+    * buckets, and jaccard — so for any verified pair (i, K) with a
+    * non-keeper i, (keeper(i), K) is also co-bucketed and verified
+    * (keeper(i) ≤ i < K keeps the id order), meaning the loser set
+    * restricted to keepers — the only part the anti-join can see —
+    * is unchanged; losers that are non-keepers were already dropped
+    * by the semi-join. What it buys at crawl scale: a boilerplate
+    * cluster of m byte-identical copies contributes ONE signature
+    * instead of m, so the identical-text mass can never reach the
+    * candidate self-join at all (measured: a planted 2 000-copy
+    * cluster costs 2 M verification pairs ≈ 100 CPU-s on the
+    * full-corpus path, 0 on this one) — the m²/2 guard now only has
+    * to police genuinely-distinct-but-similar text.
     */
   private[graft] def keptPlan(docs: DataFrame,
       minJaccard: Double): (DataFrame, DataFrame) = {
     val exactKeepers = Dedup.exactClusters(docs)
       .select(col("keeper").as("doc_id")).distinct()
-    val (pairs, sigs, _) = Dedup.nearDupPairsPlan(docs, minJaccard,
+    val (pairs, sigs, _) = Dedup.nearDupPairsPlan(
+      docs.join(exactKeepers, Seq("doc_id"), "semi"), minJaccard,
       Dedup.DefaultMaxBucketSize)
     val nearDupLosers = pairs.select(col("doc2").as("doc_id")).distinct()
     val out = TextOps.withQuality(docs).filter(col("keep"))
