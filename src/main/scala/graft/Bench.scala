@@ -109,6 +109,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Scan splits sized to COMPUTE cost, not bytes: MS visibility
+      // rows and media payloads carry ~100× the per-byte decode cost
+      // of flat columns, and at the fixture's MB sizes the 128 MB
+      // default pins whole array-heavy scans on 1-2 tasks (measured:
+      // the 10× MS averaging probes ran at parallelism ≈ 2). 2 MB
+      // keeps small flat tables at one split while letting dense
+      // scans fan out; on a real cluster this knob scales with
+      // bytes-per-core of the densest table.
+      .config("spark.sql.files.maxPartitionBytes", s"${2 * 1024 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -137,10 +137,20 @@ object SyntheticMs {
     // invariant the reference validates, chunking.py:287-289) — write
     // the fixture the same way: one file region per (FIELD, DDID, SCAN)
     // group, rows TIME-ordered within it.
+    // Small row groups (2 MB vs the 128 MB parquet default): scan
+    // parallelism for array-heavy MS rows is byte-splits mapped onto
+    // ROW-GROUP boundaries — a fixture file holding one giant row
+    // group pins its whole decode on one task no matter how
+    // maxPartitionBytes is set (measured: 2 files ⇒ 2-way scan ⇒ the
+    // 10× averaging probes ran at parallelism ≈ 2). A real MS at scale
+    // has thousands of row groups naturally; the fixture needs them
+    // forced only because it is small.
     main
       .repartition(col("FIELD_ID"), col("DATA_DESC_ID"), col("SCAN_NUMBER"))
       .sortWithinPartitions("TIME", "ANTENNA1", "ANTENNA2")
-      .write.mode("overwrite").parquet(s"$root/main")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 2L * 1024 * 1024)
+      .parquet(s"$root/main")
 
     // --- subtables (driver-side: cardinality = O(#SPWs), always tiny) ----
     // casacore keys subtables by implicit row number; a columnar layout
