@@ -59,17 +59,16 @@ object MsQueries {
   private def visFlat(s: SparkSession, dataCol: String, chanBin: Int): DataFrame =
     visFlatFrom(prepped(s, 60000.0), dataCol, chanBin)
 
-  /** Same kernel over an already-prepped frame (FROW + BIN assigned) —
-    * shared by the batch entries and the streaming st2 entry, which
-    * preps via a static T0 pre-pass + stream-static join.
+  /** The (chan, corr)-exploded integer-lifted sample cells the A1/A2
+    * kernel aggregates — shared by the batch/st2 grain (BIN in
+    * `carry`) and the st10 event-time grain (TS in `carry`).
     */
-  private[queries] def visFlatFrom(p: DataFrame, dataCol: String,
-                                   chanBin: Int): DataFrame = {
-    val cells = p
-      .select((keys :+ "FROW").map(col) ++ Seq(
+  private[queries] def visCells(p: DataFrame, dataCol: String,
+      chanBin: Int, carry: Seq[String]): DataFrame =
+    p.select((carry :+ "FROW").map(col) ++ Seq(
         col("FLAG"), col("WEIGHT_SPECTRUM"),
         posexplode(col(dataCol)).as(Seq("CHAN", "CA"))): _*)
-      .select((keys :+ "FROW").map(col) ++ Seq(
+      .select((carry :+ "FROW").map(col) ++ Seq(
         col("FLAG"), col("WEIGHT_SPECTRUM"), col("CHAN"),
         posexplode(col("CA")).as(Seq("CORR", "V"))): _*)
       .withColumn("FL", expr("FLAG[CHAN][CORR]"))
@@ -78,23 +77,37 @@ object MsQueries {
       .withColumn("VI", expr("CAST(round(V.im * 1000) AS BIGINT)"))
       .withColumn("EFF", !col("FROW") && !col("FL"))
       .withColumn("CHAN_BIN", expr(s"CAST(CHAN div $chanBin AS INT)"))
-    cells
-      .groupBy((keys :+ "CHAN_BIN" :+ "CORR").map(col): _*)
-      .agg(
-        count(lit(1)).as("n_samp"),
-        sum(when(col("EFF"), 1L).otherwise(0L)).as("n_unflagged"),
-        sum(when(col("EFF"), col("VR") * col("WI"))).as("re_eff"),
-        sum(when(col("EFF"), col("VI") * col("WI"))).as("im_eff"),
-        sum(when(col("EFF"), col("WI"))).as("w_eff"),
-        sum(col("VR") * col("WI")).as("re_nom"),
-        sum(col("VI") * col("WI")).as("im_nom"),
-        sum(col("WI")).as("w_nom"))
-      .select((keys :+ "CHAN_BIN" :+ "CORR").map(col) ++ Seq(
-        col("n_samp"),
-        (col("n_unflagged") === 0L).as("flag_out"),
-        when(col("n_unflagged") > 0, col("re_eff")).otherwise(col("re_nom")).as("re_num"),
-        when(col("n_unflagged") > 0, col("im_eff")).otherwise(col("im_nom")).as("im_num"),
-        when(col("n_unflagged") > 0, col("w_eff")).otherwise(col("w_nom")).as("w_den")): _*)
+
+  /** The dual-population (effective/nominal) aggregate columns. */
+  private[queries] val visAggExprs: Seq[Column] = Seq(
+    count(lit(1)).as("n_samp"),
+    sum(when(col("EFF"), 1L).otherwise(0L)).as("n_unflagged"),
+    sum(when(col("EFF"), col("VR") * col("WI"))).as("re_eff"),
+    sum(when(col("EFF"), col("VI") * col("WI"))).as("im_eff"),
+    sum(when(col("EFF"), col("WI"))).as("w_eff"),
+    sum(col("VR") * col("WI")).as("re_nom"),
+    sum(col("VI") * col("WI")).as("im_nom"),
+    sum(col("WI")).as("w_nom"))
+
+  /** The population pick (all-flagged bin ⇒ nominal) as output cols. */
+  private[queries] val visOutExprs: Seq[Column] = Seq(
+    col("n_samp"),
+    (col("n_unflagged") === 0L).as("flag_out"),
+    when(col("n_unflagged") > 0, col("re_eff")).otherwise(col("re_nom")).as("re_num"),
+    when(col("n_unflagged") > 0, col("im_eff")).otherwise(col("im_nom")).as("im_num"),
+    when(col("n_unflagged") > 0, col("w_eff")).otherwise(col("w_nom")).as("w_den"))
+
+  /** Same kernel over an already-prepped frame (FROW + BIN assigned) —
+    * shared by the batch entries and the streaming st2 entry, which
+    * preps via a static T0 pre-pass + stream-static join.
+    */
+  private[queries] def visFlatFrom(p: DataFrame, dataCol: String,
+                                   chanBin: Int): DataFrame = {
+    val outKeys = keys :+ "CHAN_BIN" :+ "CORR"
+    visCells(p, dataCol, chanBin, keys)
+      .groupBy(outKeys.map(col): _*)
+      .agg(visAggExprs.head, visAggExprs.tail: _*)
+      .select(outKeys.map(col) ++ visOutExprs: _*)
   }
 
   private[queries] def visFlatSql(dataCol: String, chanBin: Int): String =
@@ -112,6 +125,42 @@ object MsQueries {
                LATERAL (SELECT unnest(range(len($dataCol[1]))) AS corr) k)
         SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, BIN,
                CHAN_BIN, CORR,
+               count(*) AS n_samp,
+               (count(*) FILTER (EFF) = 0) AS flag_out,
+               CAST(CASE WHEN count(*) FILTER (EFF) > 0
+                    THEN sum(VR * WI) FILTER (EFF) ELSE sum(VR * WI) END AS BIGINT) AS re_num,
+               CAST(CASE WHEN count(*) FILTER (EFF) > 0
+                    THEN sum(VI * WI) FILTER (EFF) ELSE sum(VI * WI) END AS BIGINT) AS im_num,
+               CAST(CASE WHEN count(*) FILTER (EFF) > 0
+                    THEN sum(WI) FILTER (EFF) ELSE sum(WI) END AS BIGINT) AS w_den
+        FROM cells GROUP BY ALL"""
+
+  /** The kernel on the ABSOLUTE (epoch-aligned) 60 000 s grid — the
+    * st10 event-time-window oracle: same cells/dual-population SQL,
+    * `WIN_START = floor(TIME / 60000) * 60000` replacing the
+    * T0-anchored BIN (and therefore no t0 join at all).
+    */
+  private[queries] def visFlatAbsSql(dataCol: String, chanBin: Int): String =
+    s"""WITH m AS (
+          SELECT *, list_aggregate(flatten(FLAG), 'bool_and') AS FROW
+          FROM ${rp("main")} WHERE ANTENNA1 <> ANTENNA2),
+        p AS (
+          SELECT m.*, CAST(floor(TIME / 60000.0) AS BIGINT) * 60000 AS WIN_START
+          FROM m),
+        cells AS (
+          SELECT WIN_START, FIELD_ID, DATA_DESC_ID, SCAN_NUMBER,
+                 ANTENNA1, ANTENNA2,
+                 CAST(c.chan // $chanBin AS INTEGER) AS CHAN_BIN,
+                 CAST(k.corr AS INTEGER) AS CORR,
+                 (NOT FROW AND NOT FLAG[c.chan+1][k.corr+1]) AS EFF,
+                 CAST(round($dataCol[c.chan+1][k.corr+1].re * 1000) AS BIGINT) AS VR,
+                 CAST(round($dataCol[c.chan+1][k.corr+1].im * 1000) AS BIGINT) AS VI,
+                 CAST(round(WEIGHT_SPECTRUM[c.chan+1][k.corr+1] * 100) AS BIGINT) AS WI
+          FROM p,
+               LATERAL (SELECT unnest(range(len($dataCol))) AS chan) c,
+               LATERAL (SELECT unnest(range(len($dataCol[1]))) AS corr) k)
+        SELECT WIN_START, FIELD_ID, DATA_DESC_ID, SCAN_NUMBER,
+               ANTENNA1, ANTENNA2, CHAN_BIN, CORR,
                count(*) AS n_samp,
                (count(*) FILTER (EFF) = 0) AS flag_out,
                CAST(CASE WHEN count(*) FILTER (EFF) > 0

@@ -464,6 +464,78 @@ object StreamingQueries {
     // emits each bucket once. Oracle: the SAME SQL as batch ev5 — the
     // last event-operator family without a streaming proof (VERDICT r9
     // #5).
+    // The A1/A2 kernel in its SCALE form: event-time windows + watermark
+    // in APPEND mode — state holds only OPEN windows and each bin is
+    // emitted exactly once when the watermark passes it, vs st2's
+    // complete-mode twin whose state == the whole output re-emitted per
+    // trigger (measured output-bound linear at 10×, DESIGN.md "streaming
+    // 10× probes"). Differences from st2, both deliberate: the time grid
+    // is ABSOLUTE (epoch-aligned windows — what window() computes with
+    // no per-group T0 pre-pass, so the stream needs NO static join at
+    // all: one watermarked shuffle is the whole plan), and arrival is
+    // TIME-ordered (st7-style staged slices), so windows close and
+    // evict MID-STREAM, not just at the end; a far-future flush slice
+    // (one cross-corr row) closes the last real windows while its own
+    // window stays past the watermark and is never emitted. Oracle: the
+    // batch cells/dual-population SQL on the same absolute grid.
+    "st10_stream_visavg_update" -> ((s, _) => {
+      import java.io.File
+      import java.nio.file.Files
+      import graft.ops.Flags
+      val name = "graft_st10_sink"
+      val main = graft.ms.MsTables.main(s)
+      val tmp = Files.createTempDirectory("graft_st10").toFile
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try {
+        val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
+        def stage(df: DataFrame, idx: Int): Unit = {
+          val staging = new File(tmp, s"staging_$idx")
+          df.coalesce(1).write.parquet(staging.getAbsolutePath)
+          val f = staging.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new File(streamDir, f"$idx%03d_slice.parquet")
+          Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(1000000L * idx); ()
+        }
+        // time-ordered slices WITHOUT a global sort: the distinct TIME
+        // grid is O(nTime) (the same tiny-dimension collect as the BDA
+        // channelisation set), so slicing is 4 parallel filtered
+        // writes — an ntile-over-one-window staging here pushed the
+        // whole array-heavy table through one sort task
+        val times = main.select("TIME").distinct()
+          .collect().map(_.getDouble(0)).sorted
+        val per = math.max(1, math.ceil(times.length / 4.0).toInt)
+        times.grouped(per).zipWithIndex.foreach { case (ts, i) =>
+          stage(main.filter(col("TIME").isin(ts: _*)), i + 1)
+        }
+        // flush: one far-future cross-corr row advances the watermark
+        // past every real window; its own window never closes
+        stage(Flags.filterAutocorr(main).limit(1)
+          .withColumn("TIME", lit(6.0e6)), 5)
+        val src = s.readStream.schema(main.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(streamDir.getAbsolutePath)
+        val prep = Flags.filterAutocorr(src)
+          .withColumn("FROW", Flags.derivedFlagRow)
+          // TIME is exact-grid seconds; micros lift is exact
+          .withColumn("TS", timestamp_micros((col("TIME") * 1e6).cast("long")))
+        val groupCols =
+          Seq("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "ANTENNA1", "ANTENNA2")
+        val outKeys = groupCols :+ "CHAN_BIN" :+ "CORR"
+        val cells = MsQueries.visCells(prep, "DATA", 4, "TS" +: groupCols)
+        val agged = cells
+          .withWatermark("TS", "0 seconds")
+          .groupBy(window(col("TS"), "60000 seconds") +:
+            outKeys.map(col): _*)
+          .agg(MsQueries.visAggExprs.head, MsQueries.visAggExprs.tail: _*)
+          .select(unix_timestamp(col("window.start")).as("WIN_START") +:
+            outKeys.map(col) ++: MsQueries.visOutExprs: _*)
+        sinkToLocal(s, name, agged, "append")
+      } finally rm(tmp)
+    }),
+
     "st9_stream_retention" -> ((s, d) => {
       import s.implicits._
       import java.io.File
@@ -559,6 +631,11 @@ object StreamingQueries {
     // Identical to the batch ev5 oracle — the incremental cohort state
     // must assemble the same retention matrix cell for cell.
     "st9_stream_retention" -> EventQueries.oracleSql("ev5_retention"),
+
+    // The batch kernel on the absolute event-time grid — append-mode
+    // watermark emission must reproduce every closed window exactly
+    // (and emit nothing for the flush row's own still-open window).
+    "st10_stream_visavg_update" -> MsQueries.visFlatAbsSql("DATA", 4),
 
     // Identical to the batch pl_k2 sketch CTE — the streamed sketch's
     // d×w count matrix must equal the batch build cell for cell.
