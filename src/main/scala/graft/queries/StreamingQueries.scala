@@ -77,10 +77,10 @@ object StreamingQueries {
     import java.nio.file.Files
     val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
     val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
-    val sliced = ev.withColumn("_slice", ntile(n).over(w))
+    val sliced = ev.withColumn("gslice", ntile(n).over(w))
     (1 to n).foreach { i =>
       val staging = new File(tmp, s"staging_$i")
-      sliced.filter(col("_slice") === i).drop("_slice")
+      sliced.filter(col("gslice") === i).drop("gslice")
         .coalesce(1).write.parquet(staging.getAbsolutePath)
       val f = staging.listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -368,10 +368,10 @@ object StreamingQueries {
         // harness-scale global sort (ntile over one window) — staging
         // only; the streamed plan below never sorts
         val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
-        val sliced = ev.withColumn("_slice", ntile(4).over(w))
+        val sliced = ev.withColumn("gslice", ntile(4).over(w))
         (1 to 4).foreach { i =>
           val staging = new File(tmp, s"staging_$i")
-          sliced.filter(col("_slice") === i).drop("_slice")
+          sliced.filter(col("gslice") === i).drop("gslice")
             .coalesce(1).write.parquet(staging.getAbsolutePath)
           val f = staging.listFiles()
             .filter(_.getName.endsWith(".parquet")).head
@@ -488,32 +488,59 @@ object StreamingQueries {
       def rm(f: File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
+      // NOTE: no-data micro-batches must stay ENABLED here (unlike
+      // st7's scoped disable): the watermark a batch RUNS WITH is
+      // computed from the previous batch's data, so the windows the
+      // flush row closes are emitted by the no-data batch AFTER it —
+      // an inner join emits at match time, an append aggregation
+      // emits a batch later (verified: disabling drops the final
+      // window generation, 64 512 of 129 024 rows).
+      // State partitions sized to the state (st7's rule): 6 batches ×
+      // 32 stores is commit overhead, not parallelism — 8 suffices
+      // for the open-window state at both probe scales.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
-        def stage(df: DataFrame, idx: Int): Unit = {
-          val staging = new File(tmp, s"staging_$idx")
-          df.coalesce(1).write.parquet(staging.getAbsolutePath)
-          val f = staging.listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
+        def place(f: File, idx: Int): Unit = {
           val dst = new File(streamDir, f"$idx%03d_slice.parquet")
           Files.move(f.toPath, dst.toPath)
           dst.setLastModified(1000000L * idx); ()
         }
         // time-ordered slices WITHOUT a global sort: the distinct TIME
         // grid is O(nTime) (the same tiny-dimension collect as the BDA
-        // channelisation set), so slicing is 4 parallel filtered
-        // writes — an ntile-over-one-window staging here pushed the
-        // whole array-heavy table through one sort task
+        // channelisation set), so slice assignment is a literal CASE on
+        // TIME boundaries and ALL slices land in one scan + one
+        // partitioned write (repartition on _slice ⇒ one file per
+        // slice) — an ntile-over-one-window staging here pushed the
+        // whole array-heavy table through one sort task, and per-slice
+        // filtered writes re-scanned the table once per slice
         val times = main.select("TIME").distinct()
           .collect().map(_.getDouble(0)).sorted
         val per = math.max(1, math.ceil(times.length / 4.0).toInt)
-        times.grouped(per).zipWithIndex.foreach { case (ts, i) =>
-          stage(main.filter(col("TIME").isin(ts: _*)), i + 1)
+        val bounds = times.grouped(per).map(_.last).toSeq // 4 upper bounds
+        // ascending CASE chain: first matching bound wins
+        val sliceOf = bounds.init.zipWithIndex.drop(1)
+          .foldLeft(when(col("TIME") <= bounds.head, 1)) {
+            case (acc, (hi, i)) => acc.when(col("TIME") <= hi, i + 1)
+          }.otherwise(bounds.size)
+        val staging = new File(tmp, "staging")
+        main.withColumn("gslice", sliceOf)
+          .repartition(col("gslice"))
+          .write.partitionBy("gslice").parquet(staging.getAbsolutePath)
+        (1 to bounds.size).foreach { i =>
+          val f = new File(staging, s"gslice=$i").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          place(f, i)
         }
         // flush: one far-future cross-corr row advances the watermark
         // past every real window; its own window never closes
-        stage(Flags.filterAutocorr(main).limit(1)
-          .withColumn("TIME", lit(6.0e6)), 5)
+        val fstage = new File(tmp, "staging_flush")
+        Flags.filterAutocorr(main).limit(1)
+          .withColumn("TIME", lit(6.0e6))
+          .coalesce(1).write.parquet(fstage.getAbsolutePath)
+        place(fstage.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head, 5)
         val src = s.readStream.schema(main.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(streamDir.getAbsolutePath)
@@ -533,7 +560,10 @@ object StreamingQueries {
           .select(unix_timestamp(col("window.start")).as("WIN_START") +:
             outKeys.map(col) ++: MsQueries.visOutExprs: _*)
         sinkToLocal(s, name, agged, "append")
-      } finally rm(tmp)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        rm(tmp)
+      }
     }),
 
     "st9_stream_retention" -> ((s, d) => {
