@@ -63,7 +63,7 @@ object MsQueries {
     * kernel aggregates — shared by the batch/st2 grain (BIN in
     * `carry`) and the st10 event-time grain (TS in `carry`).
     */
-  private[queries] def visCells(p: DataFrame, dataCol: String,
+  private[graft] def visCells(p: DataFrame, dataCol: String,
       chanBin: Int, carry: Seq[String]): DataFrame =
     p.select((carry :+ "FROW").map(col) ++ Seq(
         col("FLAG"), col("WEIGHT_SPECTRUM"),
@@ -79,7 +79,7 @@ object MsQueries {
       .withColumn("CHAN_BIN", expr(s"CAST(CHAN div $chanBin AS INT)"))
 
   /** The dual-population (effective/nominal) aggregate columns. */
-  private[queries] val visAggExprs: Seq[Column] = Seq(
+  private[graft] val visAggExprs: Seq[Column] = Seq(
     count(lit(1)).as("n_samp"),
     sum(when(col("EFF"), 1L).otherwise(0L)).as("n_unflagged"),
     sum(when(col("EFF"), col("VR") * col("WI"))).as("re_eff"),
@@ -90,7 +90,7 @@ object MsQueries {
     sum(col("WI")).as("w_nom"))
 
   /** The population pick (all-flagged bin ⇒ nominal) as output cols. */
-  private[queries] val visOutExprs: Seq[Column] = Seq(
+  private[graft] val visOutExprs: Seq[Column] = Seq(
     col("n_samp"),
     (col("n_unflagged") === 0L).as("flag_out"),
     when(col("n_unflagged") > 0, col("re_eff")).otherwise(col("re_nom")).as("re_num"),

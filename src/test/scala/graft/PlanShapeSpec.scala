@@ -367,4 +367,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject in:\n$p")
   }
+
+  test("st10 kernel shape: absolute-grid window agg is join-free, one scan") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Flags
+    // The batch composition of st10's streaming plan (window() works
+    // identically in batch): absolute-grid windows need no T0
+    // pre-pass, so there must be NO join and exactly ONE main-table
+    // scan — vs st2's stream-static T0 broadcast join. One
+    // partial+final aggregate pair over the window key is the whole
+    // wide section.
+    val prep = Flags.filterAutocorr(MsTables.main(spark))
+      .withColumn("FROW", Flags.derivedFlagRow)
+      .withColumn("TS", timestamp_micros((col("TIME") * 1e6).cast("long")))
+    val groupCols =
+      Seq("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "ANTENNA1", "ANTENNA2")
+    val outKeys = groupCols :+ "CHAN_BIN" :+ "CORR"
+    val cells = graft.queries.MsQueries.visCells(prep, "DATA", 4,
+      "TS" +: groupCols)
+    val agged = cells
+      .groupBy(window(col("TS"), "60000 seconds") +: outKeys.map(col): _*)
+      .agg(graft.queries.MsQueries.visAggExprs.head,
+        graft.queries.MsQueries.visAggExprs.tail: _*)
+    val p = plan(agged)
+    assert(!p.contains("Join"), s"absolute grid must not plan a join:\n$p")
+    assert(mainScans(p) == 1, s"expected ONE main-table scan:\n$p")
+    assertNoGlobalSort(p, "st10 kernel")
+  }
 }
