@@ -105,6 +105,20 @@ object StreamingQueries {
     streamDir
   }
 
+  /** Run `body` with shuffle partitions (= state-store partitions for
+    * any stream started inside) scoped to `n`, restoring after. The
+    * st7 sizing rule applied suite-wide (round 10): a micro-batch
+    * commits every state store instance, so 32 partitions for a
+    * bench-scale state is commit overhead, not parallelism — scoping
+    * to 8 halved st10's CPU. At production state scale this knob goes
+    * UP; the point is it is a per-stream sizing decision.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val queries: Map[String, Q] = Map(
     // W2+A1 streaming-shape: 1-hour event-time tumbling windows per
     // user over the events table, run through the streaming engine
@@ -128,7 +142,7 @@ object StreamingQueries {
         .select(unix_timestamp(col("window.start")).as("win_start_epoch"),
           col("user_id"), col("n_events"),
           col("value_sum_c").cast("long").as("value_sum_c"))
-      sinkToLocal(s, name, windowed, "complete")
+      withStatePartitions(s, 8)(sinkToLocal(s, name, windowed, "complete"))
     }),
 
     // The engine's CORE kernel — flag-aware dual-population visibility
@@ -159,7 +173,7 @@ object StreamingQueries {
         .withColumn("BIN",
           floor((col("TIME") - col("T0")) / 60000.0).cast("int"))
       val avg = MsQueries.visFlatFrom(prep, "DATA", 4)
-      sinkToLocal(s, name, avg, "complete")
+      withStatePartitions(s, 8)(sinkToLocal(s, name, avg, "complete"))
     }),
 
     // Stateful sessionization via flatMapGroupsWithState: the real
@@ -234,8 +248,8 @@ object StreamingQueries {
     // pl_d1_exact_clusters — streaming must reproduce batch exactly.
     "st4_stream_dedup" -> ((s, d) => {
       val (src, cleanup) = stagedFileStream(s, Tables.documents(s, d), 4)
-      try sinkToLocal(s, "graft_st4_sink",
-        graft.streaming.EventStream.exactClusters(src), "complete")
+      try withStatePartitions(s, 8)(sinkToLocal(s, "graft_st4_sink",
+        graft.streaming.EventStream.exactClusters(src), "complete"))
       finally cleanup()
     }),
 
@@ -252,8 +266,8 @@ object StreamingQueries {
       val (src, cleanup) = stagedFileStream(s, Tables.documents(s, d), 4)
       val toks = src.select(explode(split(col("text"), " ")).as("tok"))
         .where(col("tok") =!= "")
-      try sinkToLocal(s, "graft_st5_sink",
-        graft.pipeline.Sketches.cmsSketch(toks, col("tok")), "complete")
+      try withStatePartitions(s, 8)(sinkToLocal(s, "graft_st5_sink",
+        graft.pipeline.Sketches.cmsSketch(toks, col("tok")), "complete"))
       finally cleanup()
     }),
 
@@ -305,16 +319,18 @@ object StreamingQueries {
             col("user_id"), col("n_events"),
             col("value_sum_c").cast("long").as("value_sum_c"))
         s.catalog.dropTempView(name)
-        val q = windowed.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try {
-          q.processAllAvailable() // batch 1: watermark -> max(TS) - 2h
-          // the planted late batch: year-old copies, all behind the
-          // watermark — the engine must drop every one of them
-          stage(ev.filter(pmod(col("event_id"), lit(97)) === 0)
-            .withColumn("ts", col("ts") - expr("INTERVAL 365 DAYS")), "001")
-          q.processAllAvailable() // batch 2: drop late, emit closed windows
-        } finally q.stop()
+        withStatePartitions(s, 8) {
+          val q = windowed.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable() // batch 1: watermark -> max(TS) - 2h
+            // the planted late batch: year-old copies, all behind the
+            // watermark — the engine must drop every one of them
+            stage(ev.filter(pmod(col("event_id"), lit(97)) === 0)
+              .withColumn("ts", col("ts") - expr("INTERVAL 365 DAYS")), "001")
+            q.processAllAvailable() // batch 2: drop late, emit closed windows
+          } finally q.stop()
+        }
         val out = s.table(name).collect()
         s.createDataFrame(
           java.util.Arrays.asList(out: _*), s.table(name).schema)
