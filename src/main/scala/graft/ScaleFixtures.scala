@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleFixtures {
   def scaledEvents(s: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     val ev = s.read.parquet(s"$srcDir/events.parquet")
     val (uStride, eStride) = {
       val r = ev.agg(max("user_id"), max("event_id")).head()

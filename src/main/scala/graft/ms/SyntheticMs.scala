@@ -36,7 +36,12 @@ object SyntheticMs {
   val root = sys.env.getOrElse("GRAFT_MS_ROOT", "/root/repo/fixtures/ms")
 
   val nAnt   = 64
-  val nTime  = sys.env.get("GRAFT_MS_NTIME").map(_.toInt).getOrElse(4)
+  val nTime  = {
+    val n = sys.env.get("GRAFT_MS_NTIME").map(_.toInt).getOrElse(4)
+    require(n >= 2 && n % 2 == 0,
+      s"GRAFT_MS_NTIME must be even and >= 2 (FIELD/SCAN flips halfway), got $n")
+    n
+  }
   val time0  = 5000000.0 // seconds (MJD-like epoch), exact double
   val dt     = 30000.0   // INTERVAL seconds, exact double
 
