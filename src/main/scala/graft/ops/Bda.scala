@@ -106,7 +106,10 @@ object Bda {
       .agg(max(bl).as("BL_MAX"), min(col("INTERVAL")).as("DT_MIN"),
         first(col("FREQ_MAX")).as("FREQ_MAX"),
         first(col("CHAN_WIDTH_0")).as("CHAN_WIDTH_0"),
-        first(col("NUM_CHAN")).as("NUM_CHAN"))
+        first(col("NUM_CHAN")).as("NUM_CHAN"),
+        // per-baseline TIME span: rides the same scan for free, feeds
+        // the output-group estimate behind avgExchangeWidth
+        (max(col("TIME")) - min(col("TIME"))).as("T_SPAN"))
       // Autocorrelations (|uv| = 0) don't smear: no decorrelation limit,
       // so both bounds degenerate to "unconstrained" (the time cap and
       // min_nchan floor still apply). Guarded explicitly rather than
@@ -130,16 +133,64 @@ object Bda {
               (d.cast("double") * col("CHAN_WIDTH_0") <= col("DNU_MAX") &&
                 col("NUM_CHAN") / d >= args.minNchan)))).cast("int"))
       .select((keys.map(col) :+ col("NUM_CHAN") :+
-        col("TIME_BIN_SECS") :+ col("CHAN_BIN")): _*)
+        col("TIME_BIN_SECS") :+ col("CHAN_BIN") :+ col("T_SPAN")): _*)
   }
 
   /** Join the per-baseline sizing back onto the fact table (NUM_CHAN is
-    * dropped from the broadcast side — the fact frame already has it).
+    * dropped from the broadcast side — the fact frame already has it;
+    * T_SPAN is sizing-internal).
     */
   def withBinParams(df: DataFrame, args: Args): DataFrame =
+    joinBinParams(df, binParams(df, args))
+
+  private def joinBinParams(df: DataFrame, bp: DataFrame): DataFrame =
     df.join(
-      broadcast(binParams(df, args).drop("NUM_CHAN")),
+      broadcast(bp.drop("NUM_CHAN", "T_SPAN")),
       TimeAvg.GroupCols ++ Seq("ANTENNA1", "ANTENNA2"))
+
+  /** Estimated resident+serialized bytes per aggregation-state cell of
+    * [[graft.expressions.VisAvgAgg]]: 8 double stat arrays + 1 long
+    * count (72 B) plus one serialized copy alive on the merge path.
+    */
+  val StateBytesPerCell = 144L
+  /** Per-partition aggregation-state budget for the averaging shuffle
+    * (default; override with `spark.graft.avg.statePartitionBytes` —
+    * on a cluster this knob tracks executor memory per task slot).
+    */
+  val TargetStateBytesPerPartition: Long = 64L << 20
+
+  /** Derived exchange width for the averaging shuffle (the 100× scale
+    * boundary, DESIGN.md "100× point"): per-partition
+    * ObjectHashAggregate state must stay bounded as data grows, so the
+    * partition count is COMPUTED from the tiny per-baseline sizing
+    * frame — estimated state = Σ_baselines (span/bin + 1) ×
+    * (nchan/chan_bin) × ncorr × [[StateBytesPerCell]] per data column —
+    * instead of inherited from the session pin (which sizes partitions
+    * to cores, correct at bench SF and wrong at 100×). Returns None
+    * when the session default already bounds state: the bench-scale
+    * plan (and its map-side partial aggregation) stays untouched, and
+    * the repartition only appears at scales where per-group state
+    * dominates and map-side combine is ~1 row/group anyway.
+    */
+  def avgExchangeWidth(bp: DataFrame, ncorr: Int, nDataCols: Int,
+                       sessionParts: Int): Option[Int] = {
+    val estRow = bp.agg(sum(
+      (floor(col("T_SPAN") / col("TIME_BIN_SECS")) + 1) *
+        (col("NUM_CHAN") / col("CHAN_BIN")).cast("long") *
+        lit(ncorr.toLong * nDataCols * StateBytesPerCell)).as("est")).head()
+    if (estRow.isNullAt(0)) return None
+    val est = estRow.getAs[Number](0).longValue()
+    val target = bp.sparkSession.conf
+      .getOption("spark.graft.avg.statePartitionBytes")
+      .orElse(sys.env.get("GRAFT_AVG_STATE_PARTITION_BYTES"))
+      .map(_.toLong).getOrElse(TargetStateBytesPerPartition)
+    val derived = math.ceil(est.toDouble / target).toInt
+    val chosen = if (derived > sessionParts) Some(derived) else None
+    println(s"[xova] bda averaging-exchange sizing: est_state=${est >> 20} MB " +
+      s"target/part=${target >> 20} MB derived=$derived " +
+      s"session=$sessionParts -> ${chosen.getOrElse(s"session ($sessionParts)")}")
+    chosen
+  }
 
   /** J1 + selection/flag prep: join SPW channel metadata onto the main
     * table (averaging.py:306-308) and derive FROW.
@@ -170,7 +221,8 @@ object Bda {
     */
   def averagedMain(main: DataFrame, spw: DataFrame, ddid: DataFrame, args: Args): DataFrame = {
     val prep0 = prepared(main, spw, ddid, args)
-    val prep = withBinParams(prep0, args)
+    val bp = binParams(prep0, args)
+    val prep = joinBinParams(prep0, bp)
     // grid binning anchored at the group t0, per-baseline bin width.
     // t0 is computed from the PRE-sizing frame: anchoring it on `prep`
     // would nest a second copy of the withBinParams subtree (and its
@@ -203,7 +255,23 @@ object Bda {
     }
     val firstTo = args.dataCols.head._2
 
-    val agged = binned
+    // Averaging-exchange width derived from the sizing frame (see
+    // avgExchangeWidth): when the estimated aggregation state outgrows
+    // the session's shuffle-partition pin, pre-hash-partition on the
+    // FULL bin key at the derived width — the aggregate's distribution
+    // requirement is then already satisfied, so this IS the averaging
+    // shuffle (one exchange either way), just wide enough that
+    // per-partition state stays under the budget. ncorr read from one
+    // WEIGHT row (tiny column-pruned job).
+    val sessionParts =
+      main.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ncorr = main.select(size(col("WEIGHT")).as("n")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(4)
+    val width = avgExchangeWidth(bp, ncorr, args.dataCols.size, sessionParts)
+    val toAgg =
+      width.fold(binned)(n => binned.repartition(n, TimeAvg.BinKey.map(col): _*))
+
+    val agged = toAgg
       .groupBy(TimeAvg.BinKey.map(col): _*)
       .agg(rowAgg, (visAggs :+
         first(col("TOTAL_BANDWIDTH")).as("_TBW")): _*)
