@@ -35,9 +35,33 @@ object ScaleFixtures {
     }.reduce(_ union _)
   }
 
+  /** N× documents corpus as N VOCABULARY-DISJOINT copies (the sf1
+    * construction, now reproducible at any factor): every token of
+    * copy i is prefixed `c<i>` — a per-copy bijective token mapping,
+    * so within-copy shingle/n-gram similarity structure (hence the
+    * dup-pair and cluster profile) is preserved EXACTLY while
+    * cross-copy similarity is zero; pair/cluster counts scale ~N.
+    * doc_id offsets by i·(max_doc_id+1).
+    */
+  def scaledDocs(s: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val docs = s.read.parquet(s"$srcDir/documents.parquet")
+    val dStride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    (0 until factor).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * dStride)).as("doc_id"),
+        concat_ws(" ",
+          transform(split(col("text"), " "),
+            t => concat(lit(s"c$i"), t))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleFixtures <srcSfDir> <outDir> <factor>")
-    val Array(src, out, f) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleFixtures <srcSfDir> <outDir> <factor> [events|documents]")
+    val Array(src, out, f) = args.take(3)
+    val table = if (args.length == 4) args(3) else "events"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -49,10 +73,13 @@ object ScaleFixtures {
     import java.nio.file.Files
     val outDir = new File(out); outDir.mkdirs()
     val staging = new File(outDir, "_staging")
-    scaledEvents(spark, src, f.toInt)
+    val scaled =
+      if (table == "documents") scaledDocs(spark, src, f.toInt)
+      else scaledEvents(spark, src, f.toInt)
+    scaled
       .coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
     val part = staging.listFiles().filter(_.getName.endsWith(".parquet")).head
-    val dst = new File(outDir, "events.parquet")
+    val dst = new File(outDir, s"$table.parquet")
     if (dst.exists()) dst.delete()
     Files.move(part.toPath, dst.toPath)
     Option(staging.listFiles()).foreach(_.foreach(_.delete()))

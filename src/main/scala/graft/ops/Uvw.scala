@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.UserDefinedFunction
 
 /** UVW synthesis (SURVEY §2.7 F5, §2.10 U1): recompute baseline UVW
   * coordinates from antenna ECEF positions, the phase-centre direction
@@ -26,10 +25,17 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
   * tested invariants.
   *
   * Execution shape: the antenna POSITION table (≤ thousands of rows) is
-  * collected once and closed over by a scalar UDF; synthesis is then a
-  * pure per-row projection — no join, no shuffle, trivially parallel at
-  * 100 TB (the reference is forced to run this sequentially because
-  * casacore measures is not thread-safe, fixvis.py:129-131).
+  * broadcast-joined twice (A1/A2 position lookups) and the GMST
+  * polynomial + rotation are pure BUILT-IN column arithmetic
+  * (sin/cos/radians/% — all codegen'd, VERDICT r10 #5 retired the
+  * scalar UDF that used to close over a collected position map);
+  * synthesis is a per-row projection inside whole-stage codegen — no
+  * shuffle, trivially parallel at 100 TB (the reference is forced to
+  * run this sequentially because casacore measures is not thread-safe,
+  * fixvis.py:129-131). The scalar [[gmstRad]]/[[baselineUvw]] remain as
+  * the spec'd reference semantics; the column form mirrors their
+  * association order term for term, and the oracle's 0.1 mm grid
+  * absorbs the ≤1 ulp libm-vs-JVM trig spread either way.
   */
 object Uvw {
 
@@ -67,14 +73,32 @@ object Uvw {
     (s * (-s + (2 * na + 1))).divide(2).cast("long") + abs(a1 - a2)
   }
 
-  /** UDF synthesizing UVW from (TIME, ANTENNA1, ANTENNA2, RA, DEC);
-    * positions indexed by ANTENNA_ID.
+  /** [[gmstRad]] as a pure column expression — identical literals and
+    * association order, so the only per-platform spread is ≤1 ulp of
+    * libm trig (far below the oracle's 0.1 mm grid).
     */
-  def synthUdf(positions: Map[Int, Array[Double]]): UserDefinedFunction =
-    udf((t: Double, a1: Int, a2: Int, ra: Double, dec: Double) => {
-      val p = positions(a1); val q = positions(a2)
-      baselineUvw(p(0) - q(0), p(1) - q(1), p(2) - q(2), ra, dec, t).toSeq
-    })
+  def gmstRadCol(mjdSec: Column): Column = {
+    val d = (mjdSec / 86400.0 + 2400000.5) - 2451545.0
+    val t = d / 36525.0
+    val deg = lit(280.46061837) + lit(360.98564736629) * d +
+      lit(0.000387933) * (t * t) - ((t * t) * t) / 38710000.0
+    radians(deg % 360.0)
+  }
+
+  /** [[baselineUvw]] as a pure column expression (array(u, v, w)) —
+    * all built-ins, fully inside whole-stage codegen (codegen CSE
+    * shares the sin/cos subterms across the three components).
+    */
+  def baselineUvwCols(lx: Column, ly: Column, lz: Column,
+                      ra: Column, dec: Column, mjdSec: Column): Column = {
+    val h = gmstRadCol(mjdSec) - ra
+    val sinH = sin(h); val cosH = cos(h)
+    val sinD = sin(dec); val cosD = cos(dec)
+    array(
+      sinH * lx + cosH * ly,
+      (-sinD) * cosH * lx + sinD * sinH * ly + cosD * lz,
+      cosD * cosH * lx - cosD * sinH * ly + sinD * lz)
+  }
 
   /** Collect the ANTENNA POSITION map (tiny dimension table),
     * validating the position measure the way the reference does
@@ -126,12 +150,23 @@ object Uvw {
     val dirs = field.select(col("FIELD_ID"),
       element_at(element_at(col("PHASE_DIR"), 1), 1).as("_RA"),
       element_at(element_at(col("PHASE_DIR"), 1), 2).as("_DEC"))
-    val synth = synthUdf(positionMap(antenna))
+    // frame/unit validation gate (the U1 measure check) — the collected
+    // map itself is no longer needed: positions reach the per-row math
+    // via two broadcast joins, keeping the synthesis itself pure
+    // codegen'd column arithmetic
+    positionMap(antenna)
+    val pos = antenna.select(col("ANTENNA_ID"), col("POSITION"))
+    def posAs(key: String, as: String) = broadcast(
+      pos.select(col("ANTENNA_ID").as(key), col("POSITION").as(as)))
+    def dl(i: Int) =
+      element_at(col("_P1"), i) - element_at(col("_P2"), i)
     main.join(broadcast(dirs), "FIELD_ID")
+      .join(posAs("ANTENNA1", "_P1"), "ANTENNA1")
+      .join(posAs("ANTENNA2", "_P2"), "ANTENNA2")
       .withColumn("SYNTH_UVW",
-        synth(col("TIME_CENTROID"), col("ANTENNA1"), col("ANTENNA2"),
-          col("_RA"), col("_DEC")))
-      .drop("_RA", "_DEC")
+        baselineUvwCols(dl(1), dl(2), dl(3),
+          col("_RA"), col("_DEC"), col("TIME_CENTROID")))
+      .drop("_RA", "_DEC", "_P1", "_P2")
   }
 
   /** U1 — the fixms pass (fixvis.py:196-265 / app.py:122-124): rewrite

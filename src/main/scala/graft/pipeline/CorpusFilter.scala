@@ -43,14 +43,20 @@ object CorpusFilter {
     * docs; exact-dup dropping still handles the mass inside.
     *
     * The LSH stage runs over the EXACT-KEEPER subset, not the full
-    * corpus (round 10). Provably output-identical: byte-identical
-    * texts have identical shingle sets, hence identical signatures,
-    * buckets, and jaccard — so for any verified pair (i, K) with a
-    * non-keeper i, (keeper(i), K) is also co-bucketed and verified
-    * (keeper(i) ≤ i < K keeps the id order), meaning the loser set
-    * restricted to keepers — the only part the anti-join can see —
-    * is unchanged; losers that are non-keepers were already dropped
-    * by the semi-join. What it buys at crawl scale: a boilerplate
+    * corpus (round 10). Output-identical MODULO bucket capping:
+    * byte-identical texts have identical shingle sets, hence identical
+    * signatures, buckets, and jaccard — so for any verified pair
+    * (i, K) with a non-keeper i, (keeper(i), K) is also co-bucketed
+    * and verified (keeper(i) ≤ i < K keeps the id order), meaning the
+    * loser set restricted to keepers — the only part the anti-join can
+    * see — is unchanged; losers that are non-keepers were already
+    * dropped by the semi-join. The one divergence (ADVICE r10): when
+    * the MaxBucketSize cap was BINDING on the full corpus, collapsing
+    * m identical copies to one signature can shrink a bucket back
+    * under the cap, so pairs (hence losers) the capped full-corpus
+    * path dropped are now generated — a behavior change toward the
+    * UNCAPPED semantics (fewer docs kept), not an identity.
+    * What it buys at crawl scale: a boilerplate
     * cluster of m byte-identical copies contributes ONE signature
     * instead of m, so the identical-text mass can never reach the
     * candidate self-join at all (measured: a planted 2 000-copy

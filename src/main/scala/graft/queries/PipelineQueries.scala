@@ -242,6 +242,21 @@ object PipelineQueries {
         0.7, maxBucketSize = 50)
     }),
 
+    // Near-dup pairs on NORMALIZED tokens (TextOps.tokensNorm threaded
+    // through the dedup tokenizer parameter — VERDICT r10 #4): every
+    // even doc is uppercased, a real-corpus normalization hazard under
+    // which the raw space-split shingles of an (even, odd) near-dup
+    // pair share NOTHING — the pairs only survive because signatures,
+    // buckets, and verification all run on the normalized token
+    // stream. Oracle = independent all-pairs ground truth over the
+    // SAME normalized shingle sets.
+    "pl_d12_neardup_norm" -> ((s, d) => {
+      val aug = Tables.documents(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(2L)) === 0L, upper(col("text")))
+          .otherwise(col("text")))
+      Dedup.nearDupPairs(aug, 0.7, tokenizer = TextOps.tokensNorm)
+    }),
+
     // Duplicate-cluster resolution: connected components over the pairs.
     // The intermediate pairs frame is materialized (see Caches) and
     // owned here — released once dupClusters has consumed it (safe:
@@ -679,6 +694,40 @@ object PipelineQueries {
     "pl_d11_capped_neardup" ->
       s"""WITH $truthPairsSql
           SELECT doc1, doc2, n_inter, n1, n2, jaccard FROM verified""",
+
+    // All-pairs ground truth over NORMALIZED shingles: the same
+    // uppercase-every-even-doc augmentation, the pl_t11 RE2 tokenizer
+    // contract, then the pl_d2 verification arithmetic verbatim.
+    "pl_d12_neardup_norm" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END
+                    AS text
+           FROM documents),
+         tkn AS (
+           SELECT doc_id,
+                  list_filter(list_transform(
+                    regexp_split_to_array(lower(text), '[ \t\n\r\f]+'),
+                    x -> regexp_replace(x, '^[[:punct:]]+|[[:punct:]]+$',
+                                        '', 'g')),
+                    x -> x <> '') AS tk
+           FROM aug),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(0, len(tk) - 2),
+                    i -> tk[i+1] || '_' || tk[i+2] || '_' || tk[i+3])) AS s
+           FROM tkn),
+         pairs AS (
+           SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+                  CAST(len(a.s) AS BIGINT) AS n1,
+                  CAST(len(b.s) AS BIGINT) AS n2
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         verified AS (
+           SELECT doc1, doc2, n_inter, n1, n2,
+                  n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard
+           FROM pairs WHERE n_inter::DOUBLE / (n1 + n2 - n_inter) >= 0.7)
+         SELECT doc1, doc2, n_inter, n1, n2, jaccard FROM verified""",
 
     "pl_d3_dup_clusters" ->
       s"""WITH RECURSIVE $truthPairsSql,

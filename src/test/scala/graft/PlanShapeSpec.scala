@@ -394,4 +394,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(mainScans(p) == 1, s"expected ONE main-table scan:\n$p")
     assertNoGlobalSort(p, "st10 kernel")
   }
+
+  test("UVW synthesis is pure codegen: no UDF on the per-row path") {
+    // r10 #5: the GMST/ECEF math must reach the fact rows as built-in
+    // column arithmetic via broadcast position joins — a ScalaUDF (or
+    // any python eval node) on this path breaks whole-stage codegen on
+    // every E3/U1 row.
+    val p = plan(graft.ops.Uvw.withSynthUvw(MsTables.main(spark),
+      MsTables.field(spark), MsTables.antenna(spark)))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"UVW synthesis plans a UDF node:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"position lookups should be broadcast joins:\n$p")
+    assertNoGlobalSort(p, "uvw synthesis")
+  }
 }

@@ -64,9 +64,12 @@ def main():
             # (isolated JVM charges all JIT to one entry) — the CPU hi
             # from probe cpu is therefore generous by construction and
             # marked as such; first suite runs should re-merge.
+            # Upper bounds derive from max(), not min(): a band built
+            # from min() fails on its own basis data whenever probe
+            # readings spread more than the pad (ADVICE r10).
             pc = [c for _, c in probes[k]]
-            wall_hi = min(pw) * 1.35 + 0.15
-            cpu_hi = min(pc) * 1.35 + 0.4
+            wall_hi = max(pw) * 1.35 + 0.15
+            cpu_hi = max(pc) * 1.35 + 0.4
             cpu_lo, wall_lo = min(pc) * 0.3, min(pw) * 0.6
             basis = f"merge: probe-only({len(pw)}); cpu hi from probe cpu (generous)"
         e = {"wall": [round(wall_lo, 2), round(wall_hi, 2)],
