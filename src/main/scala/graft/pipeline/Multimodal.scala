@@ -28,7 +28,17 @@ import java.nio.file.{Files, Paths}
   */
 object Multimodal {
 
-  val root = "/root/repo/fixtures/media"
+  // Probe-only overrides (GRAFT_MEDIA_ROOT / GRAFT_MEDIA_ROWS): scale
+  // probes generate an N-times media corpus under /tmp without touching
+  // the committed fixture. Defaults reproduce it bit for bit — rows are
+  // generated per media_id, so a larger count simply extends the id
+  // range.
+  val root = sys.env.getOrElse("GRAFT_MEDIA_ROOT", "/root/repo/fixtures/media")
+  val nRows: Int = {
+    val n = sys.env.get("GRAFT_MEDIA_ROWS").map(_.toInt).getOrElse(2000)
+    require(n >= 1, s"GRAFT_MEDIA_ROWS must be >= 1, got $n")
+    n
+  }
 
   /** Deterministic synthetic media fixture: 2000 rows; image rows carry
     * a REAL 24-bit BMP (4..124 px wide, width % 4 == 0 so the pixel
@@ -50,7 +60,7 @@ object Multimodal {
 
   def generate(spark: SparkSession): Unit = {
     import spark.implicits._
-    val ids = (0 until 2000).toDF("media_id")
+    val ids = (0 until nRows).toDF("media_id")
     val h = xxhash64(lit("media"), col("media_id"))
     val audioLen = (pmod(h, lit(3800L)) + 200L).cast("int")
     val media = ids

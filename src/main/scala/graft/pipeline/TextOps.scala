@@ -329,14 +329,15 @@ object TextOps {
     * it goes to the output-file count, keeping every window group
     * executor-sized.
     */
-  def packSequences(df: DataFrame, seqLen: Int, shards: Int = 8): DataFrame = {
+  def packSequences(df: DataFrame, seqLen: Int, shards: Int = 8,
+                    tokenizer: Column => Column = tokens): DataFrame = {
     require(seqLen >= 1 && shards >= 1,
       s"need seqLen >= 1 and shards >= 1, got seqLen=$seqLen shards=$shards")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
-      .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
+      .withColumn("n_tokens", size(tokenizer(col("text"))).cast("bigint"))
       .withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("seq_id", expr(s"start_off div $seqLen"))
   }
@@ -358,8 +359,9 @@ object TextOps {
     * ≤ n/seqLen + 1 sequences, so output is ≈ corpus/seqLen + docs
     * rows. No extra shuffle, no join, no driver state.
     */
-  def packSpans(df: DataFrame, seqLen: Int, shards: Int = 8): DataFrame = {
-    val packed = packSequences(df, seqLen, shards)
+  def packSpans(df: DataFrame, seqLen: Int, shards: Int = 8,
+                tokenizer: Column => Column = tokens): DataFrame = {
+    val packed = packSequences(df, seqLen, shards, tokenizer)
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"))
       .filter(col("n_tokens") > 0L)
     packed
