@@ -179,14 +179,23 @@ object Bda {
         (col("NUM_CHAN") / col("CHAN_BIN")).cast("long") *
         lit(ncorr.toLong * nDataCols * StateBytesPerCell)).as("est")).head()
     if (estRow.isNullAt(0)) return None
-    val est = estRow.getAs[Number](0).longValue()
-    val target = bp.sparkSession.conf
+    widthFromEstimate(bp.sparkSession, "bda",
+      estRow.getAs[Number](0).longValue(), sessionParts)
+  }
+
+  /** The shared decision rule behind [[avgExchangeWidth]] — also used
+    * by the uniform (timechannel) kernel, whose estimate is a simpler
+    * rows × cells upper bound.
+    */
+  def widthFromEstimate(s: SparkSession, tag: String, est: Long,
+                        sessionParts: Int): Option[Int] = {
+    val target = s.conf
       .getOption("spark.graft.avg.statePartitionBytes")
       .orElse(sys.env.get("GRAFT_AVG_STATE_PARTITION_BYTES"))
       .map(_.toLong).getOrElse(TargetStateBytesPerPartition)
     val derived = math.ceil(est.toDouble / target).toInt
     val chosen = if (derived > sessionParts) Some(derived) else None
-    println(s"[xova] bda averaging-exchange sizing: est_state=${est >> 20} MB " +
+    println(s"[xova] $tag averaging-exchange sizing: est_state=${est >> 20} MB " +
       s"target/part=${target >> 20} MB derived=$derived " +
       s"session=$sessionParts -> ${chosen.getOrElse(s"session ($sessionParts)")}")
     chosen

@@ -64,6 +64,26 @@ object Timechannel {
     df = Flags.selectChannels(df, args.channels, matrixCols(df, args))
     df = if (args.respectFlagRow) df.withColumn("FROW", col("FLAG_ROW"))
          else df.withColumn("FROW", Flags.derivedFlagRow)
+    // Same computed exchange width as the BDA kernel (Bda
+    // .widthFromEstimate), with the uniform kernel's cheaper upper
+    // bound: output groups <= input rows (each row lands in exactly
+    // one bin), cells/group read from one (FLAG, WEIGHT) row. Two tiny
+    // column-pruned jobs on the PRE-bin frame (counting after binning
+    // would execute the runningBins window); below the threshold —
+    // every bench scale — the plan (and its map-side partial
+    // aggregation) is untouched.
+    val sessionParts =
+      main.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val shape = df.select(size(col("FLAG")).as("nc"),
+        size(col("WEIGHT")).as("co")).limit(1)
+      .collect().headOption
+    val cells = shape.map { r =>
+      val nchanOut = (r.getInt(0) + args.chanBinSize - 1) / args.chanBinSize
+      nchanOut.toLong * r.getInt(1)
+    }.getOrElse(0L)
+    val est = df.count() * cells * args.dataCols.size * Bda.StateBytesPerCell
+    val width = Bda.widthFromEstimate(
+      main.sparkSession, "timechannel", est, sessionParts)
     df = if (args.runningBins) TimeAvg.assignRunning(df, args.timeBinSecs)
          else TimeAvg.assignGrid(df, args.timeBinSecs)
 
@@ -90,7 +110,10 @@ object Timechannel {
         col("WEIGHT"), lit(args.chanBinSize)).as(s"_V_$to")
     }
 
-    val agged = df
+    val toAgg =
+      width.fold(df)(n => df.repartition(n, TimeAvg.BinKey.map(col): _*))
+
+    val agged = toAgg
       .groupBy(TimeAvg.BinKey.map(col): _*)
       .agg(rowAgg, visAggs: _*)
 

@@ -100,6 +100,32 @@ object PipelineQueries {
       s"SELECT vec_id, iv, norm2, $b AS band_id, bucket$b AS bucket FROM buckets"
     }.mkString("\n            UNION ALL\n            ")
 
+  /** The full scaled-vectors → planes → bits → buckets → band-rows CTE
+    * chain — the SQL mirror of `Ann.withScaled` + `Ann.withLshBuckets`
+    * + the band explode. Shared by pl_a2's oracle and the streaming
+    * LSH-bucket twin (st11) so the band structure can never drift.
+    */
+  private[queries] def lshBandRowsSql: String =
+    s"""$vSql,
+          planes AS (
+            SELECT p.p, list(${h60("'pl|' || p.p || '|' || d.d")} % 2001 - 1000
+                             ORDER BY d.d) AS cv
+            FROM (SELECT unnest(range(${Ann.Planes})) AS p) p,
+                 (SELECT unnest(range(${Ann.Dim})) AS d) d
+            GROUP BY 1),
+          bitsv AS (
+            SELECT v.vec_id, v.iv, v.norm2, pl.p,
+                   CASE WHEN list_sum(list_transform(list_zip(v.iv, pl.cv),
+                                                     z -> z[1] * z[2])) >= 0
+                        THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+            FROM v, planes pl),
+          buckets AS (
+            SELECT vec_id, any_value(iv) AS iv, any_value(norm2) AS norm2,
+                   ${bucketColsSql}
+            FROM bitsv GROUP BY vec_id),
+          bandrows AS (
+            ${bandRowsSql})"""
+
   /** Rational centroid distance mirroring Ann.ratD2 — including the
     * n > ExactNMax double fallback, so oracle and engine agree (and the
     * BIGINT cast cannot overflow) at any cluster size. The fallback
@@ -1360,25 +1386,7 @@ object PipelineQueries {
           FROM ranked WHERE rank <= $K""",
 
     "pl_a2_ann_lsh" ->
-      s"""WITH $vSql,
-          planes AS (
-            SELECT p.p, list(${h60("'pl|' || p.p || '|' || d.d")} % 2001 - 1000
-                             ORDER BY d.d) AS cv
-            FROM (SELECT unnest(range(${Ann.Planes})) AS p) p,
-                 (SELECT unnest(range(${Ann.Dim})) AS d) d
-            GROUP BY 1),
-          bitsv AS (
-            SELECT v.vec_id, v.iv, v.norm2, pl.p,
-                   CASE WHEN list_sum(list_transform(list_zip(v.iv, pl.cv),
-                                                     z -> z[1] * z[2])) >= 0
-                        THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-            FROM v, planes pl),
-          buckets AS (
-            SELECT vec_id, any_value(iv) AS iv, any_value(norm2) AS norm2,
-                   ${bucketColsSql}
-            FROM bitsv GROUP BY vec_id),
-          bandrows AS (
-            ${bandRowsSql}),
+      s"""WITH $lshBandRowsSql,
           cand AS (
             SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
                    c.iv, c.norm2, p.iv AS p_iv, p.norm2 AS p_norm2

@@ -633,6 +633,40 @@ object StreamingQueries {
       }
     }),
 
+    // Streaming embedding-LSH bucket dedup: the EMBEDDING-side dedup
+    // shuffle shape (pl_d5's SRP-LSH banding) executed by the
+    // streaming engine — st4's exact-dedup contract lifted from md5
+    // keys to LSH bucket keys. The corpus streams as 4 files; the
+    // signature+banding is a pure projection on the stream
+    // (Ann.withScaled + withLshBuckets, hyperplanes are literals), and
+    // each (band, bucket)'s membership state (count + min-keeper)
+    // merges across micro-batches in the state store. State is
+    // bounded by the LIVE BUCKET cardinality (≤ bands × 2^bits plus
+    // nothing per extra copy), not stream length — the sketch-like
+    // bound that makes continuous embedding-dedup ingestion viable.
+    // Oracle: the batch band-rows aggregation over the SAME shared
+    // planes/buckets CTE chain as pl_a2 (structure cannot drift).
+    "st11_stream_embed_lsh" -> ((s, d) => {
+      import graft.pipeline.Ann
+      val emb = Tables.embeddings(s, d)
+      val (src, cleanup) = stagedFileStream(s, emb, 4)
+      val nBands = Ann.Planes / Ann.BitsPerBand
+      val rows = Ann.withLshBuckets(Ann.withScaled(src))
+        .select(col("vec_id"),
+          explode(array((0 until nBands).map(i =>
+            struct(lit(i).as("band_id"),
+              col(s"bucket$i").as("bucket"))): _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band_id"), col("bb.bucket"))
+      val agged = rows.groupBy("band_id", "bucket")
+        .agg(count(lit(1)).as("n_members"), min("vec_id").as("keeper"))
+      // state = live buckets, hard-capped by the band structure
+      val nParts = graft.streaming.StateSizing.partitions(
+        nBands.toLong * (1L << Ann.BitsPerBand) * 64)
+      try withStatePartitions(s, nParts)(
+        sinkToLocal(s, "graft_st11_sink", agged, "complete"))
+      finally cleanup()
+    }),
+
     "st9_stream_retention" -> ((s, d) => {
       import s.implicits._
       import java.io.File
@@ -733,6 +767,16 @@ object StreamingQueries {
     // watermark emission must reproduce every closed window exactly
     // (and emit nothing for the flush row's own still-open window).
     "st10_stream_visavg_update" -> MsQueries.visFlatAbsSql("DATA", 4),
+
+    // The batch band-rows aggregation over the same shared
+    // planes/buckets CTE chain as pl_a2 — the streamed LSH-bucket
+    // membership state must merge to the batch banding exactly.
+    "st11_stream_embed_lsh" ->
+      s"""WITH ${PipelineQueries.lshBandRowsSql}
+          SELECT band_id, bucket,
+                 CAST(count(*) AS BIGINT) AS n_members,
+                 min(vec_id) AS keeper
+          FROM bandrows GROUP BY 1, 2""",
 
     // Identical to the batch pl_k2 sketch CTE — the streamed sketch's
     // d×w count matrix must equal the batch build cell for cell.
