@@ -38,6 +38,15 @@ object Ann {
   // 8 bits/band keeps 256 buckets per band (selectivity unchanged);
   // the third band costs one more projection column + candidate row.
 
+  val PqSubspaces = 8           // M: subvectors per embedding
+  val PqSubDim = Dim / PqSubspaces
+  val PqCodes = 16              // K: codebook size per subspace
+  // PQ compresses a vector to M small codes (here 8 × log2(16) = 4
+  // bits — 4 bytes padded, vs 256 bytes of float32): the
+  // representation that makes a 100 TB embedding corpus scannable
+  // from memory. Distances against a probe read ONLY the codes plus
+  // a per-probe M×K lookup table.
+
   /** Integer-scaled copy of the embedding. */
   def scaled(e: Column): Column =
     transform(e, x => round(x.cast("double") * Scale).cast("bigint"))
@@ -287,6 +296,121 @@ object Ann {
     topK(scored, topk)
       .select(col("probe_id"), col("assigned_cluster"), col("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Product-quantization model: per subspace m (PqSubDim dims), a
+    * deterministic k-means (seeds by hash, `rounds` Lloyd iterations,
+    * exact rational distances — the [[kmeansModel]] contract) trains
+    * PqCodes centroids. ALL subspaces train in the SAME
+    * broadcast+aggregate passes, keyed by m — the codebook table is
+    * M×K rows, so each Lloyd round is one broadcast join + one
+    * partial-aggregated groupBy regardless of M.
+    *
+    * Returns (codes, codebook): codes = (vec_id, codes array<int>
+    * ordered by m — the compressed corpus, M small ints per vector);
+    * codebook = (m, c_id, n, sv) — the centroid table the codes were
+    * assigned against (mutually consistent, like annIvfKmeans).
+    */
+  def pqModel(vectors: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val v = withScaled(vectors).select("vec_id", "iv")
+    val subs = v.select(col("vec_id"), explode(array(
+        (0 until PqSubspaces).map(m => struct(lit(m).as("m"),
+          slice(col("iv"), m * PqSubDim + 1, PqSubDim).as("siv"))): _*)).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.siv").as("siv"))
+    // seeds: per subspace, the K subvectors with smallest
+    // (hash60("pq|m|vec_id"), vec_id) — a window over M tiny
+    // partitions (ties impossible: vec_id is in the key).
+    val seedW = Window.partitionBy("m")
+      .orderBy(col("_h").asc, col("vec_id").asc)
+    var cent = subs
+      .withColumn("_h", hash60(concat(lit("pq|"), col("m").cast("string"),
+        lit("|"), col("vec_id").cast("string"))))
+      .withColumn("_rk", row_number().over(seedW))
+      .filter(col("_rk") <= PqCodes)
+      .select(col("m"), (col("_rk") - 1).as("c_id"),
+        lit(1L).as("n"), col("siv").as("sv"))
+
+    var assigned: DataFrame = null
+    var lastCent = cent
+    for (_ <- 0 until rounds) {
+      lastCent = cent
+      // assignment via partial-aggregated min(struct(d2, c_id)) —
+      // lexicographic min = (d2 asc, c_id asc), the same tie rule as
+      // kmeansModel's window, without a per-round sort.
+      val dist = subs.join(broadcast(cent), Seq("m"))
+        .withColumn("d2", ratD2(col("siv"), col("sv"), col("n")))
+      assigned = dist.groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("c_id"))).as("mc"),
+          first(col("siv")).as("siv")) // identical across the group
+        .select(col("vec_id"), col("m"), col("mc.c_id").as("code"),
+          col("siv"))
+      cent = assigned
+        .select(col("m"), col("code"), posexplode(col("siv")).as(Seq("d", "x")))
+        .groupBy("m", "code", "d")
+        .agg(sum("x").as("s"), count(lit(1)).as("cn"))
+        .groupBy(col("m"), col("code").as("c_id"))
+        .agg(max("cn").as("n"),
+          transform(array_sort(collect_list(struct(col("d"), col("s")))),
+            r => r("s")).as("sv"))
+    }
+    val codes = assigned.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        r => r("code").cast("int")).as("codes"))
+    (codes, lastCent)
+  }
+
+  /** ANN via product quantization: train [[pqModel]], compress the
+    * corpus to M codes/vector, then answer probes with an
+    * asymmetric-distance (ADC) scan — each probe precomputes an M×K
+    * table of exact subspace distances to every codebook centroid,
+    * and a corpus row's distance is the fold of M table lookups (in
+    * m order, so the double sum associates identically on every
+    * engine). The ADC top-k then gets ONE exact cosine rerank over
+    * k rows per probe.
+    *
+    * Scale shape: the scan reads only (vec_id, codes) — no shuffle;
+    * probes (with their lookup maps, P×M×K doubles) broadcast; the
+    * only corpus-wide shuffle is the top-k ranking of P×corpus scored
+    * rows. Returns (probe_id, rank, neighbor_id, adc, cos).
+    */
+  def annPq(vectors: DataFrame, probeFilter: Column, k: Int,
+            rounds: Int = 2): DataFrame = {
+    val v = withScaled(vectors)
+    val (codes, cent) = pqModel(vectors, rounds)
+    val probes = v.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
+        col("norm2").as("p_norm2"))
+    // per-probe lookup table as a map keyed m*K + c_id — keys are a
+    // function of the SURVIVING codebook rows, so an emptied cluster
+    // (possible after a Lloyd round) simply has no key, and no code
+    // references it (codes were assigned against this same table).
+    val lut = probes.crossJoin(broadcast(cent))
+      .withColumn("pd2", ratD2(
+        slice(col("p_iv"), col("m") * PqSubDim + 1, lit(PqSubDim)),
+        col("sv"), col("n")))
+      .groupBy("probe_id")
+      .agg(map_from_entries(collect_list(struct(
+        (col("m") * PqCodes + col("c_id")).cast("int"), col("pd2")))).as("lut"))
+      .join(probes, "probe_id")
+    val terms = transform(sequence(lit(0), lit(PqSubspaces - 1)),
+      mi => element_at(col("lut"),
+        (mi * PqCodes + element_at(col("codes"), mi + 1)).cast("int")))
+    val scored = codes.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", aggregate(terms, lit(0.0d), (a, x) => a + x))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "vec_id", "adc", "p_iv", "p_norm2")
+    // exact rerank of the winners only: k rows per probe join back to
+    // the uncompressed corpus for the true cosine.
+    v.select(col("vec_id"), col("iv"), col("norm2"))
+      .join(broadcast(top), "vec_id")
+      .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
+      .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc"), 6).as("adc"), round(col("cos"), 6).as("cos"))
   }
 
   private val Window = org.apache.spark.sql.expressions.Window

@@ -372,6 +372,13 @@ object PipelineQueries {
     "pl_a5_ann_ivf_trained" -> ((s, d) =>
       Ann.annIvfKmeans(Tables.embeddings(s, d), probeF, K, 8, 2)),
 
+    // ANN scale path 3: product quantization — corpus compressed to
+    // M=8 codebook codes per vector (the representation that keeps a
+    // 100 TB embedding corpus memory-resident), probes answered by an
+    // ADC lookup-table scan + exact top-k rerank.
+    "pl_a6_ann_pq" -> ((s, d) =>
+      Ann.annPq(Tables.embeddings(s, d), probeF, K, 2)),
+
     // The composed corpus filter: quality ∧ exact-keeper ∧ not a
     // near-dup pair loser — the operators chained as a real pretraining
     // data run would chain them.
@@ -935,6 +942,72 @@ object PipelineQueries {
           SELECT probe_id, assigned_cluster, CAST(rank AS BIGINT) AS rank,
                  neighbor_id, round(cos, 6) AS cos
           FROM ranked WHERE rank <= $K""",
+
+    // PQ mirror: per-subspace k-means over list_slice subvectors (the
+    // kmeans CTE chain generalized with m in every key), then the ADC
+    // fold in m order (list_reduce over list(pd2 ORDER BY m) — the
+    // same left association as Spark's aggregate) and the exact-cos
+    // rerank of the winners.
+    "pl_a6_ann_pq" -> {
+      val M = Ann.PqSubspaces; val SD = Ann.PqSubDim; val KC = Ann.PqCodes
+      val assign = (cents: String) =>
+        s"""SELECT vec_id, m, c_id AS code FROM (
+              SELECT sb.vec_id, sb.m, c.c_id,
+                     row_number() OVER (PARTITION BY sb.vec_id, sb.m ORDER BY
+                       ${ratD2Sql("sb.siv", "c.sv", "c.n")} ASC, c.c_id ASC) AS rk
+              FROM subs sb JOIN $cents c USING (m)) WHERE rk = 1"""
+      s"""WITH $vSql,
+          subs AS (
+            SELECT vec_id, mm.m AS m,
+                   list_slice(iv, mm.m*$SD + 1, mm.m*$SD + $SD) AS siv
+            FROM v, (SELECT unnest(range($M)) AS m) mm),
+          seeds AS (
+            SELECT m, CAST(rn - 1 AS INTEGER) AS c_id, 1::BIGINT AS n,
+                   siv AS sv
+            FROM (SELECT *, row_number() OVER (PARTITION BY m ORDER BY
+                    ${h60("'pq|' || m || '|' || vec_id")} ASC, vec_id ASC) AS rn
+                  FROM subs)
+            WHERE rn <= $KC),
+          p1 AS (${assign("seeds")}),
+          c1 AS (
+            SELECT m, c_id, max(cn) AS n, list(sx ORDER BY d) AS sv
+            FROM (
+              SELECT sb.m AS m, p.code AS c_id, dd.d,
+                     CAST(sum(sb.siv[dd.d+1]) AS BIGINT) AS sx,
+                     CAST(count(*) AS BIGINT) AS cn
+              FROM p1 p JOIN subs sb ON p.vec_id = sb.vec_id AND p.m = sb.m,
+                   (SELECT unnest(range($SD)) AS d) dd
+              GROUP BY 1, 2, 3)
+            GROUP BY 1, 2),
+          p2 AS (${assign("c1")}),
+          probes AS (
+            SELECT vec_id AS probe_id, iv AS p_iv, norm2 AS p_norm2
+            FROM v WHERE vec_id < 8),
+          lut AS (
+            SELECT p.probe_id, c.m, c.c_id,
+                   ${ratD2Sql(s"list_slice(p.p_iv, c.m*$SD + 1, c.m*$SD + $SD)",
+                              "c.sv", "c.n")} AS pd2
+            FROM probes p, c1 c),
+          adcv AS (
+            SELECT l.probe_id, co.vec_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(l.pd2 ORDER BY l.m)), (a, b) -> a + b) AS adc
+            FROM p2 co JOIN lut l ON co.m = l.m AND co.code = l.c_id
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT probe_id, vec_id AS neighbor_id, adc,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY adc ASC, vec_id ASC) AS rank
+            FROM adcv WHERE vec_id <> probe_id)
+          SELECT r.probe_id, CAST(r.rank AS BIGINT) AS rank, r.neighbor_id,
+                 round(r.adc, 6) AS adc,
+                 round(${dotSql("vv.iv", "p.p_iv")}::DOUBLE
+                   / (sqrt(p.p_norm2::DOUBLE) * sqrt(vv.norm2::DOUBLE)), 6) AS cos
+          FROM ranked r
+          JOIN v vv ON vv.vec_id = r.neighbor_id
+          JOIN probes p ON p.probe_id = r.probe_id
+          WHERE r.rank <= $K"""
+    },
 
     // Composes the pl_t2 quality CTE, the pl_d1 keeper rule, and the
     // brute-force verified-pair ground truth (LSH recall is 100% on

@@ -667,6 +667,40 @@ object StreamingQueries {
       finally cleanup()
     }),
 
+    // Streaming benchmark decontamination: the ingestion-time form of
+    // pl_d10's train-test overlap guard — corpus documents STREAM in
+    // while the held-out benchmark's distinct gram keys sit as a
+    // static broadcast table. Each micro-batch inner-joins its docs'
+    // distinct grams against the benchmark (stream-static broadcast
+    // join — the one streaming join shape st1–st11 didn't exercise;
+    // st7 is stream-stream) and the per-doc shared-gram counts land
+    // in the state store. A doc arrives in exactly one batch with
+    // array_distinct grams, so its count is complete when first seen
+    // — state is one fixed-width record per CONTAMINATED doc, never
+    // per gram. At 100 TB: the benchmark gram table is ≪ corpus,
+    // broadcast once, and the corpus streams through exactly as the
+    // batch operator scans it — the gate a continuous training-data
+    // ingest runs on every arriving shard.
+    "st12_stream_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+      val benchGrams = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+        .select(explode(array_distinct(
+          graft.expressions.TokenGramHash(col("text"), 4))).as("gram"))
+        .distinct()
+      val (src, cleanup) = stagedFileStream(s, corpus, 4)
+      val contaminated = src.select(col("doc_id"), explode(array_distinct(
+          graft.expressions.TokenGramHash(col("text"), 4))).as("gram"))
+        .join(broadcast(benchGrams), Seq("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_grams"))
+      val nParts = graft.streaming.StateSizing.forFrame(
+        corpus, keysPerRow = 1, bytesPerKey = 24)
+      try withStatePartitions(s, nParts)(
+        sinkToLocal(s, "graft_st12_sink", contaminated, "complete"))
+      finally cleanup()
+    }),
+
     "st9_stream_retention" -> ((s, d) => {
       import s.implicits._
       import java.io.File
@@ -777,6 +811,12 @@ object StreamingQueries {
                  CAST(count(*) AS BIGINT) AS n_members,
                  min(vec_id) AS keeper
           FROM bandrows GROUP BY 1, 2""",
+
+    // Identical to the batch pl_d10 oracle — the stream-static gram
+    // join must flag exactly the docs the batch overlap guard flags,
+    // with the same shared-gram evidence counts.
+    "st12_stream_decontam" ->
+      PipelineQueries.oracleSql("pl_d10_decontam"),
 
     // Identical to the batch pl_k2 sketch CTE — the streamed sketch's
     // d×w count matrix must equal the batch build cell for cell.

@@ -731,6 +731,36 @@ class PipelineSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("PQ: codes are M small ints; ADC ranks monotone; rerank bounded by brute") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (codes, cent) = Ann.pqModel(embs, 2)
+    assert(codes.count() == embs.count(), "every vector must be encoded")
+    import org.apache.spark.sql.functions.{size => asize}
+    assert(codes.filter(asize(col("codes")) =!= Ann.PqSubspaces).count() == 0)
+    val codeRange = codes.select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) < Ann.PqCodes)
+    // codebook: per subspace at most K centroids, every code references one
+    assert(cent.groupBy("m").count()
+      .filter(col("count") > Ann.PqCodes).count() == 0)
+
+    val res = Ann.annPq(embs, col("vec_id") < 3, 5, 2).cache()
+    assert(res.filter(col("probe_id") === col("neighbor_id")).count() == 0)
+    assert(res.groupBy("probe_id").count().filter(col("count") =!= 5).count() == 0)
+    // ADC distance non-decreasing in rank per probe
+    val byProbe = res.groupBy("probe_id")
+      .agg(max(when(col("rank") === 1, col("adc"))).as("a1"),
+        max(when(col("rank") === 5, col("adc"))).as("a5"))
+    assert(byProbe.filter(col("a1") > col("a5")).count() == 0)
+    // the reranked true cosine can never beat the brute-force optimum
+    val brute = Ann.knnBrute(embs, col("vec_id") < 3, 1)
+      .select(col("probe_id"), col("cos").as("bc"))
+    val top = res.filter(col("rank") === 1)
+      .select(col("probe_id"), col("cos").as("pc"))
+    assert(top.join(brute, "probe_id").filter(col("pc") > col("bc")).count() == 0)
+    Caches.release(res)
+  }
+
   test("pipeline storage hygiene: pair ops release their corpus caches") {
     // each pairs op stages corpus-scale frames (signatures/postings)
     // internally; after it returns, only the materialized pair-sized

@@ -130,6 +130,44 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static decontam join flags exactly the batch overlap set") {
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val bench = Seq((100L, "secret eval question here")).toDF("doc_id", "text")
+    val benchGrams = bench.select(explode(array_distinct(
+        graft.expressions.TokenGramHash(col("text"), 2))).as("gram"))
+      .distinct()
+    val in = MemoryStream[(Long, String)]
+    val flagged = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), explode(array_distinct(
+        graft.expressions.TokenGramHash(col("text"), 2))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    val q = flagged.writeStream.format("memory").queryName("decontam1")
+      .outputMode("complete").start()
+    try {
+      in.addData((1L, "totally clean document"),
+        (2L, "contains secret eval material")) // shares gram "secret eval"
+      q.processAllAvailable()
+      in.addData((3L, "the eval question here is leaked")) // 2 shared grams
+      q.processAllAvailable()
+      val r = spark.table("decontam1").orderBy("doc_id").collect()
+        .map(x => (x.getAs[Long]("doc_id"),
+          x.getAs[Long]("n_shared_grams"))).toSeq
+      assert(r == Seq((2L, 1L), (3L, 2L)),
+        s"stream-static flag set diverged: $r")
+      // must equal the batch operator on the union of all batches
+      val corpus = Seq((1L, "totally clean document"),
+        (2L, "contains secret eval material"),
+        (3L, "the eval question here is leaked")).toDF("doc_id", "text")
+      val batch = graft.pipeline.Dedup.contaminated(corpus, bench, 2)
+        .orderBy("doc_id").collect()
+        .map(x => (x.getAs[Long]("doc_id"),
+          x.getAs[Long]("n_shared_grams"))).toSeq
+      assert(r == batch, s"stream $r != batch $batch")
+    } finally q.stop()
+  }
+
   test("watermark: drops late rows, keeps within-delay rows, holds open windows") {
     // the st6 semantics at hand-built scale (1h windows, 2h delay):
     //  b1: t=1800 (w[0,3600)), t=22320 → watermark 22320-7200 = 15120
