@@ -57,9 +57,30 @@ object ScaleFixtures {
     }.reduce(_ unionAll _)
   }
 
+  /** N× embeddings corpus as N ID-OFFSET copies: vec_id offsets by
+    * i·(max_vec_id+1); embedding and label are kept byte-identical, so
+    * per-copy geometry (centroid structure, bucket occupancy profile,
+    * neighbor distances) is preserved exactly while corpus size, LSH
+    * bucket density, IVF list length, and PQ training mass all scale
+    * by N. Copies are exact — a deliberately duplicate-heavy corpus:
+    * probes that enumerate near-dup PAIRS grow ~N² on it by
+    * construction (fixture artifact, not an operator property); the
+    * ANN probes (train/encode/scan/top-k) scale in corpus size.
+    */
+  def scaledEmbeddings(s: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val emb = s.read.parquet(s"$srcDir/embeddings.parquet")
+    val stride = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    (0 until factor).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * stride)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleFixtures <srcSfDir> <outDir> <factor> [events|documents]")
+      "usage: ScaleFixtures <srcSfDir> <outDir> <factor> [events|documents|embeddings]")
     val Array(src, out, f) = args.take(3)
     val table = if (args.length == 4) args(3) else "events"
     val spark = SparkSession.builder()
@@ -73,11 +94,20 @@ object ScaleFixtures {
     import java.nio.file.Files
     val outDir = new File(out); outDir.mkdirs()
     val staging = new File(outDir, "_staging")
-    val scaled =
-      if (table == "documents") scaledDocs(spark, src, f.toInt)
-      else scaledEvents(spark, src, f.toInt)
+    val scaled = table match {
+      case "documents"  => scaledDocs(spark, src, f.toInt)
+      case "embeddings" => scaledEmbeddings(spark, src, f.toInt)
+      case _            => scaledEvents(spark, src, f.toInt)
+    }
     scaled
-      .coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
+      // 2 MB row groups (the SyntheticMs convention): a single-file
+      // fixture with the default 128 MB group is ONE indivisible scan
+      // split — every probe on it serializes on 1-2 tasks no matter
+      // what maxPartitionBytes asks for (measured: pl_a6 at 100×
+      // utilized ~2 of 32 cores until this write matched the scans).
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 2L * 1024 * 1024)
+      .parquet(staging.getAbsolutePath)
     val part = staging.listFiles().filter(_.getName.endsWith(".parquet")).head
     val dst = new File(outDir, s"$table.parquet")
     if (dst.exists()) dst.delete()

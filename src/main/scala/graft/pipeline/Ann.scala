@@ -81,9 +81,26 @@ object Ann {
     * double fallback above.
     */
   private def ratD2(iv: Column, sv: Column, n: Column): Column = {
-    val exact = aggregate(zip_with(iv, sv,
-        (x, s) => (n * x - s) * (n * x - s)),
-        lit(0L), (a, t) => a + t)
+    // Σ_d(n·x−s)² expanded to n²·Σx² − 2n·Σxs + Σs²: the SAME exact
+    // integer (bit-identical double after /n², so the DuckDB oracle's
+    // summed form needs no change), but three native codegen
+    // DotProductL loops instead of an interpreted zip_with+aggregate
+    // per (row, centroid) — the training hot path of a4/a5/a6 (10×
+    // probes: pl_a5 7.3→3.7 s, pl_a6 16.4→9.9 s). Intermediates stay
+    // in int64 for n ≤ ExactNMax: n²Σx² ≤ 2⁶¹, |2nΣxs| ≤ 2⁶²,
+    // Σs² ≤ 2⁶¹, every partial sum < 2⁶³ (no ANSI overflow).
+    ratD2Pre(iv, sv, n, doti(iv, iv), doti(sv, sv))
+  }
+
+  /** [[ratD2]] with the two self-dot invariants hoisted: in an
+    * assignment join each row's Σx² and each centroid's Σs² are
+    * constant across the n×k pairing, so callers on the training hot
+    * path (kmeansModel, pqModel) compute them ONCE per side and pass
+    * them in, leaving one 8/64-dim native dot per pair.
+    */
+  private def ratD2Pre(iv: Column, sv: Column, n: Column,
+                       ivNorm: Column, svNorm: Column): Column = {
+    val exact = (n * n * ivNorm - lit(2L) * n * doti(iv, sv) + svNorm)
       .cast("double") / (n * n)
     val approx = aggregate(zip_with(iv, sv, (x, s) => {
         val d = x.cast("double") - s.cast("double") / n.cast("double")
@@ -243,22 +260,33 @@ object Ann {
 
     var assigned: DataFrame = null
     var lastCent = cent
-    for (_ <- 0 until rounds) {
+    val vN = v.withColumn("_ivn", doti(col("iv"), col("iv")))
+    for (rd <- 0 until rounds) {
       lastCent = cent
-      val dist = v.crossJoin(broadcast(cent))
-        .withColumn("d2", ratD2(col("iv"), col("sv"), col("n")))
+      val centN = cent.withColumn("_svn", doti(col("sv"), col("sv")))
+      val dist = vN.crossJoin(broadcast(centN))
+        .withColumn("d2", ratD2Pre(col("iv"), col("sv"), col("n"),
+          col("_ivn"), col("_svn")))
       val wA = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)
       assigned = dist.withColumn("_rk", row_number().over(wA))
         .filter(col("_rk") === 1)
         .select(col("vec_id"), col("iv"), col("c_id").as("cluster"))
-      cent = assigned
+      // materialize each INTERMEDIATE centroid table (k tiny rows):
+      // round r+1 and every downstream consumer then build on a
+      // lineage-truncated k-row frame instead of re-executing the full
+      // training prefix per plan branch (the classic iterative-algo
+      // checkpoint; measured 100×: pl_a5 42.0 s with duplicated
+      // lineage). The final round's recompute is skipped entirely —
+      // the model the caller gets is (assignment r, centroids r−1),
+      // which eager evaluation would otherwise waste a pass on.
+      if (rd < rounds - 1) cent = Caches.materialize(assigned
         .select(col("cluster"), posexplode(col("iv")).as(Seq("d", "x")))
         .groupBy("cluster", "d")
         .agg(sum("x").as("s"), count(lit(1)).as("cn"))
         .groupBy(col("cluster").as("c_id"))
         .agg(max("cn").as("n"),
           transform(array_sort(collect_list(struct(col("d"), col("s")))),
-            r => r("s")).as("sv"))
+            r => r("s")).as("sv")))
     }
     (assigned, lastCent)
   }
@@ -332,26 +360,32 @@ object Ann {
 
     var assigned: DataFrame = null
     var lastCent = cent
-    for (_ <- 0 until rounds) {
+    val subsN = subs.withColumn("_ivn", doti(col("siv"), col("siv")))
+    for (rd <- 0 until rounds) {
       lastCent = cent
       // assignment via partial-aggregated min(struct(d2, c_id)) —
       // lexicographic min = (d2 asc, c_id asc), the same tie rule as
       // kmeansModel's window, without a per-round sort.
-      val dist = subs.join(broadcast(cent), Seq("m"))
-        .withColumn("d2", ratD2(col("siv"), col("sv"), col("n")))
+      val centN = cent.withColumn("_svn", doti(col("sv"), col("sv")))
+      val dist = subsN.join(broadcast(centN), Seq("m"))
+        .withColumn("d2", ratD2Pre(col("siv"), col("sv"), col("n"),
+          col("_ivn"), col("_svn")))
       assigned = dist.groupBy("vec_id", "m")
         .agg(min(struct(col("d2"), col("c_id"))).as("mc"),
           first(col("siv")).as("siv")) // identical across the group
         .select(col("vec_id"), col("m"), col("mc.c_id").as("code"),
           col("siv"))
-      cent = assigned
+      // intermediate codebooks checkpoint (M×K tiny rows) — same
+      // rationale as kmeansModel: downstream branches (codes AND the
+      // probe LUT) share one training pass instead of re-running it.
+      if (rd < rounds - 1) cent = Caches.materialize(assigned
         .select(col("m"), col("code"), posexplode(col("siv")).as(Seq("d", "x")))
         .groupBy("m", "code", "d")
         .agg(sum("x").as("s"), count(lit(1)).as("cn"))
         .groupBy(col("m"), col("code").as("c_id"))
         .agg(max("cn").as("n"),
           transform(array_sort(collect_list(struct(col("d"), col("s")))),
-            r => r("s")).as("sv"))
+            r => r("s")).as("sv")))
     }
     val codes = assigned.groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
