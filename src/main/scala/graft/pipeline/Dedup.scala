@@ -122,6 +122,78 @@ object Dedup {
     } finally sigs.unpersist(blocking = false)
   }
 
+  /** Cross-corpus fuzzy matching — the "have we trained on this
+    * before?" gate: flag every CORPUS document whose shingle-set
+    * Jaccard against some REFERENCE document (a prior training run, a
+    * licensed set, a takedown list) reaches `minJaccard`. Same banded
+    * MinHash-LSH as [[nearDupPairs]], but the candidate join is
+    * corpus-bands ⋈ reference-bands on (band_id, band_hash) — a corpus
+    * row meets ONLY the reference rows sharing a band bucket, never
+    * the corpus × reference cross product; then exact shingle-Jaccard
+    * verification on the candidates. Returns
+    * (doc_id, ref_id, n_inter, n1, n2, jaccard).
+    *
+    * Scale: both sides shuffle once on the band key; the bucket cap
+    * applies to the REFERENCE side (a hot reference bucket fans out to
+    * every matching corpus row), with the same logged recall
+    * accounting as the self-join path. Both signature frames persist
+    * for the verification lookups and release before returning.
+    */
+  def crossCorpusMatches(corpus: DataFrame, reference: DataFrame,
+      minJaccard: Double = 0.7,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      tokenizer: Column => Column = tokens): DataFrame = {
+    val (out, cs, rs, overOpt) =
+      crossCorpusPlan(corpus, reference, minJaccard, maxBucketSize, tokenizer)
+    try {
+      val m = Caches.materialize(out)
+      logExclusions(overOpt, s"reference LSH bucket(s) over cap $maxBucketSize")
+      m
+    } finally {
+      cs.unpersist(blocking = false); rs.unpersist(blocking = false)
+    }
+  }
+
+  private[graft] def crossCorpusPlan(corpus: DataFrame, reference: DataFrame,
+      minJaccard: Double, maxBucketSize: Int,
+      tokenizer: Column => Column = tokens)
+      : (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
+    val cs = withMinhash(corpus, NumHashes, tokenizer)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rs = withMinhash(reference, NumHashes, tokenizer)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    locally {
+      val cb = bands(cs)
+      val rbAll = bands(rs)
+      val overOpt =
+        if (maxBucketSize <= 0) None
+        else Some(rbAll.groupBy("band_id", "band_hash")
+          .agg(count(lit(1)).as("_BN"))
+          .filter(col("_BN") > maxBucketSize))
+      val rb = overOpt.fold(rbAll)(over =>
+        rbAll.join(over.select("band_id", "band_hash"),
+          Seq("band_id", "band_hash"), "left_anti"))
+      val cand = cb.as("x")
+        .join(rb.as("y"), Seq("band_id", "band_hash"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("ref_id"))
+        .distinct()
+      val csets = cs.select(col("doc_id"), col("_sh").as("sh1"))
+      val rsets = rs.select(col("doc_id").as("ref_id"), col("_sh").as("sh2"))
+      val out = cand
+        .join(csets, "doc_id")
+        .join(rsets, "ref_id")
+        .withColumn("n_inter",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("bigint"))
+        .withColumn("n1", size(col("sh1")).cast("bigint"))
+        .withColumn("n2", size(col("sh2")).cast("bigint"))
+        .withColumn("jaccard", col("n_inter").cast("double")
+          / (col("n1") + col("n2") - col("n_inter")))
+        .filter(col("jaccard") >= minJaccard)
+        .select("doc_id", "ref_id", "n_inter", "n1", "n2", "jaccard")
+      (out, cs, rs, overOpt)
+    }
+  }
+
   /** Recall accounting for a bucket-cap exclusion frame, AFTER the main
     * result is materialized — counting at plan-construction time (the
     * round-9 first cut) put an eager job barrier in front of every

@@ -245,6 +245,16 @@ object PipelineQueries {
     "pl_d2_minhash_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(Tables.documents(s, d), 0.7)),
 
+    // Cross-corpus fuzzy matching: corpus (doc_id % 5 != 0) screened
+    // against a reference set (doc_id % 5 == 0) — the banded-LSH
+    // bucket join between two corpora, never their cross product.
+    "pl_d13_cross_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossCorpusMatches(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), 0.7)
+    }),
+
     // The CAPPED production path, correctness-gated (round-8 verdict:
     // the default-on guard must be oracle-checked, not just spec'd): a
     // boilerplate farm is planted — 60 identical docs under fresh ids —
@@ -719,6 +729,22 @@ object PipelineQueries {
     "pl_d2_minhash_pairs" ->
       s"""WITH $truthPairsSql
           SELECT doc1, doc2, n_inter, n1, n2, jaccard FROM verified""",
+
+    // Brute-force cross-side ground truth (LSH recall is 100% on this
+    // corpus at the planted dup grade, same argument as pl_d2).
+    "pl_d13_cross_corpus" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+          x AS (
+            SELECT c.doc_id AS doc_id, r.doc_id AS ref_id,
+                   CAST(len(list_intersect(c.s, r.s)) AS BIGINT) AS n_inter,
+                   CAST(len(c.s) AS BIGINT) AS n1,
+                   CAST(len(r.s) AS BIGINT) AS n2
+            FROM sh c JOIN sh r
+              ON c.doc_id % 5 <> 0 AND r.doc_id % 5 = 0)
+          SELECT doc_id, ref_id, n_inter, n1, n2,
+                 n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard
+          FROM x
+          WHERE n_inter::DOUBLE / (n1 + n2 - n_inter) >= 0.7""",
 
     // Capped run over corpus + planted boilerplate ≡ uncapped pairs
     // over the ORIGINAL corpus (the planted bucket is excluded whole,

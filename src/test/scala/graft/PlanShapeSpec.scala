@@ -72,6 +72,20 @@ class PlanShapeSpec extends SparkSpec {
     } finally sigs.unpersist(blocking = false)
   }
 
+  test("cross-corpus LSH match never plans a corpus x reference product") {
+    val corpus = docs.filter(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(5)) =!=
+        org.apache.spark.sql.functions.lit(0))
+    val ref = docs.exceptAll(corpus)
+    val (out, cs, rs, _) = Dedup.crossCorpusPlan(corpus, ref, 0.7, 0)
+    try assertNoAllPairs(plan(out), "crossCorpusMatches")
+    finally {
+      cs.unpersist(blocking = false); rs.unpersist(blocking = false)
+    }
+  }
+
   test("n-gram Jaccard inverted index never plans an all-pairs join") {
     val (out, staged) = Dedup.ngramJaccardPairsPlan(docs, 4, 3, 0.5)
     try assertNoAllPairs(plan(out), "ngramJaccardPairs")
@@ -129,6 +143,25 @@ class PlanShapeSpec extends SparkSpec {
     // an unbroadcast cartesian over the corpus.
     val ivf = plan(Ann.annIvf(embs, probe, 5))
     assert(!ivf.contains("CartesianProduct"), "annIvf plans a cartesian join")
+  }
+
+  test("PQ ADC: no unbroadcast cartesian, no single-partition funnel") {
+    // the ADC scan is codes × broadcast(P probes-with-LUT) by design —
+    // a BroadcastNestedLoopJoin against the tiny broadcast side is the
+    // intended shape (same contract as annIvf's assignment); what must
+    // never appear is an unbroadcast cartesian over the corpus or a
+    // global funnel of the scored rows.
+    val probe = org.apache.spark.sql.functions.col("vec_id") < 8
+    val pq = plan(Ann.annPq(embs, probe, 5, 2))
+    assert(!pq.contains("CartesianProduct"), "annPq plans a cartesian join")
+    // Spark injects runtime bloom-filter subqueries (bloom_filter_agg
+    // builds ARE a SinglePartition exchange over the tiny build side);
+    // any OTHER single-partition exchange would be a fact funnel.
+    val singles = pq.linesIterator.count(_.contains("Exchange SinglePartition"))
+    val blooms = pq.linesIterator.count(_.contains("bloom_filter_agg"))
+    assert(singles <= blooms,
+      s"annPq funnels a fact path through one partition " +
+        s"($singles single-partition exchanges vs $blooms bloom builds)")
   }
 
   test("tfidf and span dedup: keyed shuffles only, no all-pairs join") {

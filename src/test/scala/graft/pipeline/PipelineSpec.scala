@@ -731,6 +731,30 @@ class PipelineSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("cross-corpus matches = the straddling subset of self-join pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val ref = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val cross = Dedup.crossCorpusMatches(corpus, ref, 0.7)
+    val all = Dedup.nearDupPairs(docs, 0.7)
+    // expected: every verified pair with exactly one side in the
+    // reference, normalized to (corpus_doc, ref_doc)
+    val straddle = all
+      .filter((pmod(col("doc1"), lit(5)) === 0) =!=
+        (pmod(col("doc2"), lit(5)) === 0))
+      .select(
+        when(pmod(col("doc1"), lit(5)) === 0, col("doc2"))
+          .otherwise(col("doc1")).as("doc_id"),
+        when(pmod(col("doc1"), lit(5)) === 0, col("doc1"))
+          .otherwise(col("doc2")).as("ref_id"))
+    val got = cross.select("doc_id", "ref_id")
+    assert(got.exceptAll(straddle).count() == 0, "cross-only pairs")
+    assert(straddle.exceptAll(got).count() == 0, "missed straddling pairs")
+    // reference-internal dup pairs must never emit
+    assert(cross.filter(pmod(col("doc_id"), lit(5)) === 0).count() == 0)
+    Caches.release(cross); Caches.release(all)
+  }
+
   test("PQ: codes are M small ints; ADC ranks monotone; rerank bounded by brute") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (codes, cent) = Ann.pqModel(embs, 2)
