@@ -178,6 +178,22 @@ object PipelineQueries {
         r2 AS (${assign("c1")})"""
   }
 
+  /** Token → (register, rho) CTE chain for the p=8 HLL — shared by
+    * pl_k4's one-row summary and the streaming register-table twin
+    * (st13) so the hash/register structure can never drift.
+    */
+  private[queries] val hllRegCtesSql: String =
+    s"""tok AS (
+          SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        h AS (SELECT ${h60("'hll|' || tok")} AS h FROM tok),
+        r AS (
+          SELECT h % 256 AS reg,
+                 CASE WHEN (h >> 8) > 0
+                      THEN 53 - length(printf('%b', h >> 8))
+                      ELSE 53 END AS rho
+          FROM h)"""
+
   /** Brute-force verified near-dup pairs (ground truth for d2/d3). */
   private val truthPairsSql =
     s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
@@ -1102,16 +1118,7 @@ object PipelineQueries {
     // constant is interpolated from Sketches.hllConst so the two
     // engines cannot drift.
     "pl_k4_hll" ->
-      s"""WITH tok AS (
-            SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
-            WHERE tok <> ''),
-          h AS (SELECT ${h60("'hll|' || tok")} AS h FROM tok),
-          r AS (
-            SELECT h % 256 AS reg,
-                   CASE WHEN (h >> 8) > 0
-                        THEN 53 - length(printf('%b', h >> 8))
-                        ELSE 53 END AS rho
-            FROM h),
+      s"""WITH $hllRegCtesSql,
           mx AS (SELECT reg, max(rho) AS max_rho FROM r GROUP BY 1),
           a AS (
             SELECT CAST(count(*) AS BIGINT) AS n_obs,

@@ -701,6 +701,27 @@ object StreamingQueries {
       finally cleanup()
     }),
 
+    // Streaming HLL: the pl_k4 register table built by the streaming
+    // engine — max(rho) per register IS the HLL merge, so the state
+    // store's per-key max-combine gives continuous cardinality
+    // tracking for free. State is exactly 2^p = 256 registers no
+    // matter how long the stream runs — with st5 (CMS) this completes
+    // the bounded-state sketch pair: frequency AND cardinality over
+    // an unbounded token stream in O(sketch) memory.
+    // Oracle: the SAME tok/h/r CTE chain as pl_k4 (shared SQL).
+    "st13_stream_hll" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (src, cleanup) = stagedFileStream(s, docs, 4)
+      val toks = src.select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val regs = graft.pipeline.Sketches.hllRegisters(toks, col("tok"), 8)
+        .select(col("reg"), col("max_rho").cast("bigint").as("max_rho"))
+      val nParts = graft.streaming.StateSizing.partitions(256L * 64)
+      try withStatePartitions(s, nParts)(
+        sinkToLocal(s, "graft_st13_sink", regs, "complete"))
+      finally cleanup()
+    }),
+
     "st9_stream_retention" -> ((s, d) => {
       import s.implicits._
       import java.io.File
@@ -817,6 +838,13 @@ object StreamingQueries {
     // with the same shared-gram evidence counts.
     "st12_stream_decontam" ->
       PipelineQueries.oracleSql("pl_d10_decontam"),
+
+    // The pl_k4 register CTE chain (shared SQL) — the streamed HLL's
+    // register table must equal the batch build register for register.
+    "st13_stream_hll" ->
+      s"""WITH ${PipelineQueries.hllRegCtesSql}
+          SELECT reg, CAST(max(rho) AS BIGINT) AS max_rho
+          FROM r GROUP BY 1""",
 
     // Identical to the batch pl_k2 sketch CTE — the streamed sketch's
     // d×w count matrix must equal the batch build cell for cell.

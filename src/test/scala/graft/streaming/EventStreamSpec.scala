@@ -130,6 +130,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers merge across micro-batches to the batch table") {
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val regs = graft.pipeline.Sketches.hllRegisters(
+      in.toDF().toDF("tok"), col("tok"), 8)
+    val q = regs.writeStream.format("memory").queryName("hll1")
+      .outputMode("complete").start()
+    try {
+      in.addData("alpha", "beta", "alpha")
+      q.processAllAvailable()
+      in.addData("gamma", "alpha", "delta") // max(rho) must MERGE, not replace
+      q.processAllAvailable()
+      val streamed = spark.table("hll1")
+      val batch = graft.pipeline.Sketches.hllRegisters(
+        Seq("alpha", "beta", "alpha", "gamma", "alpha", "delta").toDF("tok"),
+        col("tok"), 8)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0, "streaming-only registers")
+      assert(batch.exceptAll(streamed).count() == 0, "batch-only registers")
+    } finally q.stop()
+  }
+
   test("stream-static decontam join flags exactly the batch overlap set") {
     import org.apache.spark.sql.functions._
     implicit val sq = spark.sqlContext
