@@ -59,8 +59,14 @@ object Multimodal {
   }
 
   def generate(spark: SparkSession): Unit = {
-    import spark.implicits._
-    val ids = (0 until nRows).toDF("media_id")
+    // spark.range, NOT a driver-local (0 until n).toDF: the local
+    // relation embeds every id in the plan and generates on the
+    // driver; at the 100× probe (200 k rows) that write wedged in
+    // AQE's final-plan wait with zero tasks scheduled. Range is
+    // distributed from the start; the int cast keeps xxhash64 inputs
+    // (IntegerType) — hence the committed fixture bytes — identical.
+    val ids = spark.range(nRows.toLong)
+      .select(col("id").cast("int").as("media_id"))
     val h = xxhash64(lit("media"), col("media_id"))
     val audioLen = (pmod(h, lit(3800L)) + 200L).cast("int")
     val media = ids

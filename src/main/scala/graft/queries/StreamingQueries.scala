@@ -684,10 +684,15 @@ object StreamingQueries {
     "st12_stream_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+      // persist the static side: a stream-static join re-executes the
+      // static plan EVERY micro-batch — without this, each trigger
+      // re-scans and re-distincts the benchmark (4× here; every
+      // trigger forever on a production stream)
       val benchGrams = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
         .select(explode(array_distinct(
           graft.expressions.TokenGramHash(col("text"), 4))).as("gram"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (src, cleanup) = stagedFileStream(s, corpus, 4)
       val contaminated = src.select(col("doc_id"), explode(array_distinct(
           graft.expressions.TokenGramHash(col("text"), 4))).as("gram"))
@@ -698,7 +703,9 @@ object StreamingQueries {
         corpus, keysPerRow = 1, bytesPerKey = 24)
       try withStatePartitions(s, nParts)(
         sinkToLocal(s, "graft_st12_sink", contaminated, "complete"))
-      finally cleanup()
+      finally {
+        benchGrams.unpersist(blocking = false); cleanup()
+      }
     }),
 
     // Streaming HLL: the pl_k4 register table built by the streaming
