@@ -137,6 +137,30 @@ object Ann {
         col("dot_scaled"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Filtered ("hybrid") exact top-k: cosine search restricted to the
+    * candidates satisfying a metadata predicate — the
+    * filter-then-search form every vector store pairs with ANN. The
+    * predicate applies to the CANDIDATE side before scoring, so
+    * Catalyst pushes it into the parquet scan (PlanShapeSpec asserts
+    * `PushedFilters` carries it) and the corpus read itself shrinks;
+    * probes are taken from the unfiltered corpus. Same scan shape as
+    * [[knnBrute]]: probes broadcast, candidates streamed once.
+    */
+  def knnBruteFiltered(vectors: DataFrame, probeFilter: Column,
+                       candidateFilter: Column, k: Int): DataFrame = {
+    val v = withScaled(vectors)
+    val probes = v.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
+        col("norm2").as("p_norm2"))
+    val scored = withScaled(vectors.filter(candidateFilter))
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
+      .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
+    topK(scored, k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Sign-random-projection signature: bit p = (Σ coef(p,d)·iv[d] ≥ 0),
     * folded into one bucket int per band. Pure projection.
     */

@@ -398,6 +398,13 @@ object PipelineQueries {
     "pl_a5_ann_ivf_trained" -> ((s, d) =>
       Ann.annIvfKmeans(Tables.embeddings(s, d), probeF, K, 8, 2)),
 
+    // Hybrid (filtered) search: exact top-k restricted to candidates
+    // with label = 2 — the metadata predicate reaches the parquet
+    // scan as a pushed filter, so the corpus read itself shrinks.
+    "pl_a7_ann_filtered" -> ((s, d) =>
+      Ann.knnBruteFiltered(Tables.embeddings(s, d), probeF,
+        col("label") === 2, K)),
+
     // ANN scale path 3: product quantization — corpus compressed to
     // M=8 codebook codes per vector (the representation that keeps a
     // 100 TB embedding corpus memory-resident), probes answered by an
@@ -983,6 +990,24 @@ object PipelineQueries {
             FROM scored)
           SELECT probe_id, assigned_cluster, CAST(rank AS BIGINT) AS rank,
                  neighbor_id, round(cos, 6) AS cos
+          FROM ranked WHERE rank <= $K""",
+
+    // pl_a1's brute mirror with the label predicate on the candidate
+    // side only (probes come from the unfiltered corpus).
+    "pl_a7_ann_filtered" ->
+      s"""WITH $vSql,
+          scored AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+                   ${dotSql("c.iv", "p.iv")}::DOUBLE
+                     / (sqrt(p.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+            FROM v c JOIN v p
+              ON p.vec_id < 8 AND c.vec_id <> p.vec_id AND c.label = 2),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, label,
+                 round(cos, 6) AS cos
           FROM ranked WHERE rank <= $K""",
 
     // PQ mirror: per-subspace k-means over list_slice subvectors (the

@@ -145,6 +145,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ivf.contains("CartesianProduct"), "annIvf plans a cartesian join")
   }
 
+  test("filtered ANN pushes the metadata predicate into the parquet scan") {
+    val probe = org.apache.spark.sql.functions.col("vec_id") < 8
+    val label2 = org.apache.spark.sql.functions.col("label") ===
+      org.apache.spark.sql.functions.lit(2)
+    val p = plan(Ann.knnBruteFiltered(embs, probe, label2, 5))
+    // the candidate-side scan must carry the label predicate as a
+    // pushed filter — the whole point of filter-then-search is that
+    // the corpus READ shrinks, not just the scored set
+    val candScans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("embeddings.parquet")).toSeq
+    assert(candScans.exists(_.contains("EqualTo(label,2)")),
+      s"label predicate not pushed to any embeddings scan:\n${candScans.mkString("\n")}")
+    // the probes join is non-equi vs a broadcast P-row side — the
+    // intended brute shape (same as knnBrute); only an unbroadcast
+    // cartesian over the corpus would be wrong
+    assert(!p.contains("CartesianProduct"),
+      "knnBruteFiltered plans a cartesian join")
+  }
+
   test("PQ ADC: no unbroadcast cartesian, no single-partition funnel") {
     // the ADC scan is codes × broadcast(P probes-with-LUT) by design —
     // a BroadcastNestedLoopJoin against the tiny broadcast side is the
