@@ -84,7 +84,13 @@ object StreamingQueries {
     try {
       val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
       val staging = new File(tmp, "staging")
-      df.repartition(nFiles).write.parquet(staging.getAbsolutePath)
+      // 2 MB row groups: a staged slice is ONE file per micro-batch,
+      // and parquet can't split below a row group — with the default
+      // 128 MB group every batch scanned on a single task at probe
+      // scale (st13 100x: cpu/wall 1.3 before, saturated after)
+      df.repartition(nFiles).write
+        .option("parquet.block.size", 2L * 1024 * 1024)
+        .parquet(staging.getAbsolutePath)
       staging.listFiles().filter(_.getName.endsWith(".parquet"))
         .zipWithIndex.foreach { case (f, i) =>
           Files.move(f.toPath,
@@ -587,7 +593,8 @@ object StreamingQueries {
         val staging = new File(tmp, "staging")
         main.withColumn("gslice", sliceOf)
           .repartition(col("gslice"))
-          .write.partitionBy("gslice").parquet(staging.getAbsolutePath)
+          .write.option("parquet.block.size", 2L * 1024 * 1024)
+          .partitionBy("gslice").parquet(staging.getAbsolutePath)
         (1 to bounds.size).foreach { i =>
           val f = new File(staging, s"gslice=$i").listFiles()
             .filter(_.getName.endsWith(".parquet")).head
