@@ -50,11 +50,19 @@ object ScaleFixtures {
     (0 until factor).map { i =>
       docs.select(
         (col("doc_id") + lit(i * dStride)).as("doc_id"),
+        // prefix only NON-empty tokens: consecutive spaces split into
+        // empty tokens, and turning those into bare "c<i>" would
+        // perturb the token-count profile vs the source corpus
         concat_ws(" ",
           transform(split(col("text"), " "),
-            t => concat(lit(s"c$i"), t))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+            t => when(t === "", t).otherwise(concat(lit(s"c$i"), t))))
+          .as("text"),
+        col("lang"), col("source"))
     }.reduce(_ unionAll _)
+      // n_chars must describe the REWRITTEN text (the prefixes grew
+      // it), or char-based quality stats drift vs the text column
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
   /** N× embeddings corpus as N ID-OFFSET copies: vec_id offsets by

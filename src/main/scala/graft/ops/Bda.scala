@@ -230,14 +230,21 @@ object Bda {
     */
   def averagedMain(main: DataFrame, spw: DataFrame, ddid: DataFrame, args: Args): DataFrame = {
     val prep0 = prepared(main, spw, ddid, args)
-    val bp = binParams(prep0, args)
+    // The sizing frame is consumed TWICE — eagerly by avgExchangeWidth
+    // (a .head() over its aggregate) and again as the broadcast side of
+    // joinBinParams — so materialize it once (tiny: one row per
+    // (group, baseline)); without this the full fact-table sizing
+    // groupBy executes twice per run, an unconditional extra
+    // corpus-scale job at any SF.
+    val bp = graft.pipeline.Caches.materialize(binParams(prep0, args))
     val prep = joinBinParams(prep0, bp)
     // grid binning anchored at the group t0, per-baseline bin width.
     // t0 is computed from the PRE-sizing frame: anchoring it on `prep`
     // would nest a second copy of the withBinParams subtree (and its
     // fact-table scan) inside the tiny t0 aggregate (plan-audited:
-    // graft.PlanAudit showed 4 main-table scans before this, 3 after —
-    // full pass + sized + t0, the designed shape).
+    // graft.PlanAudit showed 4 main-table scans originally; with bp
+    // checkpointed the final plan carries 2 — full pass + t0, the
+    // designed shape, PlanShapeSpec-locked).
     val t0 = prep0.groupBy(TimeAvg.GroupCols.map(col): _*).agg(min("TIME").as("_T0"))
     val binned =
       if (args.runningBins)

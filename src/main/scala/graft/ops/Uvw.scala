@@ -160,9 +160,23 @@ object Uvw {
       pos.select(col("ANTENNA_ID").as(key), col("POSITION").as(as)))
     def dl(i: Int) =
       element_at(col("_P1"), i) - element_at(col("_P2"), i)
+    // LEFT joins + fail-on-null rather than inner joins: a main row
+    // whose ANTENNA1/ANTENNA2 has no POSITION row must fail loudly
+    // (the pre-join-rewrite UDF threw NoSuchElementException), not be
+    // silently dropped — corrupt input should error, not shrink the
+    // output. raise_error is codegen'd, so the guard costs one null
+    // check per row inside the same whole-stage span.
+    def failNull(ant: String, p: String) =
+      when(col(p).isNull, raise_error(concat(
+        lit(s"$ant="), col(ant).cast("string"),
+        lit(" has no POSITION row in the ANTENNA table")))
+        .cast("array<double>"))
+        .otherwise(col(p))
     main.join(broadcast(dirs), "FIELD_ID")
-      .join(posAs("ANTENNA1", "_P1"), "ANTENNA1")
-      .join(posAs("ANTENNA2", "_P2"), "ANTENNA2")
+      .join(posAs("ANTENNA1", "_P1"), Seq("ANTENNA1"), "left")
+      .join(posAs("ANTENNA2", "_P2"), Seq("ANTENNA2"), "left")
+      .withColumn("_P1", failNull("ANTENNA1", "_P1"))
+      .withColumn("_P2", failNull("ANTENNA2", "_P2"))
       .withColumn("SYNTH_UVW",
         baselineUvwCols(dl(1), dl(2), dl(3),
           col("_RA"), col("_DEC"), col("TIME_CENTROID")))

@@ -284,6 +284,12 @@ object Ann {
 
     var assigned: DataFrame = null
     var lastCent = cent
+    // storage hygiene: each round's checkpoint supersedes the previous
+    // one — once the new k-row frame is materialized (eager, lineage
+    // truncated) the prior round's blocks are unreachable from any
+    // returned plan, so release them. The LAST checkpoint is lastCent
+    // (part of the returned model) and is never released here.
+    var prevCkpt: DataFrame = null
     val vN = v.withColumn("_ivn", doti(col("iv"), col("iv")))
     for (rd <- 0 until rounds) {
       lastCent = cent
@@ -303,14 +309,18 @@ object Ann {
       // lineage). The final round's recompute is skipped entirely —
       // the model the caller gets is (assignment r, centroids r−1),
       // which eager evaluation would otherwise waste a pass on.
-      if (rd < rounds - 1) cent = Caches.materialize(assigned
-        .select(col("cluster"), posexplode(col("iv")).as(Seq("d", "x")))
-        .groupBy("cluster", "d")
-        .agg(sum("x").as("s"), count(lit(1)).as("cn"))
-        .groupBy(col("cluster").as("c_id"))
-        .agg(max("cn").as("n"),
-          transform(array_sort(collect_list(struct(col("d"), col("s")))),
-            r => r("s")).as("sv")))
+      if (rd < rounds - 1) {
+        cent = Caches.materialize(assigned
+          .select(col("cluster"), posexplode(col("iv")).as(Seq("d", "x")))
+          .groupBy("cluster", "d")
+          .agg(sum("x").as("s"), count(lit(1)).as("cn"))
+          .groupBy(col("cluster").as("c_id"))
+          .agg(max("cn").as("n"),
+            transform(array_sort(collect_list(struct(col("d"), col("s")))),
+              r => r("s")).as("sv")))
+        if (prevCkpt != null) Caches.release(prevCkpt)
+        prevCkpt = cent
+      }
     }
     (assigned, lastCent)
   }
@@ -384,6 +394,8 @@ object Ann {
 
     var assigned: DataFrame = null
     var lastCent = cent
+    // same round-over-round checkpoint release as kmeansModel
+    var prevCkpt: DataFrame = null
     val subsN = subs.withColumn("_ivn", doti(col("siv"), col("siv")))
     for (rd <- 0 until rounds) {
       lastCent = cent
@@ -402,14 +414,18 @@ object Ann {
       // intermediate codebooks checkpoint (M×K tiny rows) — same
       // rationale as kmeansModel: downstream branches (codes AND the
       // probe LUT) share one training pass instead of re-running it.
-      if (rd < rounds - 1) cent = Caches.materialize(assigned
-        .select(col("m"), col("code"), posexplode(col("siv")).as(Seq("d", "x")))
-        .groupBy("m", "code", "d")
-        .agg(sum("x").as("s"), count(lit(1)).as("cn"))
-        .groupBy(col("m"), col("code").as("c_id"))
-        .agg(max("cn").as("n"),
-          transform(array_sort(collect_list(struct(col("d"), col("s")))),
-            r => r("s")).as("sv")))
+      if (rd < rounds - 1) {
+        cent = Caches.materialize(assigned
+          .select(col("m"), col("code"), posexplode(col("siv")).as(Seq("d", "x")))
+          .groupBy("m", "code", "d")
+          .agg(sum("x").as("s"), count(lit(1)).as("cn"))
+          .groupBy(col("m"), col("code").as("c_id"))
+          .agg(max("cn").as("n"),
+            transform(array_sort(collect_list(struct(col("d"), col("s")))),
+              r => r("s")).as("sv")))
+        if (prevCkpt != null) Caches.release(prevCkpt)
+        prevCkpt = cent
+      }
     }
     val codes = assigned.groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),

@@ -18,6 +18,27 @@ import org.apache.spark.sql.functions._
 object StreamingQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Probe-sink dirs (data + checkpoint) registered for JVM-exit
+    * cleanup: the returned frame lazily reads `$dir/out`, so the dir
+    * must outlive the entry — but unlike every other streaming temp
+    * dir it has no in-entry rm() point. Probe runs are
+    * one-entry-per-JVM (the probe discipline), so a shutdown hook
+    * bounds the residue at one corpus-sized dir per process instead of
+    * accumulating across suite runs under /tmp.
+    */
+  private val probeSinkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val probeSinkHookInstalled: Boolean = {
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var f = probeSinkDirs.poll()
+      while (f != null) { rmRec(f); f = probeSinkDirs.poll() }
+    }))
+    true
+  }
+
   /** Run `stream` to completion into a memory sink and return the sink
     * table MATERIALIZED as a local frame (the temp view dies when the
     * entry re-runs) — the tail every streaming entry shares.
@@ -36,6 +57,7 @@ object StreamingQueries {
         && mode == "append") {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_probe_sink").toFile
+      require(probeSinkHookInstalled); probeSinkDirs.add(dir)
       val q = stream.writeStream.format("parquet")
         .option("path", s"$dir/out")
         .option("checkpointLocation", s"$dir/ckpt")
@@ -114,18 +136,7 @@ object StreamingQueries {
     import java.io.File
     import java.nio.file.Files
     val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
-    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
-    val sliced = ev.withColumn("gslice", ntile(n).over(w))
-    (1 to n).foreach { i =>
-      val staging = new File(tmp, s"staging_$i")
-      sliced.filter(col("gslice") === i).drop("gslice")
-        .coalesce(1).write.parquet(staging.getAbsolutePath)
-      val f = staging.listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new File(streamDir, f"$i%03d_slice.parquet")
-      Files.move(f.toPath, dst.toPath)
-      dst.setLastModified(1000000L * i) // arrival order = time order
-    }
+    val nWritten = stageSlicedByTs(ev, tmp, n, streamDir)
     val sentinel = ev.select(col("user_id")).distinct()
       .select(
         lit(-1L).as("event_id"),
@@ -137,10 +148,59 @@ object StreamingQueries {
     val fstage = new File(tmp, "staging_flush")
     sentinel.coalesce(1).write.parquet(fstage.getAbsolutePath)
     val ff = fstage.listFiles().filter(_.getName.endsWith(".parquet")).head
-    val fdst = new File(streamDir, f"${n + 1}%03d_flush.parquet")
+    val fdst = new File(streamDir, f"${nWritten + 1}%03d_flush.parquet")
     Files.move(ff.toPath, fdst.toPath)
-    fdst.setLastModified(1000000L * (n + 1))
+    fdst.setLastModified(1000000L * (nWritten + 1))
     streamDir
+  }
+
+  /** Boundary-CASE slice staging (the st10 shape, DESIGN.md): slice
+    * assignment is a CASE on distributed ts-quantile bounds, and ALL
+    * slices land in one scan + one partitioned write (repartition on
+    * gslice ⇒ one file per slice; 2 MB row groups so staged slices
+    * stay splittable, the r11 rule). The ntile-over-one-Window staging
+    * this replaces pushed the whole table through a single sort task —
+    * the exact shape st10's comment condemns — and then re-scanned it
+    * once per slice for the filtered writes. Slices stay
+    * TIME-CONTIGUOUS (slice i holds bound(i-1) < ts <= bound(i), so a
+    * later file never carries an earlier timestamp — the arrival-order
+    * contract); within-slice row order is free because every stateful
+    * consumer sorts its per-batch group rows (EventStream contract).
+    * Returns the number of slice files written (== n unless a quantile
+    * bound degenerated on tiny input).
+    */
+  private def stageSlicedByTs(ev: DataFrame, tmp: java.io.File, n: Int,
+      streamDir: java.io.File): Int = {
+    import java.io.File
+    import java.nio.file.Files
+    // exact epoch micros as double (micros << 2^53, exact)
+    val tsd = graft.ops.EventOps.epochUs(col("ts")).cast("double")
+    val bounds =
+      if (n <= 1) Array.empty[Double]
+      else ev.select(tsd.as("_tsd")).stat
+        .approxQuantile("_tsd", (1 until n).map(_.toDouble / n).toArray, 1e-4)
+        .distinct
+    val sliceOf =
+      if (bounds.isEmpty) lit(1)
+      else bounds.drop(1).zipWithIndex
+        .foldLeft(when(tsd <= bounds.head, 1)) {
+          case (acc, (hi, i)) => acc.when(tsd <= hi, i + 2)
+        }.otherwise(bounds.length + 1)
+    val staging = new File(tmp, "staging_slices")
+    ev.withColumn("gslice", sliceOf)
+      .repartition(col("gslice"))
+      .write.option("parquet.block.size", 2L * 1024 * 1024)
+      .partitionBy("gslice").parquet(staging.getAbsolutePath)
+    val present = (1 to bounds.length + 1)
+      .filter(i => new File(staging, s"gslice=$i").exists())
+    present.zipWithIndex.foreach { case (g, idx) =>
+      val f = new File(staging, s"gslice=$g").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new File(streamDir, f"${idx + 1}%03d_slice.parquet")
+      Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (idx + 1)); ()
+    }
+    present.length
   }
 
   /** Run `body` with shuffle partitions (= state-store partitions for
@@ -415,20 +475,9 @@ object StreamingQueries {
         s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
-        // harness-scale global sort (ntile over one window) — staging
-        // only; the streamed plan below never sorts
-        val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
-        val sliced = ev.withColumn("gslice", ntile(4).over(w))
-        (1 to 4).foreach { i =>
-          val staging = new File(tmp, s"staging_$i")
-          sliced.filter(col("gslice") === i).drop("gslice")
-            .coalesce(1).write.parquet(staging.getAbsolutePath)
-          val f = staging.listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new File(streamDir, f"$i%03d_slice.parquet")
-          Files.move(f.toPath, dst.toPath)
-          dst.setLastModified(1000000L * i) // arrival order = time order
-        }
+        // boundary-CASE staging (stageSlicedByTs) — one scan, one
+        // partitioned write; the streamed plan below never sorts
+        stageSlicedByTs(ev, tmp, 4, streamDir)
         def src() = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(streamDir.getAbsolutePath)

@@ -42,10 +42,16 @@ class PlanShapeSpec extends SparkSpec {
     assertNoGlobalSort(p, "timechannel")
   }
 
-  test("BDA averaging: 3 main-table scans, no global funnel") {
+  test("BDA averaging: 2 main-table scans, no global funnel") {
+    // r12: the sizing frame (bp) is materialized once — its fact-table
+    // groupBy executes at construction and the returned plan references
+    // the checkpointed k-row RDD, so only the full pass + t0 scans
+    // remain (was 3 when the broadcast side re-planned the sizing scan,
+    // which — together with avgExchangeWidth's eager .head() — executed
+    // the corpus aggregation twice per run).
     val p = plan(Bda.averagedMain(MsTables.main(spark), MsTables.spw(spark),
       MsTables.ddid(spark), Bda.Args()))
-    assert(mainScans(p) == 3, s"expected full + sized + t0 passes, got:\n$p")
+    assert(mainScans(p) == 2, s"expected full + t0 passes, got:\n$p")
     assertNoGlobalSort(p, "bda")
   }
 
