@@ -244,6 +244,25 @@ object Bench {
     // environment sanity reading before any entry runs — recorded to the
     // JSON so a whole-run contamination is visible even without verdicts
     val calibStart = calibSec(cpus.toInt)
+    // Pin gate (VERDICT r11 #4): a committed BENCH pin must come from a
+    // clean window. A start calibration more than 1.1× nominal means
+    // the machine's effective CPU throughput is already degraded before
+    // any entry runs — every reading in the run is suspect (r11
+    // committed a 1.32× run with 3 suite-inflation flags while a clean
+    // 127.7 s window existed). The run still completes and reports
+    // (probes and mid-round iterations are fine), but the artifact
+    // self-describes via "calib_gate" and the pin rule is: only a
+    // "clean" run may be committed as BENCH.json.
+    val calibGate: String = calibNominal match {
+      case Some(n) if calibStart > 1.1 * n =>
+        System.err.println(
+          f"[bench] WARNING: start calibration $calibStart%.3f s is " +
+            f"${calibStart / n}%.2fx nominal ($n%.3f) — contended window; " +
+            "do NOT commit this run as the BENCH.json pin")
+        "contended_start"
+      case Some(_) => "clean"
+      case None => "no_nominal"
+    }
 
     val results = names.map(n => n -> time(n))
 
@@ -317,7 +336,8 @@ object Bench {
     val total = results.map(_._2.warm.wall).filter(_ >= 0).sum
     val calibJson = "{\"start\":" + calibStart +
       calibReprobe.fold("")(c => ",\"reprobe\":" + c) +
-      calibNominal.fold("")(n => ",\"nominal\":" + n) + "}"
+      calibNominal.fold("")(n => ",\"nominal\":" + n) +
+      ",\"gate\":\"" + calibGate + "\"}"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""detail":$detail,"verdicts":$verdictJson,""" +

@@ -189,6 +189,27 @@ class PlanShapeSpec extends SparkSpec {
         s"($singles single-partition exchanges vs $blooms bloom builds)")
   }
 
+  test("per-probe/per-stratum top-k plans WindowGroupLimit (partial top-k before the shuffle)") {
+    // Load-bearing at 100 TB: the rank filter over
+    // row_number().over(partitionBy(...)) must plan WindowGroupLimit —
+    // per-partition top-k BEFORE the shuffle — or the ranking stage is
+    // a full sort of P×corpus scored rows. Verified present on Spark
+    // 4.1.2 (the .cast("bigint") does not defeat the pushdown; VERDICT
+    // r11 #2); this locks it against refactors (e.g. rank() over a
+    // derived expression, or filtering a further-transformed rank).
+    val probe = org.apache.spark.sql.functions.col("vec_id") < 8
+    for ((what, df) <- Seq(
+        "knnBrute" -> Ann.knnBrute(embs, probe, 5),
+        "annPq" -> Ann.annPq(embs, probe, 5, 2),
+        "topKPerStratum" -> graft.pipeline.Sampling.topKPerStratum(
+          docs, org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"), 10))) {
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"),
+        s"$what lost the WindowGroupLimit pushdown — top-k is a full sort:\n$p")
+    }
+  }
+
   test("tfidf and span dedup: keyed shuffles only, no all-pairs join") {
     val pt = plan(graft.pipeline.TextOps.tfidfTopK(docs, 5))
     assertNoAllPairs(pt, "tfidfTopK")
