@@ -530,6 +530,53 @@ object Dedup {
             i => element_at(col("_tk"), i + 1))).as("dedup_text"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then
+    * search for near-duplicate pairs ONLY within each cluster — the
+    * third point on the exact↔LSH spectrum of [[embedNearDup]]. Where
+    * LSH prunes by random-hyperplane agreement, clustering prunes by
+    * learned structure: the pair space shrinks from n² to Σ n_c², and
+    * (unlike LSH bands) the clusters are REUSED by the IVF/PQ index
+    * family — one training pass serves both retrieval and dedup.
+    * Recall contract: a pair is found iff both members land in the
+    * same cluster, so (as with SemDeDup itself) cross-cluster
+    * near-dups at the decision boundary are missed by design; raise
+    * `rounds`/lower k for recall, or run [[embedNearDup]]'s LSH path
+    * as a complement.
+    *
+    * Clustering is [[Ann.kmeansModel]] — md5-seeded, exact-integer
+    * assignment, bit-deterministic on every engine — so the oracle
+    * replays cluster membership exactly; the within-cluster rerank is
+    * the same exact int-dot cosine as the other embedding paths.
+    * Returns (cluster, vec1, vec2, dot_scaled, cos).
+    *
+    * Scale: training is k·rounds broadcast passes; pair generation is
+    * ONE self-join keyed by cluster id — never all-pairs. Cluster
+    * sizes bound the quadratic locally (k chosen so n_c ≈ n/k keeps
+    * n_c² tractable; SemDeDup used k ≈ 11k on 234 M embeddings). A
+    * degenerate cluster (mass collapsing onto one centroid) is the
+    * skew risk: cap it by raising k or salting the oversized cluster's
+    * self-join, same remedy as any skewed join key.
+    */
+  def semanticDedupPairs(vectors: DataFrame, k: Int, rounds: Int,
+                         minCos: Double): DataFrame = {
+    val (assigned, _) = Ann.kmeansModel(vectors, k, rounds)
+    val av = assigned
+      .withColumn("norm2", Ann.doti(col("iv"), col("iv")))
+      .select(col("cluster"), col("vec_id"), col("iv"), col("norm2"))
+    val a = av.select(col("cluster"), col("vec_id").as("vec1"),
+      col("iv").as("iv1"), col("norm2").as("n1"))
+    val b = av.select(col("cluster"), col("vec_id").as("vec2"),
+      col("iv").as("iv2"), col("norm2").as("n2"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec1") < col("vec2"))
+      .withColumn("dot_scaled", Ann.doti(col("iv1"), col("iv2")))
+      .withColumn("cos", Ann.cosine(col("dot_scaled"), col("n1"), col("n2")))
+      .filter(col("cos") >= minCos)
+      .select(col("cluster"), col("vec1"), col("vec2"), col("dot_scaled"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs. Two paths:
     *  - exact: all-pairs self-join — the O(n²) correctness baseline,
     *    and the only complete answer at low thresholds;

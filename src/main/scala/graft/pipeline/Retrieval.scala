@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse keyword retrieval over the corpus — the BM25 ranking a
+  * training-data pipeline needs for decontamination probes, seed-query
+  * curation, and retrieval-augmented filtering (find the corpus
+  * documents most relevant to a benchmark prompt before deciding to
+  * drop or keep them).
+  *
+  * Scoring is Robertson/Spärck-Jones BM25 (k1 = 1.2, b = 0.75) with
+  * one deliberate twist: the idf factor is kept RATIONAL —
+  * `(N − df + ½)/(df + ½)` — instead of wrapped in the usual `ln`.
+  * Per term the two are monotone-equivalent, and the rational form
+  * makes every score an exact ratio of int64s: both factors of each
+  * term's contribution are integer numerator/denominator pairs, their
+  * IEEE-double quotient is correctly rounded (hence bit-identical on
+  * every engine), and the cross-term sum is folded in FIXED term-index
+  * order. The ranking is therefore bit-deterministic and replayable by
+  * the SQL oracle — no libm `ln` (whose last-ulp behavior is
+  * engine-specific) anywhere near a sort key. A deployment that wants
+  * textbook log-idf can wrap the factor at the end of the pipeline;
+  * the plan shape is identical.
+  *
+  * Scale: the query table is a literal (broadcast by construction);
+  * corpus statistics (N, Σdl) are one tiny aggregate; tf extraction is
+  * a scan-speed projection per query term (the explode is filtered to
+  * the ≤ `MaxTerms`·queries term set BEFORE the shuffle, so the
+  * exploded frame carries only matching postings — the inverted-index
+  * slice, not the corpus); ranking is a per-query top-k window that
+  * plans as WindowGroupLimit (partial top-k before the shuffle). One
+  * corpus scan for stats, one for postings — no join ever carries the
+  * corpus on both sides.
+  */
+object Retrieval {
+
+  /** Max terms per query — contributions are folded as fixed columns
+    * c0 + c1 + … + c{MaxTerms-1}, which is what pins the float-sum
+    * association order. */
+  val MaxTerms = 4
+
+  /** BM25 top-k per query. `queries` = (query_id, terms); terms beyond
+    * [[MaxTerms]] are rejected (widen the constant, not the call).
+    * Returns (query_id, rank, doc_id, n_terms_matched, score).
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])], k: Int,
+               textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(queries.nonEmpty, "empty query set")
+    require(queries.forall(_._2.nonEmpty), "query with no terms")
+    require(queries.forall(_._2.size <= MaxTerms),
+      s"query exceeds MaxTerms=$MaxTerms")
+    val s = docs.sparkSession
+    import s.implicits._
+
+    // corpus stats: N docs, total tokens (Σdl) — one tiny aggregate,
+    // collected once and inlined as literals (broadcast-by-literal)
+    val dl = size(split(col(textCol), " ")).cast("long")
+    val statsRow = docs.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(dl).as("total")).head()
+    val n = statsRow.getLong(0)
+    val total = statsRow.getLong(1)
+    require(n > 0, "empty corpus")
+
+    // the literal query-term table: (query_id, ti, term)
+    val terms = queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i.toLong, t) }
+    }.toDF("query_id", "ti", "term")
+    val termSet = queries.flatMap(_._2).distinct
+
+    // postings: (doc_id, term, tf, dl) — explode filtered to the query
+    // vocabulary BEFORE any shuffle, so only matching tokens survive
+    // the scan (the inverted-index slice)
+    val postings = docs
+      .select(col("doc_id"), dl.as("dl"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(col("term").isin(termSet: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
+
+    // document frequency per term (over the postings slice — a term's
+    // df is the number of docs it appears in)
+    val dfreq = postings.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"))
+
+    // exact-rational per-term contribution:
+    //   idf      = (2N − 2df + 1) / (2df + 1)
+    //   tf-part  = 22·tf·total / (10·tf·total + 3·total + 9·dl·N)
+    // (k1 = 1.2, b = 0.75, avgdl = total/N multiplied through; both
+    // numerator and denominator are exact int64s at any realistic SF)
+    val num = (lit(2L) * n - lit(2L) * col("df") + lit(1L)) *
+      (lit(22L) * col("tf") * total)
+    val den = (lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * col("tf") * total + lit(3L) * total +
+        lit(9L) * col("dl") * n)
+    val contrib = postings.join(dfreq, "term")
+      .join(broadcast(terms), "term")
+      .withColumn("c", num.cast("double") / den.cast("double"))
+
+    // fixed-order fold: per (query, doc) the term at index i lands in
+    // column c_i; score = ((c_0 + c_1) + c_2) + … — one association,
+    // both engines
+    val cCols = (0 until MaxTerms).map(i =>
+      max(when(col("ti") === i.toLong, col("c"))).as(s"c$i"))
+    val aggCols = count(lit(1)).cast("long").as("n_terms_matched") +: cCols
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("score",
+        (0 until MaxTerms).map(i => coalesce(col(s"c$i"), lit(0.0)))
+          .reduce(_ + _))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms_matched"), round(col("score"), 6).as("score"))
+  }
+}

@@ -120,4 +120,70 @@ object Sampling {
     df.withColumn(rk, row_number().over(w)).filter(col(rk) <= k)
       .drop(rk)
   }
+
+  /** Weighted sample: per-row keep PROBABILITY from a column — the
+    * importance-resampling primitive (keep probability ∝ a quality or
+    * length signal) that [[uniform]]/[[stratified]] special-case to a
+    * constant/enum rate. `ppm` may be any integer expression in
+    * [0, 1e6]; e.g. `least(lit(1000000L), n_tokens * 12000)` keeps a
+    * document with probability proportional to its token count, making
+    * the survivors an (approximately) unbiased TOKEN-level subsample of
+    * the corpus — the draw a mixture pipeline uses when its budget is
+    * tokens, not documents. Same determinism contract as [[uniform]]:
+    * membership is a pure function of (salt, key, ppm-inputs), so the
+    * oracle replays it row for row.
+    *
+    * Scale: a pure narrow filter — no shuffle, no state; weight
+    * evaluation and the md5 draw both run at scan speed. Keep the ppm
+    * expression integer-only (as the examples above) and the decision
+    * is bit-deterministic on every engine.
+    */
+  def weighted(df: DataFrame, key: Column, ppm: Column,
+               salt: String = "wsmp"): DataFrame =
+    df.filter(draw(salt, key) < ppm)
+
+  /** Greedy per-group token-budget fill — the data-MIXTURE primitive:
+    * each group (source, domain, language …) contributes documents in
+    * deterministic draw order until its token budget is exhausted.
+    * This is how a training run realizes "40 % web, 30 % code, …" as
+    * exact token counts: order each group by the same (draw, key) the
+    * sampling family uses, admit a document iff the tokens BEFORE it
+    * are still under the group's budget (so the admitted set is a
+    * prefix of the group's draw order, and the last admitted document
+    * may straddle the boundary — greedy fill, never a partial doc).
+    * Returns the admitted rows plus `cum_before` (tokens admitted
+    * ahead of the row) — the evidence column the oracle replays.
+    *
+    * Because admission = `cum_before < budget` and the running sum is
+    * monotone, a row's fate never depends on later rows: the operator
+    * is incremental (its streaming twin carries ONE counter per group
+    * as state) and the admitted set is stable under corpus growth
+    * until smaller draws arrive — the same bounded-churn property as
+    * [[topKPerStratum]].
+    *
+    * Scale: one group-keyed window shuffle (running sum), cut inside
+    * the window — nothing beyond the group partitioning materializes.
+    * Groups are assumed ≫ 1 but any single group is one
+    * partition-chain; a group whose budget is tiny relative to its
+    * corpus share still scans its full partition (the window must see
+    * every row to rank it) — pre-filter with [[weighted]] if a group's
+    * raw mass is orders beyond its budget.
+    */
+  def tokenBudgetMix(df: DataFrame, key: Column, group: Column,
+                     tokens: Column, budgetByGroup: Map[String, Long],
+                     defaultBudget: Long,
+                     salt: String = "mix"): DataFrame = {
+    require((defaultBudget +: budgetByGroup.values.toSeq).forall(_ >= 0),
+      "budgets must be >= 0")
+    val cb = "cum_before"
+    require(!df.columns.contains(cb), s"input must not carry a $cb column")
+    val budget = budgetByGroup.foldLeft(lit(defaultBudget)) {
+      case (acc, (g, b)) => when(group === g, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(draw(salt, key).asc, key.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn(cb, coalesce(sum(tokens).over(w), lit(0L)))
+      .filter(col(cb) < budget)
+  }
 }

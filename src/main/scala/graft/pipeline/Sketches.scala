@@ -58,6 +58,66 @@ object Sketches {
     }
   }
 
+  /** KMV set-similarity between TWO item streams (Beyer et al. 2007's
+    * multi-set KMV synopses, the k-min union trick): the k smallest
+    * distinct hashes of A ∪ B form a uniform sample of the union, so
+    * the fraction of them present in BOTH sides estimates
+    * Jaccard(A, B) — `jaccard_est = |union_k ∩ A ∩ B| / k_eff`. This
+    * is the corpus-OVERLAP probe a pipeline runs before merging two
+    * crawls (what fraction of vocabulary/shingles is shared?) at
+    * sketch cost instead of a distinct-join over both corpora.
+    * Same determinism contract as [[kmvDistinct]]: the md5-derived
+    * hash makes sketch AND estimate bit-reproducible on any engine;
+    * the exact intersection/union counts ride along for the
+    * estimate-vs-truth row and are dropped at production scale
+    * (`withExact = false`).
+    *
+    * Returns one row: (k_eff, n_both_k, jaccard_est[, n_inter_exact,
+    * n_union_exact, jaccard_exact]).
+    *
+    * Scale: each side dedups its hashes map-side-combined; the merged
+    * per-hash membership frame is aggregated once (max per flag), the
+    * k-minimum pass is orderBy+limit = TakeOrderedAndProject. Nothing
+    * global beyond k rows on the driver; at 100 TB run each side's
+    * dedup at its own partitioning and the union frame is bounded by
+    * distinct cardinality, not corpus size.
+    */
+  def kmvJaccard(dfA: DataFrame, dfB: DataFrame, hash: Column, k: Int,
+                 withExact: Boolean = true): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val ha = dfA.select(hash.as("h")).distinct()
+      .withColumn("in_a", lit(1)).withColumn("in_b", lit(0))
+    val hb = dfB.select(hash.as("h")).distinct()
+      .withColumn("in_a", lit(0)).withColumn("in_b", lit(1))
+    val merged = ha.unionAll(hb)
+      .groupBy("h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    def estOf(m: DataFrame) = m.orderBy("h").limit(k)
+      .agg(count(lit(1)).cast("long").as("k_eff"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both_k"))
+      .withColumn("jaccard_est",
+        col("n_both_k").cast("double") / col("k_eff").cast("double"))
+    if (!withExact) estOf(merged)
+    else {
+      // demo path (estimate vs truth): the merged membership frame
+      // feeds two actions — persist, materialize the one-row result,
+      // release (the kmvDistinct discipline)
+      val m = merged.persist()
+      try {
+        val out = estOf(m).crossJoin(
+          m.agg(
+            sum(col("in_a") * col("in_b")).cast("long").as("n_inter_exact"),
+            count(lit(1)).cast("long").as("n_union_exact"))
+            .withColumn("jaccard_exact",
+              col("n_inter_exact").cast("double") /
+                col("n_union_exact").cast("double")))
+        val rows = out.collect()
+        dfA.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+      } finally m.unpersist()
+    }
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) over an item
     * stream, as a (seed, cell, cnt) TABLE: row `seed` of the d×w count
     * matrix, cell = hash60("cms{seed}|" + item) mod w. Like KMV the

@@ -194,6 +194,44 @@ object PipelineQueries {
                       ELSE 53 END AS rho
           FROM h)"""
 
+  /** Token-budget mixture spec — ONE definition shared by the batch
+    * entry (pl_s7), the streaming twin (st14), and the oracle below,
+    * so budgets cannot drift between the three.
+    */
+  private[queries] val MixBudgets: Map[String, Long] =
+    Map("src1" -> 2000L, "src3" -> 400L)
+  private[queries] val MixDefaultBudget: Long = 1000L
+
+  /** pl_s7/st14 oracle: the same draw, order, running sum, and budget
+    * CASE as Sampling.tokenBudgetMix (budgets generated from
+    * [[MixBudgets]]).
+    */
+  private[queries] val tokenBudgetMixSql: String = {
+    val cases = MixBudgets.toSeq.sortBy(_._1)
+      .map { case (g, b) => s"WHEN '$g' THEN $b" }.mkString(" ")
+    s"""WITH q AS (
+          SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                 ${h60("'mix|' || doc_id")} % 1000000 AS drw
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY drw ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+          FROM q)
+        SELECT doc_id, source, n_tokens, cum_before FROM c
+        WHERE cum_before < CASE source $cases ELSE $MixDefaultBudget END"""
+  }
+
+  /** BM25 query set — ONE definition shared by the pl_r1 entry and
+    * its oracle (the VALUES rows are generated from it).
+    */
+  private[graft] val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("join", "hash"),
+    2L -> Seq("scan", "filter", "column"),
+    3L -> Seq("customer", "order", "slow", "fast"))
+
   /** Brute-force verified near-dup pairs (ground truth for d2/d3). */
   private val truthPairsSql =
     s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
@@ -341,6 +379,13 @@ object PipelineQueries {
     "pl_d6_embed_exact" -> ((s, d) =>
       Dedup.embedNearDup(Tables.embeddings(s, d), 0.45)),
 
+    // SemDeDup-style semantic dedup: k-means clusters (the pl_a4
+    // trainer) bound the pair search — n² becomes Σ n_c², and
+    // cross-cluster pairs are out of scope by design (the SemDeDup
+    // recall contract; pl_d6 is the exact baseline it prunes).
+    "pl_d14_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedupPairs(Tables.embeddings(s, d), 8, 2, 0.45)),
+
     // Exact n-gram Jaccard near-dup via inverted-index join (postings
     // capped at document frequency 3 — the stop-gram guard fires on
     // both fixture SFs). Exact over the kept-gram universe, so the
@@ -429,6 +474,29 @@ object PipelineQueries {
       Sketches.kmvDistinct(
         toks, TextOps.hash60(concat(lit("kmv|"), col("tok"))), 256)
     }),
+
+    // KMV set-similarity between two corpus slices (en vs de
+    // vocabulary): k-min union sample estimates Jaccard overlap at
+    // sketch cost — the merge-two-crawls overlap probe; exact
+    // intersection/union ride along as truth.
+    "pl_k8_kmv_jaccard" -> ((s, d) => {
+      def toks(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val docs = Tables.documents(s, d)
+      Sketches.kmvJaccard(
+        toks(docs.filter(col("lang") === "en")),
+        toks(docs.filter(col("lang") === "de")),
+        TextOps.hash60(concat(lit("kj|"), col("tok"))), 256)
+    }),
+
+    // BM25 keyword retrieval: rational-idf BM25 (k1=1.2, b=0.75) over
+    // the corpus for a literal query set, top-10 per query — the
+    // decontamination/curation probe (see Retrieval.bm25TopK for the
+    // bit-determinism contract).
+    "pl_r1_bm25" -> ((s, d) =>
+      graft.pipeline.Retrieval.bm25TopK(
+        Tables.documents(s, d), Bm25Queries, 10)),
 
     // Count-min-sketch heavy hitters over the token stream: top-20
     // tokens by CMS estimate (d=3, w=1024), exact count alongside so
@@ -521,6 +589,32 @@ object PipelineQueries {
     // overlap) — tokenizer "overflow with stride" semantics.
     "pl_c1_chunks" -> ((s, d) =>
       TextOps.chunkTokens(Tables.documents(s, d), 32, 24)),
+
+    // Weighted (importance) sampling: keep probability proportional to
+    // token count, capped at 1 — survivors are an unbiased TOKEN-level
+    // subsample; the weight is integer-only so the draw is
+    // bit-deterministic (see Sampling.weighted).
+    "pl_s6_weighted_sample" -> ((s, d) => {
+      val nt = size(split(col("text"), " ")).cast("long")
+      graft.pipeline.Sampling.weighted(
+        Tables.documents(s, d).withColumn("n_tokens", nt),
+        col("doc_id"),
+        least(lit(1000000L), col("n_tokens") * lit(12000L)))
+        .select("doc_id", "source", "n_tokens")
+    }),
+
+    // Token-budget mixture: each source contributes documents in draw
+    // order until its token budget is spent — the "40% web, 30% code"
+    // mixing move realized as exact token counts (budgets in
+    // MixBudgets, shared with the streaming twin st14).
+    "pl_s7_token_budget" -> ((s, d) => {
+      val nt = size(split(col("text"), " ")).cast("long")
+      graft.pipeline.Sampling.tokenBudgetMix(
+        Tables.documents(s, d).withColumn("n_tokens", nt),
+        col("doc_id"), col("source"), col("n_tokens"),
+        MixBudgets, MixDefaultBudget)
+        .select("doc_id", "source", "n_tokens", "cum_before")
+    }),
 
     // Fixed-quota sampling: exactly 10 docs per language, smallest
     // hash draw first — deterministic and growth-stable.
@@ -854,6 +948,21 @@ object PipelineQueries {
           WHERE ${dotSql("a.iv", "b.iv")}::DOUBLE
                   / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)) >= 0.45""",
 
+    // The pl_a4 k-means CTE chain (shared SQL) restricts the pl_d6
+    // pair space to same-cluster members — the SemDeDup contract.
+    "pl_d14_semantic_dedup" ->
+      s"""WITH $kmeansCtesSql,
+          av AS (
+            SELECT v.vec_id, v.iv, v.norm2, r2.cluster
+            FROM v JOIN r2 USING (vec_id))
+          SELECT a.cluster, a.vec_id AS vec1, b.vec_id AS vec2,
+                 ${dotSql("a.iv", "b.iv")} AS dot_scaled,
+                 round(${dotSql("a.iv", "b.iv")}::DOUBLE
+                   / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) AS cos
+          FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE ${dotSql("a.iv", "b.iv")}::DOUBLE
+                  / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)) >= 0.45""",
+
     "pl_d4_simhash" ->
       s"""WITH dt AS (
             SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
@@ -1112,6 +1221,40 @@ object PipelineQueries {
                             / CAST(k.kth_hash AS DOUBLE)) AS BIGINT) AS kmv_est
           FROM e, k""",
 
+    // KMV union-sample Jaccard mirror: same per-side distinct hashes,
+    // same k-min union cut, same both-sides count.
+    "pl_k8_kmv_jaccard" ->
+      s"""WITH ta AS (
+            SELECT DISTINCT ${h60("'kj|' || tok")} AS h
+            FROM (SELECT unnest($toksSql) AS tok FROM documents
+                  WHERE lang = 'en')
+            WHERE tok <> ''),
+          tb AS (
+            SELECT DISTINCT ${h60("'kj|' || tok")} AS h
+            FROM (SELECT unnest($toksSql) AS tok FROM documents
+                  WHERE lang = 'de')
+            WHERE tok <> ''),
+          m AS (
+            SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+            FROM (SELECT h, 1 AS in_a, 0 AS in_b FROM ta
+                  UNION ALL
+                  SELECT h, 0 AS in_a, 1 AS in_b FROM tb)
+            GROUP BY h),
+          k AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_eff,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_both_k
+            FROM (SELECT * FROM m ORDER BY h LIMIT 256)),
+          e AS (
+            SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_inter_exact,
+                   CAST(count(*) AS BIGINT) AS n_union_exact
+            FROM m)
+          SELECT k.k_eff, k.n_both_k,
+                 k.n_both_k::DOUBLE / k.k_eff::DOUBLE AS jaccard_est,
+                 e.n_inter_exact, e.n_union_exact,
+                 e.n_inter_exact::DOUBLE / e.n_union_exact::DOUBLE
+                   AS jaccard_exact
+          FROM k, e""",
+
     // CMS mirror: same md5-derived cell hashes, same d×w matrix, same
     // min-over-rows estimate — bit-identical on both engines.
     "pl_k2_cms_heavy" ->
@@ -1274,6 +1417,66 @@ object PipelineQueries {
             CASE lang WHEN 'en' THEN 200000
                       WHEN 'zh' THEN 900000
                       ELSE 500000 END""",
+
+    // Same draw, same integer-only token-proportional weight.
+    "pl_s6_weighted_sample" ->
+      s"""SELECT doc_id, source,
+                 CAST(len($toksSql) AS BIGINT) AS n_tokens
+          FROM documents
+          WHERE ${h60("'wsmp|' || doc_id")} % 1000000 <
+            least(1000000, len($toksSql) * 12000)""",
+
+    "pl_s7_token_budget" -> tokenBudgetMixSql,
+
+    // Rational-idf BM25 mirror: same exact-int64 numerator/denominator
+    // per term, same fixed-order c0+c1+c2+c3 fold, same top-10 cut.
+    "pl_r1_bm25" -> {
+      val vals = Bm25Queries.flatMap { case (q, ts) =>
+        ts.zipWithIndex.map { case (t, i) => s"($q, $i, '$t')" }
+      }.mkString(", ")
+      val termList =
+        Bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      val foldSum = (0 until graft.pipeline.Retrieval.MaxTerms)
+        .map(i => s"coalesce(max(CASE WHEN ti = $i THEN cc END), " +
+          "CAST(0 AS DOUBLE))")
+        .mkString("\n                   + ")
+      s"""WITH qt(query_id, ti, term) AS (VALUES $vals),
+          stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len($toksSql)) AS BIGINT) AS total
+            FROM documents),
+          p AS (
+            SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl,
+                   unnest($toksSql) AS term
+            FROM documents),
+          tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+                   any_value(dl) AS dl
+            FROM p WHERE term IN ($termList) GROUP BY 1, 2),
+          dfq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          c AS (
+            SELECT qt.query_id, tf.doc_id, qt.ti,
+                   CAST((2 * s.n - 2 * dfq.df + 1)
+                          * (22 * tf.tf * s.total) AS DOUBLE)
+                     / CAST((2 * dfq.df + 1)
+                         * (10 * tf.tf * s.total + 3 * s.total
+                            + 9 * tf.dl * s.n) AS DOUBLE) AS cc
+            FROM tf JOIN dfq USING (term) JOIN qt USING (term), stats s),
+          sc AS (
+            SELECT query_id, doc_id,
+                   CAST(count(*) AS BIGINT) AS n_terms_matched,
+                   $foldSum AS score
+            FROM c GROUP BY 1, 2),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC) AS rk
+            FROM sc)
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(rk AS BIGINT) AS rank, doc_id, n_terms_matched,
+                 round(score, 6) AS score
+          FROM r WHERE rk <= 10"""
+    },
 
     // pl_p1's kept population (same truth-pairs CTE) chunked with the
     // pl_c1 grid — the whole export replayed in SQL.

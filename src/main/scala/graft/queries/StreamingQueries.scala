@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming entries (extension beyond reference parity —
@@ -170,11 +170,25 @@ object StreamingQueries {
     * bound degenerated on tiny input).
     */
   private def stageSlicedByTs(ev: DataFrame, tmp: java.io.File, n: Int,
-      streamDir: java.io.File): Int = {
+      streamDir: java.io.File): Int =
+    // exact epoch micros as double (micros << 2^53, exact)
+    stageSlicedByCol(ev,
+      graft.ops.EventOps.epochUs(col("ts")).cast("double"), tmp, n, streamDir)
+
+  /** The generic form of [[stageSlicedByTs]]: slice by ANY exact
+    * numeric order column (draw values for the quota stream, epoch
+    * micros for the event streams) — slices stay ORDER-CONTIGUOUS in
+    * that column, which is the cross-batch arrival contract every
+    * ordered stateful twin relies on. Rows with EQUAL order values
+    * never straddle a slice boundary (the CASE is `<= bound`), so
+    * within-value ties are always co-batched and the consumer's
+    * in-batch sort settles them.
+    */
+  private def stageSlicedByCol(ev: DataFrame, ord: Column,
+      tmp: java.io.File, n: Int, streamDir: java.io.File): Int = {
     import java.io.File
     import java.nio.file.Files
-    // exact epoch micros as double (micros << 2^53, exact)
-    val tsd = graft.ops.EventOps.epochUs(col("ts")).cast("double")
+    val tsd = ord
     val bounds =
       if (n <= 1) Array.empty[Double]
       else ev.select(tsd.as("_tsd")).stat
@@ -812,6 +826,46 @@ object StreamingQueries {
           .groupBy("cohort_day", "bucket_offset")
           .agg(countDistinct("user_id").as("n_active"))
       } finally rm(tmp)
+    }),
+
+    // Streaming token-budget mixture (pl_s7's twin): per-source quota
+    // fill over a document stream via flatMapGroupsWithState. State =
+    // ONE token counter per source — bounded by the declared source
+    // enum, NOT stream length: the constant-state point of the design
+    // space (st13 is constant-by-sketch, st4 linear-by-contract, this
+    // is constant-by-enum). Slices are staged in global draw order
+    // (stageSlicedByCol), so each source's arrival order equals the
+    // batch window's (draw, doc_id) order and every admitted row's
+    // cum_before is bit-identical to the batch operator's.
+    // Oracle: the SAME SQL as pl_s7 (shared string — the two cannot
+    // drift).
+    "st14_stream_quota" -> ((s, d) => {
+      import s.implicits._
+      import java.io.File
+      import java.nio.file.Files
+      val name = "graft_st14_sink"
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          graft.pipeline.Sampling.draw("mix", col("doc_id")).as("drw"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val tmp = Files.createTempDirectory("graft_st14").toFile
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try {
+        val streamDir = new File(tmp, "stream"); streamDir.mkdirs()
+        // draw values are integers < 1e6 — exact in double
+        stageSlicedByCol(docs, col("drw").cast("double"), tmp, 3, streamDir)
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.getAbsolutePath)
+        val quota = graft.streaming.EventStream.tokenQuota(
+          src.as[graft.streaming.EventStream.QuotaDoc],
+          PipelineQueries.MixBudgets, PipelineQueries.MixDefaultBudget)
+        // state: one 8-byte counter per source (~20 sources)
+        val nParts = graft.streaming.StateSizing.partitions(20L * 64)
+        withStatePartitions(s, nParts)(
+          sinkToLocal(s, name, quota.toDF(), "append"))
+      } finally rm(tmp)
     })
   )
 
@@ -921,6 +975,11 @@ object StreamingQueries {
                 CAST('0x' || substring(md5('cms' || s || '|' || tok), 1, 15)
                   AS BIGINT) % 1024 AS cell,
                 CAST(count(*) AS BIGINT) AS cnt
-         FROM tok, seeds GROUP BY 1, 2"""
+         FROM tok, seeds GROUP BY 1, 2""",
+
+    // Identical to the batch pl_s7 oracle (shared SQL) — the streamed
+    // quota fill must admit the same rows with the same cum_before.
+    "st14_stream_quota" ->
+      PipelineQueries.tokenBudgetMixSql
   )
 }

@@ -222,6 +222,51 @@ object EventStream {
       }
   }
 
+  case class QuotaDoc(source: String, doc_id: Long, drw: Long,
+                      n_tokens: Long)
+  case class QuotaOut(doc_id: Long, source: String, n_tokens: Long,
+                      cum_before: Long)
+
+  /** Streaming per-group token-budget fill — the continuous-ingest
+    * form of [[graft.pipeline.Sampling.tokenBudgetMix]]: each group
+    * (source/domain) admits arriving documents until its token budget
+    * is spent. Because the batch operator's admission rule
+    * (`cum_before < budget` over a monotone running sum) never looks
+    * at later rows, the streaming twin needs exactly ONE counter per
+    * group as state — tokens seen so far — so state is bounded by the
+    * number of groups, not stream length or corpus size: the
+    * constant-state point of the streaming design space (st11/st13's
+    * sketch-bound, here bound by a declared enum).
+    *
+    * Within a micro-batch the group's rows are sorted by (draw,
+    * doc_id) — the batch operator's order — before folding; across
+    * batches the caller must deliver files in global draw order (the
+    * staged-slice contract), which makes the admitted set and every
+    * `cum_before` bit-identical to the batch window. Rejected rows
+    * still advance the counter (their tokens precede later arrivals
+    * in the batch order), which is what keeps the two forms equal.
+    */
+  def tokenQuota(docs: Dataset[QuotaDoc], budgetByGroup: Map[String, Long],
+                 defaultBudget: Long): Dataset[QuotaOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, QuotaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[QuotaDoc], state: GroupState[Long]) =>
+          val budget = budgetByGroup.getOrElse(src, defaultBudget)
+          val sorted = rows.toArray.sortBy(r => (r.drw, r.doc_id))
+          var cum = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[QuotaOut]
+          sorted.foreach { r =>
+            if (cum < budget) out += QuotaOut(r.doc_id, src, r.n_tokens, cum)
+            cum += r.n_tokens
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Arbitrary stateful processing: running per-user totals via
     * mapGroupsWithState (the custom-state escape hatch for semantics
     * windowed aggregation can't express).

@@ -210,6 +210,50 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bm25: WindowGroupLimit top-k, broadcast query table, no corpus self-join") {
+    val p = plan(graft.pipeline.Retrieval.bm25TopK(docs,
+      graft.queries.PipelineQueries.Bm25Queries, 10))
+    assert(p.contains("WindowGroupLimit"),
+      s"bm25 lost the per-query top-k pushdown:\n$p")
+    assertNoAllPairs(p, "bm25TopK")
+    assert(p.contains("BroadcastExchange"),
+      s"bm25 query-term table not broadcast:\n$p")
+  }
+
+  test("weighted sample is a pure narrow filter; budget mix shuffles once on the group") {
+    val nt = org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " ")).cast("long")
+    val pw = plan(graft.pipeline.Sampling.weighted(
+      docs, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.lit(1000000L), nt * 12000L)))
+    assert(!pw.contains("Exchange"),
+      s"weighted sample should be shuffle-free:\n$pw")
+    val pm = plan(graft.pipeline.Sampling.tokenBudgetMix(
+      docs.withColumn("n_tokens", nt),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.col("n_tokens"),
+      Map("src1" -> 2000L), 1000L))
+    val exchanges = pm.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"budget mix should carry exactly the group-key shuffle, got $exchanges:\n$pm")
+    assertNoGlobalSort(pm, "tokenBudgetMix")
+  }
+
+  test("semantic dedup joins on the cluster key — never all-pairs over the corpus") {
+    val p = plan(Dedup.semanticDedupPairs(embs, 8, 2, 0.45))
+    assert(!p.contains("CartesianProduct"),
+      s"semanticDedupPairs plans a cartesian join:\n$p")
+    // the one nested-loop allowed anywhere near this path is the k-row
+    // centroid broadcast inside kmeans assignment; the PAIR join itself
+    // must be a hash/merge join keyed by cluster
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"semantic pair join is not an equi-join on cluster:\n$p")
+  }
+
   test("tfidf and span dedup: keyed shuffles only, no all-pairs join") {
     val pt = plan(graft.pipeline.TextOps.tfidfTopK(docs, 5))
     assertNoAllPairs(pt, "tfidfTopK")

@@ -856,4 +856,105 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() == 6)
     assert(out.filter(col("pred_lang") =!= col("lang")).count() == 0)
   }
+
+  test("weighted sample: degenerate ppms, nesting, and uniform equivalence") {
+    val nDocs = docs.count()
+    // ppm 0 keeps nothing; ppm 1e6 keeps everything
+    assert(Sampling.weighted(docs, col("doc_id"), lit(0L)).count() == 0)
+    assert(Sampling.weighted(docs, col("doc_id"), lit(1000000L)).count() == nDocs)
+    // monotone in the weight: 300k survivors nest inside 700k survivors
+    val lo = Sampling.weighted(docs, col("doc_id"), lit(300000L))
+      .select("doc_id").as[Long].collect().toSet
+    val hi = Sampling.weighted(docs, col("doc_id"), lit(700000L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+    // constant weight with the uniform salt IS the uniform sample
+    val u = Sampling.uniform(docs, col("doc_id"), 250000L)
+      .select("doc_id").as[Long].collect().toSet
+    val w = Sampling.weighted(docs, col("doc_id"), lit(250000L), salt = "smp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(u == w)
+  }
+
+  test("token budget mix: greedy prefix fill in draw order, per-group budgets") {
+    val df = docs.withColumn("n_tokens",
+      size(split(col("text"), " ")).cast("long"))
+    // replay the draw order in the test and fold the prefix rule by hand
+    val ordered = df
+      .withColumn("_d", Sampling.draw("mix", col("doc_id")))
+      .select("source", "doc_id", "_d", "n_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (src, rows) => src -> rows.sortBy(r => (r._3, r._2)) }
+    def expected(budget: String => Long): Map[Long, Long] =
+      ordered.toSeq.flatMap { case (src, rows) =>
+        var cum = 0L
+        rows.toSeq.flatMap { case (_, id, _, nt) =>
+          val keep = if (cum < budget(src)) Some(id -> cum) else None
+          cum += nt
+          keep
+        }
+      }.toMap
+    val got = Sampling.tokenBudgetMix(df, col("doc_id"), col("source"),
+      col("n_tokens"), Map("src1" -> 120L), 60L)
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+    assert(got == expected(s => if (s == "src1") 120L else 60L))
+    // zero budget admits nothing; huge budget admits everything
+    assert(Sampling.tokenBudgetMix(df, col("doc_id"), col("source"),
+      col("n_tokens"), Map.empty, 0L).count() == 0)
+    assert(Sampling.tokenBudgetMix(df, col("doc_id"), col("source"),
+      col("n_tokens"), Map.empty, 1000000L).count() == docs.count())
+  }
+
+  test("bm25: hand-computed rational scores and ranking") {
+    val df = Seq((1L, "apple banana"), (2L, "apple apple cherry"),
+      (3L, "banana banana banana")).toDF("doc_id", "text")
+    // N=3, total=8. apple: df=2. doc1 tf=1 dl=2; doc2 tf=2 dl=3.
+    //   doc1: (2*3-4+1)*(22*1*8) / (5*(10*1*8+24+9*2*3)) = 528/790
+    //   doc2: 3*(22*2*8) / (5*(160+24+81))               = 1056/1325
+    val r1 = Retrieval.bm25TopK(df, Seq(1L -> Seq("apple")), 10)
+      .orderBy("rank").collect()
+    assert(r1.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L))
+    assert(r1(0).getAs[Double]("score") ==
+      math.rint(1056.0 / 1325.0 * 1e6) / 1e6)
+    assert(r1(1).getAs[Double]("score") ==
+      math.rint(528.0 / 790.0 * 1e6) / 1e6)
+    // two-term query: contributions add in term order; doc2 matches both
+    //   cherry: df=1 → 5*(22*1*8) / (3*(80+24+81)) = 880/555
+    val r2 = Retrieval.bm25TopK(df, Seq(2L -> Seq("apple", "cherry")), 10)
+      .filter(col("doc_id") === 2L).collect()(0)
+    assert(r2.getAs[Long]("n_terms_matched") == 2L)
+    assert(r2.getAs[Double]("score") ==
+      math.rint((1056.0 / 1325.0 + 880.0 / 555.0) * 1e6) / 1e6)
+    assert(r2.getAs[Long]("rank") == 1L)
+  }
+
+  test("semantic dedup: exactly the same-cluster restriction of exact pairs") {
+    val pairs = Dedup.semanticDedupPairs(vecs, 8, 2, 0.45)
+      .select("vec1", "vec2").as[(Long, Long)].collect().toSet
+    val clusters = Ann.kmeansClusters(vecs, 8, 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val exact = Dedup.embedNearDup(vecs, 0.45)
+      .select("vec1", "vec2").as[(Long, Long)].collect().toSet
+    assert(pairs == exact.filter { case (a, b) => clusters(a) == clusters(b) })
+    assert(pairs.nonEmpty || exact.isEmpty)
+  }
+
+  test("kmv jaccard: exact on sets the sketch covers, zero on disjoint") {
+    def items(xs: String*) = xs.toDF("tok")
+    val h = TextOps.hash60(concat(lit("t|"), col("tok")))
+    val r = Sketches.kmvJaccard(
+      items("a", "b", "c", "b"), items("b", "c", "d"), h, 256).collect()(0)
+    assert(r.getAs[Long]("k_eff") == 4L)      // |union| < k: full coverage
+    assert(r.getAs[Long]("n_both_k") == 2L)
+    assert(r.getAs[Double]("jaccard_est") == 0.5)
+    assert(r.getAs[Long]("n_inter_exact") == 2L)
+    assert(r.getAs[Long]("n_union_exact") == 4L)
+    assert(r.getAs[Double]("jaccard_exact") == 0.5)
+    val d = Sketches.kmvJaccard(
+      items("a", "b"), items("x", "y"), h, 16).collect()(0)
+    assert(d.getAs[Long]("n_both_k") == 0L)
+    assert(d.getAs[Double]("jaccard_est") == 0.0)
+  }
 }

@@ -378,4 +378,39 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0, "streaming-only rows")
     assert(batch.exceptAll(streamed).count() == 0, "batch-only rows")
   }
+
+  test("token quota: per-group counter carries across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStream.QuotaDoc]
+    val q = EventStream.tokenQuota(in.toDS(), Map("t" -> 100L), 10L)
+      .writeStream.format("memory").queryName("quota1").outputMode("append")
+      .start()
+    try {
+      // batch 1 arrives out of draw order: fold must sort by (drw, id)
+      in.addData(
+        EventStream.QuotaDoc("s", 1L, 5L, 4L),
+        EventStream.QuotaDoc("s", 2L, 2L, 3L))
+      q.processAllAvailable()
+      // batch 2: cum carried at 7; doc 3 admitted (7 < 10), doc 4 not
+      in.addData(
+        EventStream.QuotaDoc("s", 3L, 9L, 5L),
+        EventStream.QuotaDoc("s", 4L, 11L, 2L),
+        EventStream.QuotaDoc("t", 5L, 1L, 60L))
+      q.processAllAvailable()
+      val out = spark.table("quota1")
+        .select("doc_id", "source", "cum_before").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(out == Seq((1L, "s", 3L), (2L, "s", 0L), (3L, "s", 7L),
+        (5L, "t", 0L)))
+    } finally q.stop()
+  }
+
+  test("streaming token quota equals the batch pl_s7 mixture row for row") {
+    val qs = graft.SparkEntry.queries
+    val streamed = qs("st14_stream_quota")(spark, "/root/testdata/sf0.001")
+    val batch = qs("pl_s7_token_budget")(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0, "streaming-only rows")
+    assert(batch.exceptAll(streamed).count() == 0, "batch-only rows")
+  }
 }
