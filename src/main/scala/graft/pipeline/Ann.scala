@@ -499,4 +499,152 @@ object Ann {
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
+
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998): from each
+    * probe's top-`n` exact-cosine candidates, greedily select `k` that
+    * trade relevance against redundancy —
+    * pick₁ = argmax rel; pickᵢ₊₁ = argmax over the unselected of
+    * `0.7·rel(c) − 0.3·max_{s∈selected} sim(c, s)` (ties → smallest
+    * id). The de-duplicated answer set a retrieval-augmented pipeline
+    * wants when the raw top-k is five near-copies of one document.
+    *
+    * Weights are the LITERAL doubles 0.7/0.3 on both engines (never
+    * `1 − λ` computed in Scala, whose float result differs from the
+    * SQL literal); rel/sim are the exact-int-derived cosines, so every
+    * MMR comparison is bit-deterministic and the oracle replays the
+    * greedy trace step for step (recursive CTE). Output carries only
+    * (probe_id, rank, neighbor_id) — the floats drive ordering, the
+    * ordering is the result.
+    *
+    * Scale: candidates are P×n rows BY CONSTRUCTION (knnBrute's
+    * partial top-k), the pairwise sim table P×n² — both bounded by the
+    * declared n, not the corpus, and both materialized once (k-step
+    * lineage would otherwise double per step). Each greedy step is a
+    * candidate-keyed join + one per-probe argmax window over ≤ n rows
+    * per probe; the corpus is touched exactly once, inside knnBrute.
+    */
+  def mmrTopK(vectors: DataFrame, probeFilter: Column, n: Int, k: Int):
+      DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
+    val cand = Caches.materialize(
+      knnBrute(vectors, probeFilter, n)
+        .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+          col("cos").as("rel")))
+    val v = withScaled(vectors).select("vec_id", "iv", "norm2")
+    val cv = cand.select("probe_id", "cand_id")
+      .join(v, col("cand_id") === col("vec_id"))
+    val a = cv.select(col("probe_id"), col("cand_id").as("a_id"),
+      col("iv").as("a_iv"), col("norm2").as("a_n"))
+    val b = cv.select(col("probe_id"), col("cand_id").as("b_id"),
+      col("iv").as("b_iv"), col("norm2").as("b_n"))
+    val sims = Caches.materialize(
+      a.join(b, Seq("probe_id")).filter(col("a_id") =!= col("b_id"))
+        .withColumn("sim",
+          cosine(doti(col("a_iv"), col("b_iv")), col("a_n"), col("b_n")))
+        .select("probe_id", "a_id", "b_id", "sim"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("rel").desc, col("cand_id").asc)
+    var selAll = Caches.materialize(
+      cand.withColumn("_rk", row_number().over(w1)).filter(col("_rk") === 1)
+        .select(col("probe_id"), col("cand_id").as("sel_id"),
+          lit(1L).as("rank")))
+    for (step <- 2 to k) {
+      val maxSim = sims
+        .join(selAll.select(col("probe_id"), col("sel_id").as("b_id")),
+          Seq("probe_id", "b_id"))
+        .groupBy(col("probe_id"), col("a_id"))
+        .agg(max(col("sim")).as("msim"))
+      val pickW = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("mmr").desc, col("cand_id").asc)
+      val ms = maxSim.select(col("probe_id").as("_mp"),
+        col("a_id").as("_ma"), col("msim"))
+      val next = cand
+        .join(selAll.select(col("probe_id"), col("sel_id").as("cand_id")),
+          Seq("probe_id", "cand_id"), "left_anti")
+        .join(ms, col("probe_id") === col("_mp")
+          && col("cand_id") === col("_ma"))
+        .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+        .withColumn("_rk", row_number().over(pickW)).filter(col("_rk") === 1)
+        .select(col("probe_id"), col("cand_id").as("sel_id"),
+          lit(step.toLong).as("rank"))
+      val grown = Caches.materialize(selAll.unionAll(next))
+      Caches.release(selAll)
+      selAll = grown
+    }
+    Caches.release(cand); Caches.release(sims)
+    selAll.select(col("probe_id"), col("rank"), col("sel_id").as("neighbor_id"))
+  }
+
+  case class StreamCand(probe_id: Long, neighbor_id: Long,
+                        dot_scaled: Long, cos: Double)
+  case class StreamHit(probe_id: Long, rank: Long, neighbor_id: Long,
+                       n_cand: Long, cos: Double)
+
+  /** Streaming LSH ANN — a continuous QUERY stream against a static
+    * corpus index: probe vectors arrive on `probeStream`, are
+    * LSH-bucketed with the same md5-derived hyperplanes as the corpus,
+    * and candidates come from a stream-static join against the corpus
+    * band-row table (the served-index shape: queries stream in, the
+    * index is a batch artifact). Dedup of band collisions, exact
+    * rerank, and the per-probe top-k run inside a
+    * flatMapGroupsWithState fold — Structured Streaming forbids window
+    * functions on append streams, and a probe's candidates all arrive
+    * in its own micro-batch, so the group fold IS the rank stage and
+    * the operator keeps ZERO state across batches (the stateless point
+    * of the streaming design space: each query is answered in the
+    * batch it arrives in).
+    *
+    * Results are bit-identical to [[annLsh]] over the same probe set:
+    * same buckets, same exact int-dot cosine, same (cos desc, id asc)
+    * ordering, same HALF_UP rounding.
+    *
+    * Scale: per batch, the stream side is the arriving probes (tiny);
+    * the static band-row side re-plans per micro-batch — a production
+    * deployment materializes it once (persist or a bucketed table, the
+    * standard stream-static caveat) and the join shuffles only on
+    * (band_id, bucket).
+    */
+  def annLshStreamed(probeStream: DataFrame, corpus: DataFrame,
+                     k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val nBands = Planes / BitsPerBand
+    def bandRows(df: DataFrame, idAs: String,
+                 extra: Seq[(String, String)]): DataFrame =
+      df.select(col("vec_id").as(idAs) +:
+        extra.map { case (f, t) => col(f).as(t) } :+
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band_id"), col(s"bucket$b").as("bucket"))): _*))
+          .as("bb"): _*)
+        .select(col(idAs) +: extra.map(e => col(e._2)) :+
+          col("bb.band_id") :+ col("bb.bucket"): _*)
+    val candB = bandRows(withLshBuckets(withScaled(corpus)), "neighbor_id",
+      Seq("iv" -> "iv", "norm2" -> "norm2"))
+    val probeB = bandRows(withLshBuckets(withScaled(probeStream)), "probe_id",
+      Seq("iv" -> "p_iv", "norm2" -> "p_norm2"))
+    val scored = probeB.join(candB, Seq("band_id", "bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
+      .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
+      .select("probe_id", "neighbor_id", "dot_scaled", "cos")
+      .as[StreamCand]
+    scored
+      .groupByKey(_.probe_id)
+      .flatMapGroupsWithState[Long, StreamHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (pid: Long, rows: Iterator[StreamCand], state) =>
+          // dedup band collisions (same pair from several bands carries
+          // identical scores), then the topK ordering
+          val uniq = rows.toArray.groupBy(_.neighbor_id).map(_._2.head).toArray
+          val n = uniq.length.toLong
+          uniq.sortBy(c => (-c.cos, c.neighbor_id)).take(k).zipWithIndex.map {
+            case (c, i) =>
+              StreamHit(pid, (i + 1).toLong, c.neighbor_id, n,
+                java.math.BigDecimal.valueOf(c.cos)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+          }.iterator
+      }
+      .toDF()
+  }
 }

@@ -140,6 +140,49 @@ object TextOps {
       .drop("_g")
   }
 
+  /** Corpus-bigram language-model fluency scoring — the
+    * perplexity-style filter (CCNet/KenLM shape: score each document
+    * by how probable its token continuations are under a model trained
+    * on the corpus itself) realized with INTEGER-EXACT statistics so
+    * the whole thing is oracle-checkable: no `ln`, no float
+    * accumulation order anywhere. The "model" is the corpus bigram
+    * table; a doc bigram (w1, w2) is *common* when its conditional
+    * probability c(w1,w2)/c(w1·) clears 1/5 (compared as the integer
+    * inequality `5·c12 ≥ c1`, where c1 counts w1's continuation slots
+    * corpus-wide), and *rare* when the bigram occurs nowhere else
+    * (c12 ≤ 1). Per doc: `n_bigrams`, `n_common`, `n_rare`, and
+    * `common_ratio = n_common / n_bigrams` — a high-rare low-common
+    * doc is the disfluent/garbled outlier a perplexity filter drops.
+    * Documents with < 2 tokens have no bigrams and no output row.
+    *
+    * Scale: one explode of adjacent token pairs (scan-speed, ∝ corpus
+    * tokens), two map-side-combined count aggregations (bigram + left
+    * context — vocabulary-bounded, the LM itself), one join of the
+    * doc bigrams against each, one per-doc aggregation. Every shuffle
+    * is keyed; counts are exact int64s so common/rare decisions are
+    * bit-deterministic on any engine.
+    */
+  def bigramLmScores(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val pairs = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2), i =>
+        struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = docs.select(col("doc_id"), explode(pairs).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val cBi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cCtx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(cBi, Seq("w1", "w2")).join(cCtx, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(when(col("c12") * 5L >= col("c1"), 1L).otherwise(0L))
+          .cast("long").as("n_common"),
+        sum(when(col("c12") <= 1L, 1L).otherwise(0L))
+          .cast("long").as("n_rare"))
+      .withColumn("common_ratio",
+        col("n_common").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Document fingerprints: full-text md5 (exact dedup key) + the
     * lexicographic min over shingle md5s (a MinHash with one hash
     * function — a stable content fingerprint robust to local edits).

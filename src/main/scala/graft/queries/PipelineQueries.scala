@@ -284,6 +284,11 @@ object PipelineQueries {
 
     // Gopher-style within-doc repetition: duplicate 2-gram fraction +
     // burstiest-gram count, a narrow scan-speed projection.
+    // Corpus-bigram LM fluency scoring — the perplexity-filter shape
+    // with integer-exact statistics (see TextOps.bigramLmScores).
+    "pl_t12_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLmScores(Tables.documents(s, d))),
+
     "pl_t7_repetition" -> ((s, d) =>
       TextOps.withRepetition(Tables.documents(s, d), 2)
         .select("doc_id", "n_grams", "n_distinct_grams",
@@ -426,6 +431,13 @@ object PipelineQueries {
     // ANN scale path 1: sign-random-projection LSH buckets + rerank.
     "pl_a2_ann_lsh" -> ((s, d) =>
       Ann.annLsh(Tables.embeddings(s, d), probeF, K)),
+
+    // MMR-diversified retrieval: greedy relevance-vs-redundancy
+    // selection (0.7/0.3) of K from each probe's top-10 exact
+    // candidates; the oracle replays the greedy trace with a
+    // recursive CTE.
+    "pl_a8_mmr" -> ((s, d) =>
+      Ann.mmrTopK(Tables.embeddings(s, d), probeF, 10, K)),
 
     // ANN scale path 2: IVF with per-label centroids (coarse quantizer),
     // probe searches one inverted list only.
@@ -805,6 +817,32 @@ object PipelineQueries {
     // rep_frac = (G - distinct)/G as one IEEE division of exact ints;
     // max_gram_count via per-distinct-gram occurrence counts (equals
     // the Spark side's longest-equal-run over the sorted gram array).
+    // Bigram-LM mirror: parallel-unnest adjacent pairs, the same two
+    // count tables, the same integer common/rare inequalities.
+    "pl_t12_bigram_lm" ->
+      s"""WITH bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(t) - 1), i -> t[i+1]))
+                     AS w1,
+                   unnest(list_transform(range(0, len(t) - 1), i -> t[i+2]))
+                     AS w2
+            FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+          cbi AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1, 2),
+          cctx AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(CASE WHEN c12 * 5 >= c1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_common,
+                 CAST(sum(CASE WHEN c12 <= 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_rare,
+                 CAST(sum(CASE WHEN c12 * 5 >= c1 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS common_ratio
+          FROM bg JOIN cbi USING (w1, w2) JOIN cctx USING (w1)
+          GROUP BY 1""",
+
     "pl_t7_repetition" ->
       s"""WITH t AS (SELECT doc_id, ${ngramAllSql(2)} AS g FROM documents)
           SELECT doc_id,
@@ -1718,6 +1756,54 @@ object PipelineQueries {
           SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
                  dot_scaled, round(cos, 6) AS cos
           FROM ranked WHERE rank <= $K""",
+
+    // MMR mirror: same top-10 candidate CTE as pl_a1, same pairwise
+    // exact cosines, and the greedy 0.7·rel − 0.3·maxsim trace walked
+    // by a recursive CTE carrying the selected list.
+    "pl_a8_mmr" ->
+      s"""WITH RECURSIVE $vSql,
+          scored AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                   ${dotSql("c.iv", "p.iv")}::DOUBLE
+                     / (sqrt(p.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS rel
+            FROM v c JOIN v p ON p.vec_id < 8 AND c.vec_id <> p.vec_id),
+          cand AS (
+            SELECT probe_id, cand_id, rel FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                          ORDER BY rel DESC, cand_id ASC) AS rk
+              FROM scored)
+            WHERE rk <= 10),
+          sims AS (
+            SELECT a.probe_id, a.cand_id AS a_id, b.cand_id AS b_id,
+                   ${dotSql("va.iv", "vb.iv")}::DOUBLE
+                     / (sqrt(va.norm2::DOUBLE) * sqrt(vb.norm2::DOUBLE)) AS sim
+            FROM cand a
+                 JOIN cand b ON a.probe_id = b.probe_id
+                            AND a.cand_id <> b.cand_id
+                 JOIN v va ON va.vec_id = a.cand_id
+                 JOIN v vb ON vb.vec_id = b.cand_id),
+          rec AS (
+            SELECT 1 AS step, probe_id, [cand_id] AS sel FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                          ORDER BY rel DESC, cand_id ASC) AS rk
+              FROM cand)
+            WHERE rk = 1
+            UNION ALL
+            SELECT r.step + 1, r.probe_id, list_append(r.sel,
+              (SELECT c.cand_id
+               FROM cand c JOIN sims s
+                 ON s.probe_id = c.probe_id AND s.a_id = c.cand_id
+                    AND list_contains(r.sel, s.b_id)
+               WHERE c.probe_id = r.probe_id
+                 AND NOT list_contains(r.sel, c.cand_id)
+               GROUP BY c.cand_id, c.rel
+               ORDER BY 0.7 * c.rel - 0.3 * max(s.sim) DESC, c.cand_id ASC
+               LIMIT 1))
+            FROM rec r WHERE r.step < $K)
+          SELECT probe_id, CAST(i + 1 AS BIGINT) AS rank,
+                 sel[i + 1] AS neighbor_id
+          FROM (SELECT probe_id, sel, unnest(range(len(sel))) AS i
+                FROM rec WHERE step = $K) t""",
 
     "pl_a2_ann_lsh" ->
       s"""WITH $lshBandRowsSql,

@@ -866,6 +866,21 @@ object StreamingQueries {
         withStatePartitions(s, nParts)(
           sinkToLocal(s, name, quota.toDF(), "append"))
       } finally rm(tmp)
+    }),
+
+    // Streaming ANN (pl_a2's twin): a probe-vector stream served
+    // against the static corpus LSH index — stream-static bucket join,
+    // per-probe dedup + rerank + top-k inside the group fold, ZERO
+    // cross-batch state (each query answered in its arrival batch; the
+    // stateless point of the streaming design space). Oracle: the SAME
+    // SQL as pl_a2 — streamed answers must equal the batch index's.
+    "st15_stream_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (src, cleanup) = stagedFileStream(s, emb.filter(col("vec_id") < 8), 3)
+      val nParts = graft.streaming.StateSizing.partitions(8L * 64)
+      try withStatePartitions(s, nParts)(sinkToLocal(s, "graft_st15_sink",
+        graft.pipeline.Ann.annLshStreamed(src, emb, 5), "append"))
+      finally cleanup()
     })
   )
 
@@ -980,6 +995,11 @@ object StreamingQueries {
     // Identical to the batch pl_s7 oracle (shared SQL) — the streamed
     // quota fill must admit the same rows with the same cum_before.
     "st14_stream_quota" ->
-      PipelineQueries.tokenBudgetMixSql
+      PipelineQueries.tokenBudgetMixSql,
+
+    // Identical to the batch pl_a2 oracle — the streamed index serve
+    // must return the batch index's exact top-k per probe.
+    "st15_stream_ann" ->
+      PipelineQueries.oracleSql("pl_a2_ann_lsh")
   )
 }

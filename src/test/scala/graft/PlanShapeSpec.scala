@@ -254,6 +254,12 @@ class PlanShapeSpec extends SparkSpec {
       s"semantic pair join is not an equi-join on cluster:\n$p")
   }
 
+  test("bigram LM: keyed shuffles only, no all-pairs join, no global sort") {
+    val p = plan(graft.pipeline.TextOps.bigramLmScores(docs))
+    assertNoAllPairs(p, "bigramLmScores")
+    assertNoGlobalSort(p, "bigramLmScores")
+  }
+
   test("tfidf and span dedup: keyed shuffles only, no all-pairs join") {
     val pt = plan(graft.pipeline.TextOps.tfidfTopK(docs, 5))
     assertNoAllPairs(pt, "tfidfTopK")

@@ -941,6 +941,20 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.nonEmpty || exact.isEmpty)
   }
 
+  test("bigram LM: hand-computed corpus counts, common/rare rules, no-bigram docs") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    // corpus: c(a,b)=3, c(b,a)=1, c(b,c)=1; contexts: c(a·)=3, c(b·)=2
+    val r = TextOps.bigramLmScores(df).orderBy("doc_id").collect()
+    assert(r.length == 2, "single-token doc must have no row")
+    assert(r(0).getAs[Long]("n_bigrams") == 3)
+    assert(r(0).getAs[Long]("n_common") == 3) // 5*3>=3, 5*1>=2, 5*3>=3
+    assert(r(0).getAs[Long]("n_rare") == 1)   // (b,a) occurs once
+    assert(r(0).getAs[Double]("common_ratio") == 1.0)
+    assert(r(1).getAs[Long]("n_bigrams") == 2)
+    assert(r(1).getAs[Long]("n_rare") == 1)   // (b,c)
+  }
+
   test("kmv jaccard: exact on sets the sketch covers, zero on disjoint") {
     def items(xs: String*) = xs.toDF("tok")
     val h = TextOps.hash60(concat(lit("t|"), col("tok")))

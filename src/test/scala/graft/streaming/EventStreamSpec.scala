@@ -405,6 +405,15 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serves the batch LSH index's exact top-k per probe") {
+    val qs = graft.SparkEntry.queries
+    val streamed = qs("st15_stream_ann")(spark, "/root/testdata/sf0.001")
+    val batch = qs("pl_a2_ann_lsh")(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0, "streaming-only hits")
+    assert(batch.exceptAll(streamed).count() == 0, "batch-only hits")
+  }
+
   test("streaming token quota equals the batch pl_s7 mixture row for row") {
     val qs = graft.SparkEntry.queries
     val streamed = qs("st14_stream_quota")(spark, "/root/testdata/sf0.001")
