@@ -155,12 +155,15 @@ object TextOps {
     * doc is the disfluent/garbled outlier a perplexity filter drops.
     * Documents with < 2 tokens have no bigrams and no output row.
     *
-    * Scale: one explode of adjacent token pairs (scan-speed, ∝ corpus
-    * tokens), two map-side-combined count aggregations (bigram + left
-    * context — vocabulary-bounded, the LM itself), one join of the
-    * doc bigrams against each, one per-doc aggregation. Every shuffle
-    * is keyed; counts are exact int64s so common/rare decisions are
-    * bit-deterministic on any engine.
+    * Scale: the corpus is exploded ONCE into a map-side-combined
+    * (doc, w1, w2) → count aggregation; everything downstream is
+    * bounded by distinct (doc, bigram), never raw occurrences. The
+    * corpus bigram table is Σ_doc of that frame, and the context
+    * table is pure algebra on the bigram table
+    * (c(w1·) = Σ_w2 c(w1,w2)) — vocabulary-scale input, NOT a second
+    * corpus pass. One corpus scan total; every shuffle keyed; counts
+    * are exact int64s so common/rare decisions are bit-deterministic
+    * on any engine.
     */
   def bigramLmScores(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))
@@ -168,16 +171,18 @@ object TextOps {
       transform(sequence(lit(0), size(t) - 2), i =>
         struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val bg = docs.select(col("doc_id"), explode(pairs).as("b"))
+    val dbg = docs.select(col("doc_id"), explode(pairs).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
-    val cBi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val cCtx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    bg.join(cBi, Seq("w1", "w2")).join(cCtx, Seq("w1"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("dc"))
+    val cBi = dbg.groupBy("w1", "w2").agg(sum("dc").as("c12"))
+    val cCtx = cBi.groupBy("w1").agg(sum("c12").as("c1"))
+    dbg.join(cBi, Seq("w1", "w2")).join(cCtx, Seq("w1"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        sum(when(col("c12") * 5L >= col("c1"), 1L).otherwise(0L))
+      .agg(sum("dc").cast("long").as("n_bigrams"),
+        sum(when(col("c12") * 5L >= col("c1"), col("dc")).otherwise(0L))
           .cast("long").as("n_common"),
-        sum(when(col("c12") <= 1L, 1L).otherwise(0L))
+        sum(when(col("c12") <= 1L, col("dc")).otherwise(0L))
           .cast("long").as("n_rare"))
       .withColumn("common_ratio",
         col("n_common").cast("double") / col("n_bigrams").cast("double"))
