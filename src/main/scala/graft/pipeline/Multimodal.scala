@@ -262,6 +262,34 @@ object Multimodal {
       .withColumn("win_bytes", length(col("win_payload")).cast("long"))
       .drop("_w", "_hexp")
 
+  /** Temporal frame sampling — the video-pipeline DECIMATION move
+    * ([[audioWindows]] explodes every window; this keeps every
+    * `stride`-th): the payload is treated as consecutive
+    * `frameBytes`-sized frames and only frames at indices ≡ 0 (mod
+    * stride) survive, each with exact per-frame statistics
+    * (sum/min/max over sample values via the codegen
+    * [[graft.expressions.ByteValues]]). This is the Spark-side shape
+    * of sampling every Nth video frame before an expensive
+    * feature-extract: the explode, the stride filter, and the stats
+    * are all scan-speed narrow projections — no shuffle, output
+    * bounded by payload bytes / (frameBytes · stride) per row. A real
+    * codec slots in where ByteValues reads the payload, with the same
+    * schema and the same decimation arithmetic.
+    */
+  def frameSample(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes >= 1 && stride >= 1,
+      s"frameBytes/stride must be >= 1: $frameBytes/$stride")
+    val fv = col("_fv")
+    audioWindows(df, frameBytes)
+      .filter(pmod(col("win_idx"), lit(stride)) === 0)
+      .withColumn("_fv", byteValues(col("win_payload")))
+      .select(col("media_id"), col("sample_rate"), col("win_idx"),
+        col("win_bytes").as("frame_bytes"),
+        aggregate(fv, lit(0L), (a, x) => a + x).as("frame_sum"),
+        array_min(fv).as("frame_min"),
+        array_max(fv).as("frame_max"))
+  }
+
   /** CONTENT-DERIVED embedding: feature k is the exact sum of sample
     * values at stream positions ≡ k (mod `dim`). The sample stream is
     * the REAL imageio decode in (y top-down, x, BGR) traversal for

@@ -63,6 +63,12 @@ object MultimodalQueries {
           countDistinct(col("media_id")).as("n_media"),
           max(col("win_idx")).as("max_win_idx"))),
 
+    // M5: temporal frame sampling — every 4th 256-byte frame with
+    // exact per-frame stats (the video-decimation shape; see
+    // Multimodal.frameSample).
+    "mm_m5_frame_sample" -> ((s, _) =>
+      Multimodal.frameSample(media(s), 256, 4)),
+
     // M4: content-derived embeddings (strided sample sums over the REAL
     // decode — see Multimodal.withEmbedding) + exact top-k by integer
     // dot product — binary rows flowing into the similarity-search
@@ -148,6 +154,31 @@ object MultimodalQueries {
                  CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
                  max(win_idx) AS max_win_idx
           FROM w GROUP BY 1""",
+
+    // Frame-sampling mirror: same window arithmetic as m3, stride
+    // filter on the window index, per-frame byte folds from the hex
+    // encoding.
+    "mm_m5_frame_sample" ->
+      s"""WITH w AS (
+            SELECT media_id, sample_rate, CAST(wi.i AS INTEGER) AS win_idx,
+                   substring(hex(payload), CAST(wi.i * 512 + 1 AS INT), 512)
+                     AS hx
+            FROM $mediaPq,
+                 LATERAL (SELECT unnest(range(CAST(
+                   ceil(octet_length(payload) / 256.0) AS INT))) AS i) wi
+            WHERE kind = 'audio' AND wi.i % 4 = 0),
+          v AS (
+            SELECT media_id, sample_rate, win_idx,
+                   list_transform(range(len(hx) // 2), j ->
+                     CAST('0x' || substr(hx, CAST(2*j + 1 AS INT), 2)
+                       AS INT)) AS vals
+            FROM w)
+          SELECT media_id, sample_rate, win_idx,
+                 CAST(len(vals) AS BIGINT) AS frame_bytes,
+                 CAST(list_sum(vals) AS BIGINT) AS frame_sum,
+                 list_min(vals) AS frame_min,
+                 list_max(vals) AS frame_max
+          FROM v""",
 
     // Embedding replayed from the generator byte layout: image sample
     // stream position i maps to pixel (i//3) in (y top-down, x) order

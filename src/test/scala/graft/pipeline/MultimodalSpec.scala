@@ -117,6 +117,21 @@ class MultimodalSpec extends SparkSpec {
     assert(iv == acc.toSeq)
   }
 
+  test("frame sampling keeps every Nth frame with exact per-frame stats") {
+    // 10 bytes, 4-byte frames -> windows [0,10,20,30] [40..70] [80,90];
+    // stride 2 keeps indices 0 and 2
+    val bytes = Array.tabulate(10)(i => (i * 10).toByte)
+    val r = Multimodal.frameSample(payloadDf(bytes), 4, 2)
+      .orderBy("win_idx")
+      .select("win_idx", "frame_bytes", "frame_sum", "frame_min", "frame_max")
+      .collect()
+    assert(r.length == 2)
+    assert(r(0).getInt(0) == 0 && r(0).getLong(1) == 4 &&
+      r(0).getLong(2) == 60 && r(0).getInt(3) == 0 && r(0).getInt(4) == 30)
+    assert(r(1).getInt(0) == 2 && r(1).getLong(1) == 2 &&
+      r(1).getLong(2) == 170 && r(1).getInt(3) == 80 && r(1).getInt(4) == 90)
+  }
+
   test("content embedding is content-SENSITIVE: one byte moves a feature") {
     val a = Multimodal.withEmbedding(payloadDf(Array[Byte](1, 2, 3)))
       .select("iv").as[Seq[Long]].collect()(0)
