@@ -86,9 +86,42 @@ object ScaleFixtures {
     }.reduce(_ unionAll _)
   }
 
+  /** N× embeddings as N per-copy REFLECTED copies — the
+    * pair-preserving construction the id-offset form (above) cannot
+    * give (VERDICT r12 missing #2): copy i flips the sign of each
+    * dimension d iff md5-hash("refl|i|d") is odd (copy 0 = identity,
+    * so the base corpus is preserved verbatim). A sign pattern is an
+    * ISOMETRY: every within-copy pairwise cosine — hence the
+    * within-copy near-dup pair set and cluster geometry — is
+    * preserved EXACTLY (cos(s∘u, s∘v) = cos(u, v)), while a
+    * cross-copy twin pair sees cos(s_i∘x, s_j∘x) =
+    * Σ_d ±x_d²/‖x‖² ≈ 0 under the random ~half-dims flip — far below
+    * any near-dup threshold, so exact duplication is BROKEN and pair
+    * output scales ~N instead of the exact-copy fixture's ~N².
+    * Cluster count must scale with N for a fixed-size-cluster probe
+    * (k ∝ copies — the SemDeDup deployment rule anyway).
+    */
+  def reflectedEmbeddings(s: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val emb = s.read.parquet(s"$srcDir/embeddings.parquet")
+    val stride = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    (0 until factor).map { i =>
+      val signs = Array.tabulate(dim)(d =>
+        if (i == 0) 1.0f
+        else if ((graft.pipeline.TextOps.hash60(s"refl|$i|$d") & 1L) == 1L) -1.0f
+        else 1.0f)
+      emb.select(
+        (col("vec_id") + lit(i * stride)).as("vec_id"),
+        zip_with(col("embedding"), lit(signs), (x, sg) => x * sg)
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleFixtures <srcSfDir> <outDir> <factor> [events|documents|embeddings]")
+      "usage: ScaleFixtures <srcSfDir> <outDir> <factor> [events|documents|embeddings|embeddings_reflect]")
     val Array(src, out, f) = args.take(3)
     val table = if (args.length == 4) args(3) else "events"
     val spark = SparkSession.builder()
@@ -103,9 +136,10 @@ object ScaleFixtures {
     val outDir = new File(out); outDir.mkdirs()
     val staging = new File(outDir, "_staging")
     val scaled = table match {
-      case "documents"  => scaledDocs(spark, src, f.toInt)
-      case "embeddings" => scaledEmbeddings(spark, src, f.toInt)
-      case _            => scaledEvents(spark, src, f.toInt)
+      case "documents"          => scaledDocs(spark, src, f.toInt)
+      case "embeddings"         => scaledEmbeddings(spark, src, f.toInt)
+      case "embeddings_reflect" => reflectedEmbeddings(spark, src, f.toInt)
+      case _                    => scaledEvents(spark, src, f.toInt)
     }
     scaled
       // 2 MB row groups (the SyntheticMs convention): a single-file
@@ -117,7 +151,9 @@ object ScaleFixtures {
       .option("parquet.block.size", 2L * 1024 * 1024)
       .parquet(staging.getAbsolutePath)
     val part = staging.listFiles().filter(_.getName.endsWith(".parquet")).head
-    val dst = new File(outDir, s"$table.parquet")
+    // the reflected variant still stands in for the embeddings table
+    val fileBase = if (table == "embeddings_reflect") "embeddings" else table
+    val dst = new File(outDir, s"$fileBase.parquet")
     if (dst.exists()) dst.delete()
     Files.move(part.toPath, dst.toPath)
     Option(staging.listFiles()).foreach(_.foreach(_.delete()))

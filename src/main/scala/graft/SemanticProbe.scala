@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Isolated scale probe for semantic dedup (pl_d14,
+  * Dedup.semanticDedupPairs): runs the clustering + same-cluster pair
+  * scan on a given embeddings fixture and reports wall/cpu, pair
+  * count, and the cluster-size profile (Σn_c², max n_c) that IS the
+  * pair-join cost model. Pair with the `embeddings_reflect`
+  * ScaleFixtures mode: within-copy pair structure preserved exactly
+  * (reflection is an isometry), cross-copy duplication broken, so
+  * pair output scales ~N and the Σn_c² claim is measurable — the
+  * exact-copy fixture grows pairs ~N² by construction (VERDICT r12
+  * missing #2). Cluster count k must scale with the copy factor
+  * (fixed k at growing N makes n_c ∝ N and Σn_c² ∝ N² for ANY
+  * clustering method — the SemDeDup deployment rule is k ∝ corpus).
+  *
+  * Usage: runMain graft.SemanticProbe <sfDir> [k] [rounds] [minCos]
+  * One probe per JVM (DESIGN.md probe discipline).
+  */
+object SemanticProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(8)
+    val rounds = args.lift(2).map(_.toInt).getOrElse(2)
+    val minCos = args.lift(3).map(_.toDouble).getOrElse(0.45)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuSec: Double = osBean.getProcessCpuTime / 1e9
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVec = emb.count()
+
+    def once(tag: String): Unit = {
+      System.gc()
+      val c0 = cpuSec; val t0 = System.nanoTime()
+      val pairs = graft.pipeline.Dedup.semanticDedupPairs(emb, k, rounds, minCos)
+      val nPairs = pairs.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.pipeline.Caches.releaseQuiet(pairs)
+      println(f"[semprobe] $tag n_vec=$nVec k=$k pairs=$nPairs " +
+        f"wall=$wall%.2f cpu=${cpuSec - c0}%.2f")
+    }
+    once("cold")
+    once("warm")
+
+    // cluster-size profile — the pair join touches exactly Σ n_c²
+    // candidate pairs; max n_c is the skew bound of the cluster-keyed
+    // shuffle
+    val (assigned, _) = graft.pipeline.Ann.kmeansModel(emb, k, rounds)
+    val sizes = assigned.groupBy("cluster").count()
+      .agg(sum(col("count") * col("count")).as("sum_sq"),
+        max(col("count")).as("max_c"),
+        count(lit(1)).as("n_clusters")).head()
+    println(s"[semprobe] profile sum_nc2=${sizes.getLong(0)} " +
+      s"max_nc=${sizes.getLong(1)} live_clusters=${sizes.getLong(2)} " +
+      s"nc2_over_n2=${sizes.getLong(0).toDouble / (nVec.toDouble * nVec)}")
+    spark.stop()
+  }
+}

@@ -510,11 +510,15 @@ object Ann {
     *
     * Weights are the LITERAL doubles 0.7/0.3 on both engines (never
     * `1 − λ` computed in Scala, whose float result differs from the
-    * SQL literal); rel/sim are the exact-int-derived cosines, so every
-    * MMR comparison is bit-deterministic and the oracle replays the
-    * greedy trace step for step (recursive CTE). Output carries only
-    * (probe_id, rank, neighbor_id) — the floats drive ordering, the
-    * ordering is the result.
+    * SQL literal); rel/sim are the exact-int-derived cosines taken
+    * UNROUNDED — the candidate scan is inlined here rather than taken
+    * from [[knnBrute]]'s output, whose cos column is rounded to 6dp
+    * for its own oracle (ADVICE r12: a rounded rel would make
+    * near-tie greedy picks diverge from the oracle's unrounded
+    * replay). Every MMR comparison is therefore bit-deterministic and
+    * the oracle replays the greedy trace step for step (recursive
+    * CTE). Output carries only (probe_id, rank, neighbor_id) — the
+    * floats drive ordering, the ordering is the result.
     *
     * Scale: candidates are P×n rows BY CONSTRUCTION (knnBrute's
     * partial top-k), the pairwise sim table P×n² — both bounded by the
@@ -526,9 +530,19 @@ object Ann {
   def mmrTopK(vectors: DataFrame, probeFilter: Column, n: Int, k: Int):
       DataFrame = {
     require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
+    // knnBrute's scan shape (probes broadcast, corpus streamed once)
+    // with the cosine kept unrounded — same candidate SET (the top-k
+    // window there also orders by the unrounded cos), exact rel.
+    val v0 = withScaled(vectors)
+    val probes = v0.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
+        col("norm2").as("p_norm2"))
+    val scored = v0.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        cosine(doti(col("iv"), col("p_iv")), col("p_norm2"), col("norm2")))
     val cand = Caches.materialize(
-      knnBrute(vectors, probeFilter, n)
-        .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+      topK(scored, n)
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
           col("cos").as("rel")))
     val v = withScaled(vectors).select("vec_id", "iv", "norm2")
     val cv = cand.select("probe_id", "cand_id")

@@ -13,15 +13,23 @@ import org.apache.spark.sql.functions._
   * one deliberate twist: the idf factor is kept RATIONAL —
   * `(N − df + ½)/(df + ½)` — instead of wrapped in the usual `ln`.
   * Per term the two are monotone-equivalent, and the rational form
-  * makes every score an exact ratio of int64s: both factors of each
-  * term's contribution are integer numerator/denominator pairs, their
-  * IEEE-double quotient is correctly rounded (hence bit-identical on
-  * every engine), and the cross-term sum is folded in FIXED term-index
-  * order. The ranking is therefore bit-deterministic and replayable by
-  * the SQL oracle — no libm `ln` (whose last-ulp behavior is
-  * engine-specific) anywhere near a sort key. A deployment that wants
-  * textbook log-idf can wrap the factor at the end of the pipeline;
-  * the plan shape is identical.
+  * makes every score deterministic double algebra over exact int64s:
+  * each term's contribution is the PRODUCT of two exact int64
+  * quotients (idf × tf-part), each correctly rounded by IEEE
+  * division, multiplied once (one more correctly-rounded op — still
+  * bit-identical on every engine), and the cross-term sum is folded
+  * in FIXED term-index order. The ranking is therefore
+  * bit-deterministic and replayable by the SQL oracle — no libm `ln`
+  * (whose last-ulp behavior is engine-specific) anywhere near a sort
+  * key. The two-factor form (ADVICE r12) keeps every integer
+  * intermediate within int64 up to `22·dl_max·total < 2^63` —
+  * ~4·10^17 token-length-weighted mass, i.e. petabyte-scale corpora —
+  * where the old single-ratio form overflowed at `N·tf·total ≳
+  * 4·10^17`; the bound is ENFORCED driver-side (BigInt check against
+  * the corpus stats — a corpus past it fails loudly instead of
+  * silently wrapping while the oracle raises). A deployment that
+  * wants textbook log-idf can wrap the factor at the end of the
+  * pipeline; the plan shape is identical.
   *
   * Scale: the query table is a literal (broadcast by construction);
   * corpus statistics (N, Σdl) are one tiny aggregate; tf extraction is
@@ -37,8 +45,11 @@ object Retrieval {
 
   /** Max terms per query — contributions are folded as fixed columns
     * c0 + c1 + … + c{MaxTerms-1}, which is what pins the float-sum
-    * association order. */
-  val MaxTerms = 4
+    * association order. 8 covers real decontamination probes
+    * (benchmark prompts run longer than curation keywords); the fold
+    * generalizes to any width — widen the constant, the oracle's fold
+    * is generated from it. */
+  val MaxTerms = 8
 
   /** BM25 top-k per query. `queries` = (query_id, terms); terms beyond
     * [[MaxTerms]] are rejected (widen the constant, not the call).
@@ -59,10 +70,24 @@ object Retrieval {
     val dl = size(split(col(textCol), " ")).cast("long")
     val statsRow = docs.agg(
       count(lit(1)).cast("long").as("n"),
-      sum(dl).as("total")).head()
+      sum(dl).as("total"),
+      max(dl).as("dl_max")).head()
     val n = statsRow.getLong(0)
     val total = statsRow.getLong(1)
+    val dlMax = statsRow.getLong(2)
     require(n > 0, "empty corpus")
+    // int64-overflow guard (ADVICE r12): the largest integer any
+    // contribution can form is bounded by tf ≤ dl ≤ dl_max and
+    // df ≤ N. Checked in BigInt — past the bound we fail loudly
+    // rather than wrap (Spark non-ANSI) while the oracle raises.
+    val worst = Seq(
+      BigInt(22) * dlMax * total,                               // tf num
+      BigInt(10) * dlMax * total + BigInt(3) * total
+        + BigInt(9) * dlMax * n,                                // tf den
+      BigInt(2) * n + 1)                                        // idf num
+    require(worst.forall(_ <= Long.MaxValue),
+      s"bm25 int64 bound exceeded (dl_max=$dlMax, total=$total, n=$n): " +
+        "shard the corpus or switch the tf factor to the normalized form")
 
     // the literal query-term table: (query_id, ti, term)
     val terms = queries.flatMap { case (qid, ts) =>
@@ -85,19 +110,22 @@ object Retrieval {
     val dfreq = postings.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df"))
 
-    // exact-rational per-term contribution:
+    // exact-rational per-term contribution, as TWO separately-rounded
+    // int64 quotients multiplied (never one cross-product — the
+    // single-ratio form's numerator carried an extra ×2N and
+    // overflowed at N·tf·total ≳ 4e17):
     //   idf      = (2N − 2df + 1) / (2df + 1)
     //   tf-part  = 22·tf·total / (10·tf·total + 3·total + 9·dl·N)
-    // (k1 = 1.2, b = 0.75, avgdl = total/N multiplied through; both
-    // numerator and denominator are exact int64s at any realistic SF)
-    val num = (lit(2L) * n - lit(2L) * col("df") + lit(1L)) *
-      (lit(22L) * col("tf") * total)
-    val den = (lit(2L) * col("df") + lit(1L)) *
+    // (k1 = 1.2, b = 0.75, avgdl = total/N multiplied through; every
+    // intermediate is guarded ≤ int64 above)
+    val idf = (lit(2L) * n - lit(2L) * col("df") + lit(1L)).cast("double") /
+      (lit(2L) * col("df") + lit(1L)).cast("double")
+    val tfPart = (lit(22L) * col("tf") * total).cast("double") /
       (lit(10L) * col("tf") * total + lit(3L) * total +
-        lit(9L) * col("dl") * n)
+        lit(9L) * col("dl") * n).cast("double")
     val contrib = postings.join(dfreq, "term")
       .join(broadcast(terms), "term")
-      .withColumn("c", num.cast("double") / den.cast("double"))
+      .withColumn("c", idf * tfPart)
 
     // fixed-order fold: per (query, doc) the term at index i lands in
     // column c_i; score = ((c_0 + c_1) + c_2) + … — one association,

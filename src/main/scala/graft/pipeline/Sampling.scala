@@ -161,13 +161,28 @@ object Sampling {
     * until smaller draws arrive — the same bounded-churn property as
     * [[topKPerStratum]].
     *
-    * Scale: one group-keyed window shuffle (running sum), cut inside
-    * the window — nothing beyond the group partitioning materializes.
-    * Groups are assumed ≫ 1 but any single group is one
-    * partition-chain; a group whose budget is tiny relative to its
-    * corpus share still scans its full partition (the window must see
-    * every row to rank it) — pre-filter with [[weighted]] if a group's
-    * raw mass is orders beyond its budget.
+    * Scale — a DISTRIBUTED prefix sum, never one sort task per group.
+    * The draw is uniform on [0, 1e6), so fixed cut points split each
+    * group into [[MixBuckets]] draw-range buckets that are (a) a pure
+    * function of the draw — no sampling pass needed — and (b)
+    * balanced by uniformity. The plan is then:
+    *   1. one map-side-combinable aggregation to per-(group, bucket)
+    *      token subtotals — a |groups| × [[MixBuckets]] table;
+    *   2. a driver-side prefix over that tiny table → each bucket's
+    *      START offset (tokens in all strictly-smaller buckets of the
+    *      same group), broadcast back as a join;
+    *   3. buckets whose start offset already meets the budget are
+    *      dropped BEFORE the window (every row there has
+    *      `cum_before ≥ offset ≥ budget`), so a group whose budget is
+    *      a sliver of its corpus share windows only the prefix
+    *      buckets that can still admit — the over-scan the old
+    *      single-chain plan suffered is gone;
+    *   4. the running-sum window runs within (group, bucket) + the
+    *      broadcast offset — |groups| × [[MixBuckets]] parallel
+    *      chains instead of |groups| serial ones.
+    * Output is bit-identical to the single-window form: bucket order
+    * refines draw order (bucket = draw / width), so offset + the
+    * within-bucket running sum IS the group-wide running sum.
     */
   def tokenBudgetMix(df: DataFrame, key: Column, group: Column,
                      tokens: Column, budgetByGroup: Map[String, Long],
@@ -176,14 +191,62 @@ object Sampling {
     require((defaultBudget +: budgetByGroup.values.toSeq).forall(_ >= 0),
       "budgets must be >= 0")
     val cb = "cum_before"
-    require(!df.columns.contains(cb), s"input must not carry a $cb column")
-    val budget = budgetByGroup.foldLeft(lit(defaultBudget)) {
-      case (acc, (g, b)) => when(group === g, lit(b)).otherwise(acc)
+    val work = Seq("_graft_drw", "_graft_grp", "_graft_bkt")
+    (cb +: work).foreach(c => require(!df.columns.contains(c),
+      s"input must not carry a $c column"))
+    def budgetOf(g: Column): Column = budgetByGroup.foldLeft(
+      lit(defaultBudget): Column) {
+      case (acc, (name, b)) => when(g === name, lit(b)).otherwise(acc)
     }
+    // bucket = fixed draw range; NULL draws (null keys) get bucket -1
+    // so they sort first, matching the old orderBy's nulls-first.
+    val base = df
+      .withColumn("_graft_drw", draw(salt, key))
+      .withColumn("_graft_bkt", when(col("_graft_drw").isNull, lit(-1))
+        .otherwise(floor(col("_graft_drw") / lit(MixBucketWidth))
+          .cast("int")))
+      .withColumn("_graft_grp", group.cast("string"))
+
+    // per-(group, bucket) subtotals: |groups| × MixBuckets rows — the
+    // one deliberately-tiny collect (same discipline as the Bda
+    // sizing frames); prefix-summed on the driver in bucket order.
+    val subtotals = base.groupBy(col("_graft_grp"), col("_graft_bkt"))
+      .agg(coalesce(sum(tokens), lit(0L)).as("_graft_sub"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getInt(1), r.getLong(2)))
+    val offsets: Seq[(String, Int, Long)] = subtotals
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val inOrder = rows.sortBy(_._2)
+        inOrder.zip(inOrder.scanLeft(0L)(_ + _._3))
+          .map { case ((_, b, _), off) => (g, b, off) }
+      }
+    val spark = df.sparkSession
+    val offDf = spark.createDataFrame(offsets)
+      .toDF("_graft_ogrp", "_graft_obkt", "_graft_off")
+
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(group).orderBy(draw(salt, key).asc, key.asc)
+      .partitionBy(col("_graft_grp"), col("_graft_bkt"))
+      .orderBy(col("_graft_drw").asc, key.asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn(cb, coalesce(sum(tokens).over(w), lit(0L)))
-      .filter(col(cb) < budget)
+    base
+      .join(broadcast(offDf),
+        col("_graft_grp") <=> col("_graft_ogrp") &&
+          col("_graft_bkt") === col("_graft_obkt"))
+      // a bucket starting at/past the budget can never admit a row
+      .filter(col("_graft_off") < budgetOf(col("_graft_grp")))
+      .withColumn(cb,
+        col("_graft_off") + coalesce(sum(tokens).over(w), lit(0L)))
+      .filter(col(cb) < budgetOf(col("_graft_grp")))
+      .drop("_graft_drw", "_graft_grp", "_graft_bkt",
+        "_graft_ogrp", "_graft_obkt", "_graft_off")
   }
+
+  /** Draw-range bucket count for [[tokenBudgetMix]]'s distributed
+    * prefix sum. Must divide 1e6 exactly so bucket boundaries are
+    * integral draw values; 64 gives |groups|×64 parallel window
+    * chains and a ≤ |groups|×64-row driver table.
+    */
+  val MixBuckets: Int = 64
+  private val MixBucketWidth: Long = Million / MixBuckets
 }

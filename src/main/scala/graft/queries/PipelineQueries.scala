@@ -230,11 +230,19 @@ object PipelineQueries {
   private[graft] val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
     1L -> Seq("join", "hash"),
     2L -> Seq("scan", "filter", "column"),
-    3L -> Seq("customer", "order", "slow", "fast"))
+    3L -> Seq("customer", "order", "slow", "fast"),
+    // an 8-term probe — the width of a real decontamination prompt
+    // (VERDICT r12 #3: exercise the full MaxTerms fold)
+    4L -> Seq("window", "sort", "merge", "group",
+      "stream", "batch", "table", "data"))
 
-  /** Brute-force verified near-dup pairs (ground truth for d2/d3). */
-  private val truthPairsSql =
-    s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+  /** Brute-force verified near-dup pairs (ground truth for d2/d3),
+    * optionally over a doc subset (pl_p3 restricts to the non-bench
+    * corpus). `where` is a full `WHERE …` clause or empty.
+    */
+  private def truthPairsSqlFor(where: String): String =
+    s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM documents${
+      if (where.isEmpty) "" else " " + where}),
         pairs AS (
           SELECT a.doc_id AS doc1, b.doc_id AS doc2,
                  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
@@ -245,6 +253,9 @@ object PipelineQueries {
           SELECT doc1, doc2, n_inter, n1, n2,
                  n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard
           FROM pairs WHERE n_inter::DOUBLE / (n1 + n2 - n_inter) >= 0.7)"""
+
+  /** Brute-force verified near-dup pairs (ground truth for d2/d3). */
+  private val truthPairsSql = truthPairsSqlFor("")
 
   // ------------------------------------------------------------------------
 
@@ -753,6 +764,48 @@ object PipelineQueries {
       val out = TextOps.chunkTokens(kept.select("doc_id", "text"), 32, 24)
       try Caches.materialize(out)
       finally sigs.unpersist(blocking = false)
+    }),
+
+    // The FULL curation pipeline, one oracle-gated query (VERDICT r12
+    // #8): quality gate → exact-dup keeper → near-dup loser drop (the
+    // pl_p1 composition) → benchmark decontamination (docs sharing any
+    // 4-gram with the held-out %37 slice drop, pl_d10's rule) →
+    // per-source token-budget mixture (pl_s7's budgets) →
+    // deterministic 90/5/5 split → stride-window chunking. The
+    // dedup'd+decontaminated population is materialized ONCE (the
+    // production checkpoint between curation and packaging): the
+    // mixture's subtotal pass and every later stage replay the narrow
+    // intermediate, never the raw-corpus dedup plan. Splitting keys by
+    // doc_id and is leakage-safe BY CONSTRUCTION here: stage 3 already
+    // dropped every near-dup pair member at the same threshold a
+    // rep-keyed split would use, so no surviving val/test doc has a
+    // surviving near-duplicate in train.
+    "pl_p3_full_curation" -> ((s, d) => {
+      import graft.pipeline.{Caches, CorpusFilter, Sampling}
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(37L)) =!= 0L)
+      val bench = docs.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+      val (kept, sigs) = CorpusFilter.keptPlan(corpus, 0.7)
+      val clean =
+        try {
+          val contam = Dedup.contaminated(corpus, bench, 4).select("doc_id")
+          Caches.materialize(
+            kept.select("doc_id", "source", "n_tokens", "text")
+              .join(contam, Seq("doc_id"), "left_anti"))
+        } finally sigs.unpersist(blocking = false)
+      try {
+        val mixed = Sampling.tokenBudgetMix(clean, col("doc_id"),
+          col("source"), col("n_tokens"), MixBudgets, MixDefaultBudget)
+        val labeled = Sampling.splitLabels(mixed, col("doc_id"),
+          Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L))
+        val chunks = TextOps.chunkTokens(labeled.select("doc_id", "text"), 32, 24)
+        Caches.materialize(
+          chunks.join(
+            labeled.select("doc_id", "source", "split", "cum_before"),
+            Seq("doc_id"))
+            .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens",
+              "source", "split", "cum_before"))
+      } finally Caches.release(clean)
     })
   )
 
@@ -1495,11 +1548,11 @@ object PipelineQueries {
             SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
           c AS (
             SELECT qt.query_id, tf.doc_id, qt.ti,
-                   CAST((2 * s.n - 2 * dfq.df + 1)
-                          * (22 * tf.tf * s.total) AS DOUBLE)
-                     / CAST((2 * dfq.df + 1)
-                         * (10 * tf.tf * s.total + 3 * s.total
-                            + 9 * tf.dl * s.n) AS DOUBLE) AS cc
+                   (CAST(2 * s.n - 2 * dfq.df + 1 AS DOUBLE)
+                      / CAST(2 * dfq.df + 1 AS DOUBLE))
+                   * (CAST(22 * tf.tf * s.total AS DOUBLE)
+                      / CAST(10 * tf.tf * s.total + 3 * s.total
+                             + 9 * tf.dl * s.n AS DOUBLE)) AS cc
             FROM tf JOIN dfq USING (term) JOIN qt USING (term), stats s),
           sc AS (
             SELECT query_id, doc_id,
@@ -1518,6 +1571,78 @@ object PipelineQueries {
 
     // pl_p1's kept population (same truth-pairs CTE) chunked with the
     // pl_c1 grid — the whole export replayed in SQL.
+    // The whole pl_p3 chain replayed: corpus-restricted truth pairs +
+    // keeper/quality gate, 4-gram decontamination vs the %37 bench
+    // slice, the pl_s7 mixture rule, the pl_s4 split CASE, and the
+    // pl_p2 chunk grid — every constant shared with its stage's own
+    // oracle so the stages cannot drift from their composition.
+    "pl_p3_full_curation" -> {
+      val cases = MixBudgets.toSeq.sortBy(_._1)
+        .map { case (g, b) => s"WHEN '$g' THEN $b" }.mkString(" ")
+      s"""WITH ${truthPairsSqlFor("WHERE doc_id % 37 <> 0")},
+          q AS (
+            SELECT doc_id, text, source,
+                   CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter($toksSql, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+            FROM documents WHERE doc_id % 37 <> 0),
+          ek AS (
+            SELECT min(doc_id) AS doc_id FROM documents
+            WHERE doc_id % 37 <> 0 GROUP BY md5(text)),
+          g AS (
+            SELECT doc_id, unnest(${ngramSql(4)}) AS gram FROM documents),
+          benchg AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+          cont AS (
+            SELECT DISTINCT g.doc_id FROM g JOIN benchg USING (gram)
+            WHERE g.doc_id % 37 <> 0),
+          kept AS (
+            SELECT doc_id, source, text, n_tokens FROM q
+            WHERE n_tokens >= 20 AND n_tokens <= 95
+              AND n_distinct::DOUBLE / n_tokens >= 0.45
+              AND n_stop::DOUBLE / n_tokens <= 0.25
+              AND doc_id IN (SELECT doc_id FROM ek)
+              AND doc_id NOT IN (SELECT doc2 FROM verified)
+              AND doc_id NOT IN (SELECT doc_id FROM cont)),
+          mx AS (
+            SELECT doc_id, source, text, n_tokens,
+                   ${h60("'mix|' || doc_id")} % 1000000 AS drw
+            FROM kept),
+          cum AS (
+            SELECT doc_id, source, text, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                     ORDER BY drw ASC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_before
+            FROM mx),
+          adm AS (
+            SELECT * FROM cum
+            WHERE cum_before < CASE source $cases ELSE $MixDefaultBudget END),
+          lab AS (
+            SELECT doc_id, source, cum_before,
+                   string_split(text, ' ') AS tk,
+                   CASE WHEN ${h60("'tvt|' || doc_id")} % 1000000 < 900000
+                          THEN 'train'
+                        WHEN ${h60("'tvt|' || doc_id")} % 1000000 < 950000
+                          THEN 'val'
+                        ELSE 'test' END AS split
+            FROM adm),
+          c AS (
+            SELECT doc_id, source, split, cum_before, tk,
+                   unnest(range(CAST(floor(
+                     (greatest(len(tk) - 32, 0) + 23) / 24) AS BIGINT) + 1))
+                     AS chunk_idx
+            FROM lab)
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 coalesce(array_to_string(
+                   list_slice(tk, chunk_idx*24 + 1, chunk_idx*24 + 32), ' '),
+                   '') AS chunk_text,
+                 CAST(len(list_slice(tk, chunk_idx*24 + 1, chunk_idx*24 + 32))
+                   AS BIGINT) AS n_chunk_tokens,
+                 source, split, cum_before
+          FROM c"""
+    },
+
     "pl_p2_training_chunks" ->
       s"""WITH $truthPairsSql,
           q AS (

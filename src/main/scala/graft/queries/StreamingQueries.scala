@@ -208,10 +208,19 @@ object StreamingQueries {
     val present = (1 to bounds.length + 1)
       .filter(i => new File(staging, s"gslice=$i").exists())
     present.zipWithIndex.foreach { case (g, idx) =>
-      val f = new File(staging, s"gslice=$g").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
+      val fs = new File(staging, s"gslice=$g").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      // a slice MUST be one file: consumers read maxFilesPerTrigger=1,
+      // so a config that splits task output (e.g. maxRecordsPerFile)
+      // would smear one slice across micro-batches — and the old
+      // `.head` would silently DROP the extra rows (ADVICE r12).
+      // Fail loudly instead of either.
+      require(fs.length == 1,
+        s"slice gslice=$g wrote ${fs.length} parquet files (expected 1) — " +
+          "a file-splitting conf (maxRecordsPerFile?) breaks the " +
+          "one-slice-one-micro-batch staging contract")
       val dst = new File(streamDir, f"${idx + 1}%03d_slice.parquet")
-      Files.move(f.toPath, dst.toPath)
+      Files.move(fs.head.toPath, dst.toPath)
       dst.setLastModified(1000000L * (idx + 1)); ()
     }
     present.length

@@ -236,9 +236,17 @@ class PlanShapeSpec extends SparkSpec {
       org.apache.spark.sql.functions.col("source"),
       org.apache.spark.sql.functions.col("n_tokens"),
       Map("src1" -> 2000L), 1000L))
-    val exchanges = pm.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1,
-      s"budget mix should carry exactly the group-key shuffle, got $exchanges:\n$pm")
+    // distributed prefix sum: ONE window shuffle keyed by
+    // (group, bucket) — never a single chain per group — plus the
+    // broadcast of the tiny offset table; no other exchange.
+    val shuffles = pm.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1,
+      s"budget mix should carry exactly one window shuffle, got $shuffles:\n$pm")
+    assert(pm.contains("BroadcastExchange"),
+      s"budget mix offset table not broadcast:\n$pm")
+    assert(pm.contains("_graft_bkt"),
+      s"budget mix window is not bucketed (single chain per group):\n$pm")
     assertNoGlobalSort(pm, "tokenBudgetMix")
   }
 

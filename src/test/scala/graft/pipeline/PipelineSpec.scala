@@ -910,24 +910,46 @@ class PipelineSpec extends SparkSpec {
   test("bm25: hand-computed rational scores and ranking") {
     val df = Seq((1L, "apple banana"), (2L, "apple apple cherry"),
       (3L, "banana banana banana")).toDF("doc_id", "text")
-    // N=3, total=8. apple: df=2. doc1 tf=1 dl=2; doc2 tf=2 dl=3.
-    //   doc1: (2*3-4+1)*(22*1*8) / (5*(10*1*8+24+9*2*3)) = 528/790
-    //   doc2: 3*(22*2*8) / (5*(160+24+81))               = 1056/1325
+    // the production rounding rule (Spark round = HALF_UP on the
+    // decimal string), NOT math.rint (HALF_EVEN) — an expected value
+    // on an exact half at the 6th decimal would otherwise flake
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // two-quotient form: c = (idfNum/idfDen) * (tfNum/tfDen)
+    def bm(idfNum: Long, idfDen: Long, tfNum: Long, tfDen: Long): Double =
+      idfNum.toDouble / idfDen * (tfNum.toDouble / tfDen)
+    // N=3, total=8. apple: df=2 → idf=3/5. doc1 tf=1 dl=2; doc2 tf=2 dl=3.
+    //   doc1: (3/5)·(22·1·8 / (10·1·8 + 24 + 9·2·3)) = (3/5)·(176/158)
+    //   doc2: (3/5)·(22·2·8 / (160 + 24 + 81))       = (3/5)·(352/265)
     val r1 = Retrieval.bm25TopK(df, Seq(1L -> Seq("apple")), 10)
       .orderBy("rank").collect()
     assert(r1.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L))
-    assert(r1(0).getAs[Double]("score") ==
-      math.rint(1056.0 / 1325.0 * 1e6) / 1e6)
-    assert(r1(1).getAs[Double]("score") ==
-      math.rint(528.0 / 790.0 * 1e6) / 1e6)
+    assert(r1(0).getAs[Double]("score") == r6(bm(3, 5, 352, 265)))
+    assert(r1(1).getAs[Double]("score") == r6(bm(3, 5, 176, 158)))
     // two-term query: contributions add in term order; doc2 matches both
-    //   cherry: df=1 → 5*(22*1*8) / (3*(80+24+81)) = 880/555
+    //   cherry: df=1 → idf=5/3; tf-part = 176/(80+24+81) = 176/185
     val r2 = Retrieval.bm25TopK(df, Seq(2L -> Seq("apple", "cherry")), 10)
       .filter(col("doc_id") === 2L).collect()(0)
     assert(r2.getAs[Long]("n_terms_matched") == 2L)
     assert(r2.getAs[Double]("score") ==
-      math.rint((1056.0 / 1325.0 + 880.0 / 555.0) * 1e6) / 1e6)
+      r6(bm(3, 5, 352, 265) + bm(5, 3, 176, 185)))
     assert(r2.getAs[Long]("rank") == 1L)
+  }
+
+  test("mmr: redundancy penalty demotes an exact-duplicate candidate") {
+    // probe p=[1,0,0]; v1=v2 identical (sim=1); v3 lower-rel but
+    // diverse. rel1=rel2=0.7, rel3=0.5, sim(3,1)=0.3:
+    //   pick1 = v1 (rel tie -> smaller id)
+    //   pick2: mmr(2)=0.7*0.7-0.3*1.0=0.19 < mmr(3)=0.7*0.5-0.3*0.3=0.26
+    //   -> v3 despite v2's higher relevance; pick3 = v2
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.7f, 0.7141f, 0.0f)),
+      (2L, Array(0.7f, 0.7141f, 0.0f)),
+      (3L, Array(0.5f, -0.07f, 0.8632f))).toDF("vec_id", "embedding")
+    val r = Ann.mmrTopK(df, col("vec_id") === 0L, 3, 3)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L))
   }
 
   test("semantic dedup: exactly the same-cluster restriction of exact pairs") {
