@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * clustering method — the SemDeDup deployment rule is k ∝ corpus).
   *
   * Usage: runMain graft.SemanticProbe <sfDir> [k] [rounds] [minCos]
-  * One probe per JVM (DESIGN.md probe discipline).
+  *   [b] [trainPpm] — pass b > 0 to route through
+  * [[graft.pipeline.Dedup.semanticDedupPairsHier]] (coarse→fine
+  * hierarchical assignment + sampled training) instead of the exact
+  * N·k path. One probe per JVM (DESIGN.md probe discipline).
   */
 object SemanticProbe {
   def main(args: Array[String]): Unit = {
@@ -25,6 +28,8 @@ object SemanticProbe {
     val k = args.lift(1).map(_.toInt).getOrElse(8)
     val rounds = args.lift(2).map(_.toInt).getOrElse(2)
     val minCos = args.lift(3).map(_.toDouble).getOrElse(0.45)
+    val b = args.lift(4).map(_.toInt).getOrElse(0)
+    val trainPpm = args.lift(5).map(_.toLong).getOrElse(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,12 +49,15 @@ object SemanticProbe {
     def once(tag: String): Unit = {
       System.gc()
       val c0 = cpuSec; val t0 = System.nanoTime()
-      val pairs = graft.pipeline.Dedup.semanticDedupPairs(emb, k, rounds, minCos)
+      val pairs =
+        if (b > 0) graft.pipeline.Dedup.semanticDedupPairsHier(
+          emb, k, b, rounds, minCos, trainPpm)
+        else graft.pipeline.Dedup.semanticDedupPairs(emb, k, rounds, minCos)
       val nPairs = pairs.count()
       val wall = (System.nanoTime() - t0) / 1e9
       graft.pipeline.Caches.releaseQuiet(pairs)
-      println(f"[semprobe] $tag n_vec=$nVec k=$k pairs=$nPairs " +
-        f"wall=$wall%.2f cpu=${cpuSec - c0}%.2f")
+      println(f"[semprobe] $tag n_vec=$nVec k=$k b=$b ppm=$trainPpm " +
+        f"pairs=$nPairs wall=$wall%.2f cpu=${cpuSec - c0}%.2f")
     }
     once("cold")
     once("warm")
@@ -57,7 +65,9 @@ object SemanticProbe {
     // cluster-size profile — the pair join touches exactly Σ n_c²
     // candidate pairs; max n_c is the skew bound of the cluster-keyed
     // shuffle
-    val (assigned, _) = graft.pipeline.Ann.kmeansModel(emb, k, rounds)
+    val assigned =
+      if (b > 0) graft.pipeline.Ann.hierAssign(emb, k, b, rounds, trainPpm)
+      else graft.pipeline.Ann.kmeansModel(emb, k, rounds)._1
     val sizes = assigned.groupBy("cluster").count()
       .agg(sum(col("count") * col("count")).as("sum_sq"),
         max(col("count")).as("max_c"),

@@ -325,6 +325,88 @@ object Ann {
     (assigned, lastCent)
   }
 
+  /** Hierarchical (coarse → fine) cluster assignment — the SemDeDup
+    * 100 TB path for k ∝ corpus (DESIGN.md r13: exact Lloyd
+    * assignment is N·k distance evaluations and became the measured
+    * wall of the 100× semantic-dedup probe once k scaled with N).
+    * Routing each vector through `b` ≈ √k coarse centroids and then
+    * only the fine centroids PARENTED to its coarse cell costs
+    * N·(b + k/b) ≈ 2N√k. Three exactness choices make the
+    * approximation bit-replayable by the SQL oracle:
+    *  - k-means trains on a deterministic hash SAMPLE (`trainPpm`,
+    *    salt "kmt") — the production shape: train on a sample,
+    *    assign the corpus;
+    *  - centroids are QUANTIZED to integer means
+    *    `qv_d = round_half_away(sv_d / n)` computed in pure integer
+    *    arithmetic (`(2|s|+n) div 2n`, sign restored), so every
+    *    routing distance is an integer Σ(a−b)² — no rationals, no
+    *    doubles, no engine-specific rounding anywhere;
+    *  - the coarse subset is the b centroids with the smallest
+    *    md5("hc|c_id") (the seeding rule applied to centroid ids);
+    *    parents/assignments are integer argmins with c_id tie-break.
+    * The centroid table is k tiny rows — quantization, coarse pick,
+    * and parenting run driver-side (the Bda-sizing collect
+    * discipline) and ship back as two broadcast frames; the corpus
+    * is touched by exactly two scans (stage-1 routing + stage-2
+    * refinement), each a broadcast join + per-vector argmin window.
+    * Returns (vec_id, iv, norm2, cluster).
+    */
+  def hierAssign(vectors: DataFrame, k: Int, b: Int, rounds: Int,
+                 trainPpm: Long = 1000000L): DataFrame = {
+    require(b >= 1 && b <= k, s"need 1 <= b <= k, got b=$b k=$k")
+    val train =
+      if (trainPpm >= 1000000L) vectors
+      else graft.pipeline.Sampling.uniform(
+        vectors, col("vec_id"), trainPpm, salt = "kmt")
+    val (_, cent) = kmeansModel(train, k, rounds)
+    // integer round-half-away-from-zero of s/n — the oracle replays
+    // the same div formula, so no double ever enters the quantizer
+    def qRound(s: Long, n: Long): Long = {
+      val q = (2L * math.abs(s) + n) / (2L * n)
+      if (s >= 0) q else -q
+    }
+    val cents = cent.select("c_id", "n", "sv").collect().map { r =>
+      val n = r.getLong(1)
+      (r.getInt(0), r.getSeq[Long](2).map(s => qRound(s, n)).toArray)
+    }
+    Caches.releaseQuiet(cent)
+    val coarse = cents.sortBy { case (id, _) =>
+      (TextOps.hash60(s"hc|$id"), id) }.take(b)
+    def d2(a: Array[Long], c: Array[Long]): Long = {
+      var i = 0; var acc = 0L
+      while (i < a.length) { val t = a(i) - c(i); acc += t * t; i += 1 }
+      acc
+    }
+    val parentOf = cents.map { case (id, qv) =>
+      id -> coarse.minBy { case (cid, cqv) => (d2(qv, cqv), cid) }._1
+    }.toMap
+    val spark = vectors.sparkSession
+    val coarseDf = spark.createDataFrame(
+      coarse.map { case (id, qv) => (id, qv.toSeq) }.toSeq)
+      .toDF("hc_id", "hqv")
+    val children = spark.createDataFrame(
+      cents.map { case (id, qv) => (parentOf(id), id, qv.toSeq) }.toSeq)
+      .toDF("hcoarse", "c_id", "qv")
+    // Σ(iv−qv)² = norm2 − 2·⟨iv,qv⟩ + ⟨qv,qv⟩ — three codegen dots
+    def qd2(qv: Column): Column =
+      col("norm2") - lit(2L) * doti(col("iv"), qv) + doti(qv, qv)
+    val v = withScaled(vectors).select("vec_id", "iv", "norm2")
+    val w1 = Window.partitionBy("vec_id")
+      .orderBy(col("_d2").asc, col("hc_id").asc)
+    val s1 = v.crossJoin(broadcast(coarseDf))
+      .withColumn("_d2", qd2(col("hqv")))
+      .withColumn("_rk", row_number().over(w1)).filter(col("_rk") === 1)
+      .select(col("vec_id"), col("iv"), col("norm2"),
+        col("hc_id").as("hcoarse"))
+    val w2 = Window.partitionBy("vec_id")
+      .orderBy(col("_d2").asc, col("c_id").asc)
+    s1.join(broadcast(children), Seq("hcoarse"))
+      .withColumn("_d2", qd2(col("qv")))
+      .withColumn("_rk", row_number().over(w2)).filter(col("_rk") === 1)
+      .select(col("vec_id"), col("iv"), col("norm2"),
+        col("c_id").as("cluster"))
+  }
+
   /** IVF over the TRAINED k-means quantizer — the end-to-end form that
     * replaces annIvf's label stand-in: inverted lists are the corpus's
     * final k-means assignment, probes quantize against the SAME centroid

@@ -577,6 +577,32 @@ object Dedup {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** [[semanticDedupPairs]] with HIERARCHICAL assignment
+    * ([[Ann.hierAssign]]): k-means trains on a hash sample, vectors
+    * route through b coarse cells then only that cell's fine
+    * children — N·(b + k/b) routing work instead of N·k, the scaling
+    * fix for the k ∝ corpus deployment rule (the 100× probe's
+    * measured wall). Same cluster-keyed equi-join pair tail; pair
+    * candidates are Σ n_c² over the hier clusters.
+    */
+  def semanticDedupPairsHier(vectors: DataFrame, k: Int, b: Int,
+                             rounds: Int, minCos: Double,
+                             trainPpm: Long = 1000000L): DataFrame = {
+    val av = Ann.hierAssign(vectors, k, b, rounds, trainPpm)
+      .select(col("cluster"), col("vec_id"), col("iv"), col("norm2"))
+    val a = av.select(col("cluster"), col("vec_id").as("vec1"),
+      col("iv").as("iv1"), col("norm2").as("n1"))
+    val bb = av.select(col("cluster"), col("vec_id").as("vec2"),
+      col("iv").as("iv2"), col("norm2").as("n2"))
+    a.join(bb, Seq("cluster"))
+      .filter(col("vec1") < col("vec2"))
+      .withColumn("dot_scaled", Ann.doti(col("iv1"), col("iv2")))
+      .withColumn("cos", Ann.cosine(col("dot_scaled"), col("n1"), col("n2")))
+      .filter(col("cos") >= minCos)
+      .select(col("cluster"), col("vec1"), col("vec2"), col("dot_scaled"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs. Two paths:
     *  - exact: all-pairs self-join — the O(n²) correctness baseline,
     *    and the only complete answer at low thresholds;

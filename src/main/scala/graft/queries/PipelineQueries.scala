@@ -151,18 +151,22 @@ object PipelineQueries {
     * → r2 (assign vs c1). r2 is the final assignment, c1 the centroid
     * table that produced it. Shared by pl_a4 and pl_a5.
     */
-  private val kmeansCtesSql: String = {
+  /** The deterministic k-means CTE chain over an arbitrary source
+    * view (`src` must expose vec_id/iv): seeds → r1 → c1 → r2. The
+    * classic entries run it over the full `v`; pl_d15 runs it over
+    * the hash-sampled training view `tv`.
+    */
+  private def kmeansChainSql(src: String): String = {
     val assign = (cents: String) =>
       s"""SELECT vec_id, cluster FROM (
             SELECT v.vec_id, c.c_id AS cluster,
                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
                      ${ratD2Sql("v.iv", "c.sv", "c.n")} ASC, c.c_id ASC) AS rk
-            FROM v, $cents c) WHERE rk = 1"""
-    s"""$vSql,
-        seeds AS (
+            FROM $src v, $cents c) WHERE rk = 1"""
+    s"""seeds AS (
           SELECT CAST(rn - 1 AS INTEGER) AS c_id, 1::BIGINT AS n, iv AS sv
           FROM (SELECT *, row_number() OVER (ORDER BY
-                  ${h60("'km|' || vec_id")} ASC, vec_id ASC) AS rn FROM v)
+                  ${h60("'km|' || vec_id")} ASC, vec_id ASC) AS rn FROM $src)
           WHERE rn <= 8),
         r1 AS (${assign("seeds")}),
         c1 AS (
@@ -171,12 +175,16 @@ object PipelineQueries {
             SELECT r1.cluster AS c_id, dd.d,
                    CAST(sum(v.iv[dd.d+1]) AS BIGINT) AS s,
                    CAST(count(*) AS BIGINT) AS cn
-            FROM r1 JOIN v USING (vec_id),
+            FROM r1 JOIN $src v USING (vec_id),
                  (SELECT unnest(range(64)) AS d) dd
             GROUP BY 1, 2)
           GROUP BY 1),
         r2 AS (${assign("c1")})"""
   }
+
+  private val kmeansCtesSql: String =
+    s"""$vSql,
+        ${kmeansChainSql("v")}"""
 
   /** Token → (register, rho) CTE chain for the p=8 HLL — shared by
     * pl_k4's one-row summary and the streaming register-table twin
@@ -401,6 +409,16 @@ object PipelineQueries {
     // recall contract; pl_d6 is the exact baseline it prunes).
     "pl_d14_semantic_dedup" -> ((s, d) =>
       Dedup.semanticDedupPairs(Tables.embeddings(s, d), 8, 2, 0.45)),
+
+    // SemDeDup, the 100 TB shape: k-means trained on a 60% hash
+    // sample, the FULL corpus assigned hierarchically (3 coarse cells
+    // → fine children; integer-quantized centroids so the routing is
+    // pure-integer and oracle-replayable), then the same-cluster pair
+    // scan. N·(b + k/b) assignment work instead of N·k — the fix for
+    // the k ∝ corpus wall the r13 100× probe measured.
+    "pl_d15_semantic_hier" -> ((s, d) =>
+      Dedup.semanticDedupPairsHier(Tables.embeddings(s, d), 8, 3, 2,
+        0.45, 600000L)),
 
     // Exact n-gram Jaccard near-dup via inverted-index join (postings
     // capped at document frequency 3 — the stop-gram guard fires on
@@ -1046,6 +1064,65 @@ object PipelineQueries {
           av AS (
             SELECT v.vec_id, v.iv, v.norm2, r2.cluster
             FROM v JOIN r2 USING (vec_id))
+          SELECT a.cluster, a.vec_id AS vec1, b.vec_id AS vec2,
+                 ${dotSql("a.iv", "b.iv")} AS dot_scaled,
+                 round(${dotSql("a.iv", "b.iv")}::DOUBLE
+                   / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) AS cos
+          FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE ${dotSql("a.iv", "b.iv")}::DOUBLE
+                  / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)) >= 0.45""",
+
+    // Hierarchical SemDeDup: the kmeans chain over the 60% hash
+    // sample (tv), centroids integer-quantized (round-half-away as a
+    // pure div — no doubles), coarse subset by the hc-hash rule,
+    // parenting + two-stage routing as integer argmins, then the
+    // pl_d14 pair tail over the hier clusters.
+    "pl_d15_semantic_hier" ->
+      s"""WITH $vSql,
+          tv AS (
+            SELECT * FROM v
+            WHERE ${h60("'kmt|' || vec_id")} % 1000000 < 600000),
+          ${kmeansChainSql("tv")},
+          qc AS (
+            SELECT c_id,
+                   list_transform(sv, s -> CASE WHEN s >= 0
+                     THEN (2*s + n) // (2*n)
+                     ELSE -((2*(-s) + n) // (2*n)) END) AS qv
+            FROM c1),
+          hsel AS (
+            SELECT c_id, qv FROM (
+              SELECT c_id, qv, row_number() OVER (ORDER BY
+                ${h60("'hc|' || c_id")} ASC, c_id ASC) AS rn FROM qc)
+            WHERE rn <= 3),
+          par AS (
+            SELECT c_id, coarse FROM (
+              SELECT f.c_id, h.c_id AS coarse,
+                     row_number() OVER (PARTITION BY f.c_id ORDER BY
+                       list_sum(list_transform(list_zip(f.qv, h.qv),
+                         z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
+                       h.c_id ASC) AS rk
+              FROM qc f, hsel h) WHERE rk = 1),
+          s1 AS (
+            SELECT vec_id, coarse FROM (
+              SELECT v.vec_id, h.c_id AS coarse,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(v.iv, h.qv),
+                         z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
+                       h.c_id ASC) AS rk
+              FROM v, hsel h) WHERE rk = 1),
+          hr AS (
+            SELECT vec_id, cluster FROM (
+              SELECT v.vec_id, q.c_id AS cluster,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(v.iv, q.qv),
+                         z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
+                       q.c_id ASC) AS rk
+              FROM v JOIN s1 USING (vec_id)
+                   JOIN par p ON p.coarse = s1.coarse
+                   JOIN qc q ON q.c_id = p.c_id) WHERE rk = 1),
+          av AS (
+            SELECT v.vec_id, v.iv, v.norm2, hr.cluster
+            FROM v JOIN hr USING (vec_id))
           SELECT a.cluster, a.vec_id AS vec1, b.vec_id AS vec2,
                  ${dotSql("a.iv", "b.iv")} AS dot_scaled,
                  round(${dotSql("a.iv", "b.iv")}::DOUBLE

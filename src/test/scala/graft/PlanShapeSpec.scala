@@ -250,16 +250,60 @@ class PlanShapeSpec extends SparkSpec {
     assertNoGlobalSort(pm, "tokenBudgetMix")
   }
 
+  test("pl_p3 composition: bounded raw-corpus scans; post-checkpoint stages never re-read") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val corpus = docs.filter(pmod(col("doc_id"), lit(37L)) =!= 0L)
+    val bench = docs.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+    // the LAZY pre-checkpoint composition (what pl_p3 materializes
+    // once): its plan may touch the raw corpus only through the five
+    // declared stage scans — quality projection, exact-md5 keeper,
+    // LSH-signature build, corpus 4-grams, bench 4-grams (plus the
+    // keeper semi-join's re-read of the corpus feeding the LSH stage)
+    val (kept, sigs) = graft.pipeline.CorpusFilter.keptPlan(corpus, 0.7)
+    val contam = graft.pipeline.Dedup.contaminated(corpus, bench, 4)
+      .select("doc_id")
+    val lazyClean = kept.select("doc_id", "source", "n_tokens", "text")
+      .join(contam, Seq("doc_id"), "left_anti")
+    val p = plan(lazyClean)
+    val rawScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents.parquet"))
+    assert(rawScans <= 6,
+      s"pl_p3 pre-checkpoint composition re-scans the corpus ($rawScans):\n$p")
+    sigs.unpersist(blocking = false)
+    // the post-checkpoint tail (mixture -> split -> chunk -> join)
+    // must read ONLY the materialized intermediate — zero raw scans
+    val clean = graft.pipeline.Caches.materialize(lazyClean)
+    try {
+      val mixed = graft.pipeline.Sampling.tokenBudgetMix(clean,
+        col("doc_id"), col("source"), col("n_tokens"),
+        Map("src1" -> 2000L, "src3" -> 400L), 1000L)
+      val labeled = graft.pipeline.Sampling.splitLabels(mixed, col("doc_id"),
+        Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L))
+      val chunks = graft.pipeline.TextOps.chunkTokens(
+        labeled.select("doc_id", "text"), 32, 24)
+      val tail = plan(chunks.join(
+        labeled.select("doc_id", "source", "split", "cum_before"),
+        Seq("doc_id")))
+      assert(!tail.contains("documents.parquet"),
+        s"pl_p3 post-checkpoint stage re-reads the raw corpus:\n$tail")
+    } finally graft.pipeline.Caches.release(clean)
+  }
+
   test("semantic dedup joins on the cluster key — never all-pairs over the corpus") {
-    val p = plan(Dedup.semanticDedupPairs(embs, 8, 2, 0.45))
-    assert(!p.contains("CartesianProduct"),
-      s"semanticDedupPairs plans a cartesian join:\n$p")
-    // the one nested-loop allowed anywhere near this path is the k-row
-    // centroid broadcast inside kmeans assignment; the PAIR join itself
-    // must be a hash/merge join keyed by cluster
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("BroadcastHashJoin"),
-      s"semantic pair join is not an equi-join on cluster:\n$p")
+    for ((what, df) <- Seq(
+        "semanticDedupPairs" -> Dedup.semanticDedupPairs(embs, 8, 2, 0.45),
+        "semanticDedupPairsHier" ->
+          Dedup.semanticDedupPairsHier(embs, 8, 3, 2, 0.45, 600000L))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        s"$what plans a cartesian join:\n$p")
+      // the one nested-loop allowed anywhere near this path is the
+      // k/b-row centroid broadcast inside assignment; the PAIR join
+      // itself must be a hash/merge join keyed by cluster
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+        s"$what pair join is not an equi-join on cluster:\n$p")
+    }
   }
 
   test("bigram LM: keyed shuffles only, no all-pairs join, no global sort") {

@@ -963,6 +963,27 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.nonEmpty || exact.isEmpty)
   }
 
+  test("hier assignment: b=1 and b=k reduce to the flat quantized argmin; pairs = same-hier-cluster exact pairs") {
+    // b=1: one coarse cell, stage 2 argmins over ALL fine children;
+    // b=k: every fine centroid is coarse, stage 1 IS the flat argmin
+    // (each parents to itself at distance 0) — both must equal the
+    // brute-force quantized-centroid assignment
+    val b1 = Ann.hierAssign(vecs, 8, 1, 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val bk = Ann.hierAssign(vecs, 8, 8, 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(b1 == bk)
+    // and the pair set is exactly the same-hier-cluster restriction
+    // of the exact cosine pairs (the d14 invariant, hier clusters)
+    val clusters = Ann.hierAssign(vecs, 8, 3, 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val pairs = Dedup.semanticDedupPairsHier(vecs, 8, 3, 2, 0.45)
+      .select("vec1", "vec2").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embedNearDup(vecs, 0.45)
+      .select("vec1", "vec2").as[(Long, Long)].collect().toSet
+    assert(pairs == exact.filter { case (a, b) => clusters(a) == clusters(b) })
+  }
+
   test("bigram LM: hand-computed corpus counts, common/rare rules, no-bigram docs") {
     val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
       .toDF("doc_id", "text")
