@@ -209,6 +209,22 @@ object Dedup {
           "(recall accounting — see Scaladoc)")
     }
 
+  /** The NARROW LSH signature frame: (doc_id, _sh, mh0..mh{n-1}) — the
+    * only columns the banding self-join and the exact-Jaccard
+    * verification ever read. Built over a (doc_id, text) pruning of the
+    * input and with text dropped after shingling, so neither a staged
+    * persist nor a materialized checkpoint of this frame ever holds raw
+    * text or payload columns (r14: the pre-r14 full-width cache carried
+    * text/lang/source alongside _sh — at crawl scale that doubles the
+    * corpus-wide cache footprint for nothing, and it un-pruned the
+    * parquet scan underneath to all columns). Pure projection: no job
+    * runs here.
+    */
+  private[graft] def signatures(docs: DataFrame,
+      tokenizer: Column => Column = tokens): DataFrame =
+    withMinhash(docs.select("doc_id", "text"), NumHashes, tokenizer)
+      .drop("text")
+
   /** The lazy plan behind [[nearDupPairs]] plus the staged signature
     * cache (caller releases) and, when a cap is set, the lazy over-cap
     * bucket frame for recall accounting — exposed so plan-shape tests
@@ -224,8 +240,22 @@ object Dedup {
     // the verification lookup — without a persist Spark re-tokenizes and
     // re-hashes the corpus 3-4x (plan-verified: 4 FileScans, 0 reuse).
     // MEMORY_AND_DISK so a 100 TB corpus spills instead of recomputing.
-    val sigs = withMinhash(docs, NumHashes, tokenizer)
+    val sigs = signatures(docs, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (out, overOpt) = pairsFromSigs(sigs, minJaccard, maxBucketSize)
+    (out, sigs, overOpt)
+  }
+
+  /** Candidate generation + exact-Jaccard verification over an
+    * already-STAGED signature frame (persisted by [[nearDupPairsPlan]]
+    * or materialized by [[CorpusFilter.keptPlan]]'s production
+    * checkpoint — the split lets a composed pipeline checkpoint the
+    * one corpus-scale intermediate and have every reference here
+    * replay the narrow rows instead of the raw-corpus plan). Pure plan
+    * construction over `sigs`: no job runs here.
+    */
+  private[graft] def pairsFromSigs(sigs: DataFrame, minJaccard: Double,
+      maxBucketSize: Int): (DataFrame, Option[DataFrame]) = {
     val bdAll = bands(sigs)
     // over-cap bucket set is <= corpus/cap rows — usually tiny, but
     // no forced broadcast: AQE demotes the anti-join to broadcast
@@ -256,7 +286,7 @@ object Dedup {
         col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc1", "doc2", "n_inter", "n1", "n2", "jaccard")
-    (out, sigs, overOpt)
+    (out, overOpt)
   }
 
   /** 32-bit SimHash over distinct tokens: bit b is set iff strictly
