@@ -346,9 +346,11 @@ object Ann {
     *    parents/assignments are integer argmins with c_id tie-break.
     * The centroid table is k tiny rows — quantization, coarse pick,
     * and parenting run driver-side (the Bda-sizing collect
-    * discipline) and ship back as two broadcast frames; the corpus
-    * is touched by exactly two scans (stage-1 routing + stage-2
-    * refinement), each a broadcast join + per-vector argmin window.
+    * discipline) and ship back as LITERAL candidate arrays inside a
+    * single projection: both routing stages are per-row
+    * `array_min(struct(d2, id))` argmins over inlined centroids, so
+    * the corpus is touched by exactly ONE scan and the whole
+    * assignment plans ZERO exchanges (PlanShapeSpec-locked).
     * Returns (vec_id, iv, norm2, cluster).
     */
   def hierAssign(vectors: DataFrame, k: Int, b: Int, rounds: Int,
@@ -380,31 +382,42 @@ object Ann {
     val parentOf = cents.map { case (id, qv) =>
       id -> coarse.minBy { case (cid, cqv) => (d2(qv, cqv), cid) }._1
     }.toMap
-    val spark = vectors.sparkSession
-    val coarseDf = spark.createDataFrame(
-      coarse.map { case (id, qv) => (id, qv.toSeq) }.toSeq)
-      .toDF("hc_id", "hqv")
-    val children = spark.createDataFrame(
-      cents.map { case (id, qv) => (parentOf(id), id, qv.toSeq) }.toSeq)
-      .toDF("hcoarse", "c_id", "qv")
-    // Σ(iv−qv)² = norm2 − 2·⟨iv,qv⟩ + ⟨qv,qv⟩ — three codegen dots
-    def qd2(qv: Column): Column =
-      col("norm2") - lit(2L) * doti(col("iv"), qv) + doti(qv, qv)
-    val v = withScaled(vectors).select("vec_id", "iv", "norm2")
-    val w1 = Window.partitionBy("vec_id")
-      .orderBy(col("_d2").asc, col("hc_id").asc)
-    val s1 = v.crossJoin(broadcast(coarseDf))
-      .withColumn("_d2", qd2(col("hqv")))
-      .withColumn("_rk", row_number().over(w1)).filter(col("_rk") === 1)
-      .select(col("vec_id"), col("iv"), col("norm2"),
-        col("hc_id").as("hcoarse"))
-    val w2 = Window.partitionBy("vec_id")
-      .orderBy(col("_d2").asc, col("c_id").asc)
-    s1.join(broadcast(children), Seq("hcoarse"))
-      .withColumn("_d2", qd2(col("qv")))
-      .withColumn("_rk", row_number().over(w2)).filter(col("_rk") === 1)
-      .select(col("vec_id"), col("iv"), col("norm2"),
-        col("c_id").as("cluster"))
+    // Both routing argmins are PURE PROJECTIONS (r15; r13/r14 shipped
+    // crossJoin(broadcast)+row_number().over(partitionBy(vec_id)) —
+    // an Exchange of the exploded N×b then N×(k/b) frame, ~2N√k
+    // shuffled rows at k∝N, for a per-row argmin that needs no
+    // shuffle at all). The centroids are k tiny driver-side rows
+    // already, so each candidate set is inlined as a literal
+    // `struct(d2, id)` array and the argmin is `array_min`: Spark's
+    // struct ordering compares field-by-field, so min over
+    // (d2, id) structs IS the (d2 asc, id asc) argmin with the same
+    // c_id tie-break the window gave — bit-identical assignments,
+    // zero exchanges, one corpus scan for BOTH stages.
+    // Σ(iv−qv)² = norm2 − 2·⟨iv,qv⟩ + ⟨qv,qv⟩; ⟨qv,qv⟩ folds to a
+    // driver-side literal per centroid.
+    def cand(id: Int, qv: Array[Long]): Column = {
+      val qq = qv.map(x => x * x).sum
+      struct(
+        (col("norm2") - lit(2L) * doti(col("iv"), typedLit(qv.toSeq))
+          + lit(qq)).as("d"),
+        lit(id).as("id"))
+    }
+    def argmin(cs: Seq[Column]): Column = array_min(array(cs: _*)).getField("id")
+    val best1 = argmin(coarse.toSeq.map { case (id, qv) => cand(id, qv) })
+    val byParent = cents.groupBy { case (id, _) => parentOf(id) }
+    val branches = coarse.toSeq.map { case (hc, _) =>
+      hc -> argmin(byParent(hc).toSeq.map { case (id, qv) => cand(id, qv) })
+    }
+    // hcoarse ranges over exactly the b coarse ids (every coarse
+    // centroid parents itself at d2=0), so the last branch is the
+    // total `otherwise`
+    val cluster = branches.init.foldRight(branches.last._2) {
+      case ((hc, e), rest) => when(col("hcoarse") === lit(hc), e).otherwise(rest)
+    }
+    withScaled(vectors).select("vec_id", "iv", "norm2")
+      .withColumn("hcoarse", best1)
+      .withColumn("cluster", cluster)
+      .select("vec_id", "iv", "norm2", "cluster")
   }
 
   /** IVF over the TRAINED k-means quantizer — the end-to-end form that

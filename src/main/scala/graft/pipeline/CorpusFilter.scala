@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * against the pair-loser set — both corpus-scale sides, NEITHER pulled
   * to the driver nor force-broadcast (on crawl corpora near-dup losers
   * are a large fraction of all docs; AQE may still demote either join
-  * to broadcast when the runtime size warrants). The whole composition
-  * is ONE lazy plan over nearDupPairsPlan's staged signature cache; the
+  * to broadcast when the runtime size warrants). The composition reads
+  * the near-dup stage through ONE materialized narrow signature frame
+  * ([[Dedup.signatures]] → [[Caches.materialize]] →
+  * [[Dedup.pairsFromSigs]] — the production checkpoint); the
   * (doc_id, n_tokens)-narrow result is materialized and the staging
-  * cache released before returning, so after `kept` returns the
+  * checkpoint released before returning, so after `kept` returns the
   * pipeline holds only the result blocks — hand those to
   * [[Caches.release]] when done (asserted by PipelineSpec). The
   * operator is also id-schema-agnostic: loser ids never leave the plan.
@@ -32,8 +34,10 @@ import org.apache.spark.sql.functions._
 object CorpusFilter {
 
   /** The LAZY kept-documents plan (full doc columns + quality stats)
-    * and the staged signature cache the caller must unpersist after
-    * materializing whatever it derives — the single implementation of
+    * and the MATERIALIZED signature checkpoint the caller must hand to
+    * [[Caches.release]] after materializing whatever it derives (NOT
+    * `unpersist` — localCheckpoint persists at the RDD layer, see
+    * [[Caches]]) — the single implementation of
     * the keep rule, shared by [[kept]] and the pl_p2 training-chunk
     * export so the thresholds cannot silently diverge. The near-dup
     * stage runs with [[Dedup.DefaultMaxBucketSize]] (round 9: the
@@ -68,8 +72,22 @@ object CorpusFilter {
       minJaccard: Double): (DataFrame, DataFrame) = {
     val exactKeepers = Dedup.exactClusters(docs)
       .select(col("keeper").as("doc_id")).distinct()
-    val (pairs, sigs, _) = Dedup.nearDupPairsPlan(
-      docs.join(exactKeepers, Seq("doc_id"), "semi"), minJaccard,
+    // The ONE corpus-scale intermediate of the composition — the narrow
+    // (doc_id, _sh, mh*) signature frame over the keeper subset — is
+    // MATERIALIZED here (localCheckpoint), not persist()ed: a persisted
+    // frame only substitutes into plans that reference the SAME Dataset
+    // object, and the composed pipeline demonstrably re-inlined the
+    // minhash subtree up to 12× (r13/r14 PlanShapeSpec red). The
+    // checkpoint truncates lineage to a LogicalRDD, so every downstream
+    // reference — both sides of the bucket self-join and both
+    // verification lookups — replays the narrow rows, never the
+    // raw-corpus shingle plan. This makes keptPlan run one eager job
+    // (keeper semi-join + shingle/minhash, the work the caller's
+    // materialize paid anyway); the kept-documents plan itself stays
+    // lazy.
+    val sigs = Caches.materialize(
+      Dedup.signatures(docs.join(exactKeepers, Seq("doc_id"), "semi")))
+    val (pairs, _) = Dedup.pairsFromSigs(sigs, minJaccard,
       Dedup.DefaultMaxBucketSize)
     val nearDupLosers = pairs.select(col("doc2").as("doc_id")).distinct()
     val out = TextOps.withQuality(docs).filter(col("keep"))
@@ -82,6 +100,6 @@ object CorpusFilter {
   def kept(docs: DataFrame, minJaccard: Double = 0.7): DataFrame = {
     val (plan, sigs) = keptPlan(docs, minJaccard)
     try Caches.materialize(plan.select("doc_id", "n_tokens"))
-    finally sigs.unpersist(blocking = false)
+    finally Caches.release(sigs)
   }
 }

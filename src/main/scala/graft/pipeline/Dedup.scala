@@ -158,9 +158,14 @@ object Dedup {
       minJaccard: Double, maxBucketSize: Int,
       tokenizer: Column => Column = tokens)
       : (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
-    val cs = withMinhash(corpus, NumHashes, tokenizer)
+    // Same narrow-cache discipline as the self-join path (r14): only
+    // (doc_id, _sh, mh*) is read downstream on EITHER side, so staging
+    // the signatures() projection instead of the full-width corpus
+    // halves the doubled cache footprint and keeps both parquet scans
+    // pruned to (doc_id, text).
+    val cs = signatures(corpus, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rs = withMinhash(reference, NumHashes, tokenizer)
+    val rs = signatures(reference, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     locally {
       val cb = bands(cs)

@@ -781,7 +781,7 @@ object PipelineQueries {
       val (kept, sigs) = CorpusFilter.keptPlan(Tables.documents(s, d), 0.7)
       val out = TextOps.chunkTokens(kept.select("doc_id", "text"), 32, 24)
       try Caches.materialize(out)
-      finally sigs.unpersist(blocking = false)
+      finally Caches.release(sigs)
     }),
 
     // The FULL curation pipeline, one oracle-gated query (VERDICT r12
@@ -810,7 +810,7 @@ object PipelineQueries {
           Caches.materialize(
             kept.select("doc_id", "source", "n_tokens", "text")
               .join(contam, Seq("doc_id"), "left_anti"))
-        } finally sigs.unpersist(blocking = false)
+        } finally Caches.release(sigs)
       try {
         val mixed = Sampling.tokenBudgetMix(clean, col("doc_id"),
           col("source"), col("n_tokens"), MixBudgets, MixDefaultBudget)

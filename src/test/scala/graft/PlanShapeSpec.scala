@@ -255,10 +255,12 @@ class PlanShapeSpec extends SparkSpec {
     val corpus = docs.filter(pmod(col("doc_id"), lit(37L)) =!= 0L)
     val bench = docs.filter(pmod(col("doc_id"), lit(37L)) === 0L)
     // the LAZY pre-checkpoint composition (what pl_p3 materializes
-    // once): its plan may touch the raw corpus only through the five
-    // declared stage scans — quality projection, exact-md5 keeper,
-    // LSH-signature build, corpus 4-grams, bench 4-grams (plus the
-    // keeper semi-join's re-read of the corpus feeding the LSH stage)
+    // once): keptPlan eagerly checkpoints the narrow LSH-signature
+    // frame (its own keeper-semi-join + shingle scans run as a
+    // separate job, not in this plan), so the lazy plan may touch the
+    // raw corpus only through the four declared stage scans — quality
+    // projection, exact-md5 keeper, corpus 4-grams, bench 4-grams;
+    // the whole near-dup subtree replays the signature checkpoint
     val (kept, sigs) = graft.pipeline.CorpusFilter.keptPlan(corpus, 0.7)
     val contam = graft.pipeline.Dedup.contaminated(corpus, bench, 4)
       .select("doc_id")
@@ -269,10 +271,12 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("FileScan") && l.contains("documents.parquet"))
     assert(rawScans <= 6,
       s"pl_p3 pre-checkpoint composition re-scans the corpus ($rawScans):\n$p")
-    sigs.unpersist(blocking = false)
     // the post-checkpoint tail (mixture -> split -> chunk -> join)
-    // must read ONLY the materialized intermediate — zero raw scans
+    // must read ONLY the materialized intermediate — zero raw scans.
+    // sigs is a lineage-truncated checkpoint: release only AFTER the
+    // dependent plan is materialized (nothing left to recompute from)
     val clean = graft.pipeline.Caches.materialize(lazyClean)
+    graft.pipeline.Caches.release(sigs)
     try {
       val mixed = graft.pipeline.Sampling.tokenBudgetMix(clean,
         col("doc_id"), col("source"), col("n_tokens"),
@@ -304,6 +308,16 @@ class PlanShapeSpec extends SparkSpec {
         || p.contains("BroadcastHashJoin"),
         s"$what pair join is not an equi-join on cluster:\n$p")
     }
+    // the hierarchical ROUTING itself (r15): both coarse and fine
+    // argmins are literal-array projections — the assignment plan
+    // must be one embeddings scan with ZERO exchanges of any kind
+    // (r13/r14 shipped crossJoin+window, ~2N√k shuffled rows)
+    val pr = plan(graft.pipeline.Ann.hierAssign(embs, 8, 3, 2))
+    assert(!pr.contains("Exchange"),
+      s"hierAssign routing shuffles (must be a pure projection):\n$pr")
+    val embScans = pr.linesIterator.count(_.contains("FileScan"))
+    assert(embScans <= 1,
+      s"hierAssign routing re-scans the corpus ($embScans scans):\n$pr")
   }
 
   test("bigram LM: keyed shuffles only, no all-pairs join, no global sort") {
