@@ -49,12 +49,6 @@ object Bm25Probe {
       }
     val termSet = queries.flatMap(_._2).distinct
 
-    // postings survival — the count that was ZERO in the r12 probe
-    val nPostings = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .where(col("term").isin(termSet: _*))
-      .count()
-
     def once(tag: String): Unit = {
       System.gc()
       val c0 = cpuSec; val t0 = System.nanoTime()
@@ -62,10 +56,19 @@ object Bm25Probe {
       val rows = r.count()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[bm25probe] $tag factor=$factor queries=${queries.size} " +
-        f"postings=$nPostings rows=$rows wall=$wall%.2f cpu=${cpuSec - c0}%.2f")
+        f"rows=$rows wall=$wall%.2f cpu=${cpuSec - c0}%.2f")
     }
     once("cold")
     once("warm")
+
+    // postings survival — the count that was ZERO in the r12 probe.
+    // Counted AFTER the timed runs (r14 ADVICE: running this scan
+    // first warmed the page cache and quietly un-colded "cold").
+    val nPostings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term").isin(termSet: _*))
+      .count()
+    println(s"[bm25probe] postings factor=$factor n=$nPostings")
     spark.stop()
   }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * clustering method — the SemDeDup deployment rule is k ∝ corpus).
   *
   * Usage: runMain graft.SemanticProbe <sfDir> [k] [rounds] [minCos]
-  *   [b] [trainPpm] — pass b > 0 to route through
+  *   [b] [trainPpm] [agree] — pass b > 0 to route through
   * [[graft.pipeline.Dedup.semanticDedupPairsHier]] (coarse→fine
   * hierarchical assignment + sampled training) instead of the exact
   * N·k path. One probe per JVM (DESIGN.md probe discipline).
@@ -64,17 +64,42 @@ object SemanticProbe {
 
     // cluster-size profile — the pair join touches exactly Σ n_c²
     // candidate pairs; max n_c is the skew bound of the cluster-keyed
-    // shuffle
-    val assigned =
-      if (b > 0) graft.pipeline.Ann.hierAssign(emb, k, b, rounds, trainPpm)
-      else graft.pipeline.Ann.kmeansModel(emb, k, rounds)._1
+    // shuffle. The exact path's model checkpoint (lastCent) is released
+    // after the profile aggregate lands (r14 ADVICE: `_1` discarded it
+    // and leaked the k-row blocks for the probe's lifetime).
+    val (assigned, centOpt) =
+      if (b > 0)
+        (graft.pipeline.Ann.hierAssign(emb, k, b, rounds, trainPpm), None)
+      else {
+        val (a, c) = graft.pipeline.Ann.kmeansModel(emb, k, rounds)
+        (a, Some(c))
+      }
     val sizes = assigned.groupBy("cluster").count()
       .agg(sum(col("count") * col("count")).as("sum_sq"),
         max(col("count")).as("max_c"),
         count(lit(1)).as("n_clusters")).head()
+    centOpt.foreach(graft.pipeline.Caches.releaseQuiet)
     println(s"[semprobe] profile sum_nc2=${sizes.getLong(0)} " +
       s"max_nc=${sizes.getLong(1)} live_clusters=${sizes.getLong(2)} " +
       s"nc2_over_n2=${sizes.getLong(0).toDouble / (nVec.toDouble * nVec)}")
+
+    // assignment agreement vs exact full-corpus Lloyd (opt-in, arg 7:
+    // agree=1; only meaningful on the hier path) — the quality side of
+    // the N·(b+k/b) vs N·k trade: % of vectors the sampled-train +
+    // coarse→fine routing puts in the SAME cluster as the exact model.
+    if (b > 0 && args.lift(6).exists(_ == "1")) {
+      val (exact, cent) = graft.pipeline.Ann.kmeansModel(emb, k, rounds)
+      val hier = assigned.select(col("vec_id"), col("cluster").as("hc"))
+      val both = exact.select(col("vec_id"), col("cluster").as("ec"))
+        .join(hier, "vec_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ec") === col("hc"), 1L).otherwise(0L)).as("same"))
+        .head()
+      graft.pipeline.Caches.releaseQuiet(cent)
+      val agree = both.getLong(1).toDouble / both.getLong(0)
+      println(f"[semprobe] agreement n=${both.getLong(0)} " +
+        f"same=${both.getLong(1)} pct=${agree * 100}%.2f")
+    }
     spark.stop()
   }
 }
