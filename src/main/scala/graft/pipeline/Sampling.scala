@@ -183,13 +183,31 @@ object Sampling {
     * Output is bit-identical to the single-window form: bucket order
     * refines draw order (bucket = draw / width), so offset + the
     * within-bucket running sum IS the group-wide running sum.
+    *
+    * CONTRACT — eager two-pass (r13 ADVICE): step 1's subtotal
+    * aggregation runs a job AT CALL TIME, and the returned plan
+    * evaluates `df` a SECOND time. The input must therefore be
+    * deterministic across evaluations — a parquet scan, a
+    * deterministic projection chain, or a [[Caches.materialize]]d
+    * frame (what the pl_p3 composition passes). A nondeterministic
+    * input (fresh `rand()`, an un-checkpointed sample with changing
+    * lineage, a re-read of mutating storage) would subtotal one
+    * population and window another, silently corrupting
+    * `cum_before`. Bucket count: scale-aware by default — see
+    * [[mixBucketsFor]]; pass `buckets` explicitly to pin it.
     */
   def tokenBudgetMix(df: DataFrame, key: Column, group: Column,
                      tokens: Column, budgetByGroup: Map[String, Long],
                      defaultBudget: Long,
-                     salt: String = "mix"): DataFrame = {
+                     salt: String = "mix",
+                     buckets: Int = 0): DataFrame = {
     require((defaultBudget +: budgetByGroup.values.toSeq).forall(_ >= 0),
       "budgets must be >= 0")
+    val nBuckets =
+      if (buckets > 0) buckets else mixBucketsFor(df.sparkSession)
+    require(Million % nBuckets == 0,
+      s"bucket count must divide 1e6, got $nBuckets")
+    val bucketWidth = Million / nBuckets
     val cb = "cum_before"
     val work = Seq("_graft_drw", "_graft_grp", "_graft_bkt")
     (cb +: work).foreach(c => require(!df.columns.contains(c),
@@ -203,7 +221,7 @@ object Sampling {
     val base = df
       .withColumn("_graft_drw", draw(salt, key))
       .withColumn("_graft_bkt", when(col("_graft_drw").isNull, lit(-1))
-        .otherwise(floor(col("_graft_drw") / lit(MixBucketWidth))
+        .otherwise(floor(col("_graft_drw") / lit(bucketWidth))
           .cast("int")))
       .withColumn("_graft_grp", group.cast("string"))
 
@@ -242,11 +260,35 @@ object Sampling {
         "_graft_ogrp", "_graft_obkt", "_graft_off")
   }
 
-  /** Draw-range bucket count for [[tokenBudgetMix]]'s distributed
-    * prefix sum. Must divide 1e6 exactly so bucket boundaries are
-    * integral draw values; 64 gives |groups|×64 parallel window
-    * chains and a ≤ |groups|×64-row driver table.
+  /** Floor for [[tokenBudgetMix]]'s draw-range bucket count. The
+    * effective count is scale-aware — see [[mixBucketsFor]].
     */
   val MixBuckets: Int = 64
-  private val MixBucketWidth: Long = Million / MixBuckets
+
+  /** All divisors of 1e6 (2^a·5^b, a,b ∈ 0..6), ascending — the legal
+    * bucket counts: a divisor keeps every bucket boundary an integral
+    * draw value, so bucketing is a pure function of the draw.
+    */
+  private val MixDivisors: Seq[Int] =
+    (for (a <- 0 to 6; b <- 0 to 6)
+      yield (1 << a) * math.pow(5, b).toInt).sorted
+
+  /** Scale-aware bucket count (r13 #4): the window chains are the only
+    * sequential part of the prefix sum — chain length ~
+    * N/(|groups|·buckets) — so the count must grow with the
+    * parallelism the session was sized for, not sit at a constant 64
+    * tuned for local[32]. Smallest divisor of 1e6 that is ≥
+    * max([[MixBuckets]], spark.sql.shuffle.partitions): a 2000-
+    * partition cluster session gets 2000 buckets, local[32] (shuffle
+    * partitions 32) keeps the original 64 — bit-identical output
+    * either way, because `cum_before` = bucket offset + within-bucket
+    * prefix IS the group-wide running sum for ANY bucket count (bucket
+    * refines draw order). The driver-side subtotal table stays
+    * |groups| × buckets rows — tiny at any plausible setting.
+    */
+  def mixBucketsFor(spark: org.apache.spark.sql.SparkSession): Int = {
+    val target = math.max(MixBuckets,
+      spark.sessionState.conf.numShufflePartitions)
+    MixDivisors.find(_ >= target).getOrElse(Million.toInt)
+  }
 }

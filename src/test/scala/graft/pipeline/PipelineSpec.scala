@@ -905,6 +905,20 @@ class PipelineSpec extends SparkSpec {
       col("n_tokens"), Map.empty, 0L).count() == 0)
     assert(Sampling.tokenBudgetMix(df, col("doc_id"), col("source"),
       col("n_tokens"), Map.empty, 1000000L).count() == docs.count())
+    // bucket-count INVARIANCE (r15: the count is scale-aware, so it
+    // will differ between local[32] and a cluster session — cum_before
+    // must not): bucket refines draw order for any divisor of 1e6
+    for (b <- Seq(8, 500, 15625)) {
+      val alt = Sampling.tokenBudgetMix(df, col("doc_id"), col("source"),
+        col("n_tokens"), Map("src1" -> 120L), 60L, buckets = b)
+        .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+      assert(alt == got, s"buckets=$b changed the admitted set/cum_before")
+    }
+    // non-divisor bucket counts are rejected, not silently misbucketed
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMix(df, col("doc_id"), col("source"),
+        col("n_tokens"), Map.empty, 60L, buckets = 7)
+    }
   }
 
   test("bm25: hand-computed rational scores and ranking") {
