@@ -30,6 +30,7 @@ object SemanticProbe {
     val minCos = args.lift(3).map(_.toDouble).getOrElse(0.45)
     val b = args.lift(4).map(_.toInt).getOrElse(0)
     val trainPpm = args.lift(5).map(_.toLong).getOrElse(1000000L)
+    val probes = args.lift(7).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,12 +52,14 @@ object SemanticProbe {
       val c0 = cpuSec; val t0 = System.nanoTime()
       val pairs =
         if (b > 0) graft.pipeline.Dedup.semanticDedupPairsHier(
-          emb, k, b, rounds, minCos, trainPpm)
+          emb, k, b, rounds, minCos, trainPpm, probes)
         else graft.pipeline.Dedup.semanticDedupPairs(emb, k, rounds, minCos)
+      if (tag == "cold" && sys.env.contains("GRAFT_PRINT_PLAN"))
+        println(pairs.queryExecution.executedPlan.toString.take(6000))
       val nPairs = pairs.count()
       val wall = (System.nanoTime() - t0) / 1e9
       graft.pipeline.Caches.releaseQuiet(pairs)
-      println(f"[semprobe] $tag n_vec=$nVec k=$k b=$b ppm=$trainPpm " +
+      println(f"[semprobe] $tag n_vec=$nVec k=$k b=$b p=$probes ppm=$trainPpm " +
         f"pairs=$nPairs wall=$wall%.2f cpu=${cpuSec - c0}%.2f")
     }
     once("cold")
@@ -69,11 +72,20 @@ object SemanticProbe {
     // and leaked the k-row blocks for the probe's lifetime).
     val (assigned, centOpt) =
       if (b > 0)
-        (graft.pipeline.Ann.hierAssign(emb, k, b, rounds, trainPpm), None)
+        (graft.pipeline.Ann.hierAssign(emb, k, b, rounds, trainPpm, probes),
+          None)
       else {
         val (a, c) = graft.pipeline.Ann.kmeansModel(emb, k, rounds)
         (a, Some(c))
       }
+    // routing-only wall: one pass over the corpus through the
+    // assignment projection, no pair join
+    locally {
+      val c0 = cpuSec; val t0 = System.nanoTime()
+      val n = assigned.count()
+      println(f"[semprobe] routing n=$n " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.2f cpu=${cpuSec - c0}%.2f")
+    }
     val sizes = assigned.groupBy("cluster").count()
       .agg(sum(col("count") * col("count")).as("sum_sq"),
         max(col("count")).as("max_c"),

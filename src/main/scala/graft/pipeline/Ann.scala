@@ -354,8 +354,10 @@ object Ann {
     * Returns (vec_id, iv, norm2, cluster).
     */
   def hierAssign(vectors: DataFrame, k: Int, b: Int, rounds: Int,
-                 trainPpm: Long = 1000000L): DataFrame = {
+                 trainPpm: Long = 1000000L, probes: Int = 1): DataFrame = {
     require(b >= 1 && b <= k, s"need 1 <= b <= k, got b=$b k=$k")
+    require(probes >= 1 && probes <= b,
+      s"need 1 <= probes <= b, got probes=$probes b=$b")
     val train =
       if (trainPpm >= 1000000L) vectors
       else graft.pipeline.Sampling.uniform(
@@ -402,20 +404,53 @@ object Ann {
           + lit(qq)).as("d"),
         lit(id).as("id"))
     }
-    def argmin(cs: Seq[Column]): Column = array_min(array(cs: _*)).getField("id")
-    val best1 = argmin(coarse.toSeq.map { case (id, qv) => cand(id, qv) })
+    // Stage 1 generalizes to MULTI-PROBE (r15): the `probes` nearest
+    // coarse cells are the first p elements of the sorted candidate
+    // array (array_sort on structs = ascending (d2, id), so element 0
+    // is exactly the single-probe argmin — probes=1 is bit-identical
+    // to the original routing). Stage 2 takes the best fine candidate
+    // across all probed cells with `least` over the per-cell argmin
+    // structs — comparing (d2, id) structs keeps the same c_id
+    // tie-break a global argmin would give. Zero exchanges at any p.
+    // The sorted probe array is STAGED as its own projection column:
+    // the stage-2 branch conditions reference it b times, and an
+    // inlined (collapsed) form re-ran the b-candidate sort+dots per
+    // condition — measured 3× wall at 10×/p=2. CollapseProject keeps
+    // a non-cheap multi-referenced alias staged, so `_shc` is
+    // computed once per row and the conditions are O(1) array reads.
+    val probed = slice(array_sort(
+      array(coarse.toSeq.map { case (id, qv) => cand(id, qv) }: _*)),
+      1, probes)
     val byParent = cents.groupBy { case (id, _) => parentOf(id) }
-    val branches = coarse.toSeq.map { case (hc, _) =>
-      hc -> argmin(byParent(hc).toSeq.map { case (id, qv) => cand(id, qv) })
+    // struct-valued per-cell best: min (d2, id) among the cell's children
+    val branchStruct = coarse.toSeq.map { case (hc, _) =>
+      hc -> array_min(
+        array(byParent(hc).toSeq.map { case (id, qv) => cand(id, qv) }: _*))
     }
-    // hcoarse ranges over exactly the b coarse ids (every coarse
+    // a probed id ranges over exactly the b coarse ids (every coarse
     // centroid parents itself at d2=0), so the last branch is the
     // total `otherwise`
-    val cluster = branches.init.foldRight(branches.last._2) {
-      case ((hc, e), rest) => when(col("hcoarse") === lit(hc), e).otherwise(rest)
-    }
+    def cellBest(hcId: Column): Column =
+      branchStruct.init.foldRight(branchStruct.last._2) {
+        case ((hc, e), rest) => when(hcId === lit(hc), e).otherwise(rest)
+      }
+    // coalesce(-1) marks the expression NON-NULLABLE (it never is: the
+    // candidate arrays are non-empty literal structs and the when-chain
+    // is total). Without it, an inner join on `cluster` infers an
+    // isnotnull(cluster) constraint, and predicate pushdown drags the
+    // WHOLE routing expression — withScaled's transform() re-inlined
+    // per candidate — into the parquet scan filter: measured 10× on
+    // the pair-join wall at sf0.1 fixtures. With the non-nullable
+    // mark, no constraint is inferred and routing runs once per row
+    // in the projection.
+    val cluster = coalesce(
+      (0 until probes)
+        .map(i => cellBest(element_at(col("_shc"), i + 1).getField("id")))
+        .reduce(least(_, _))
+        .getField("id"),
+      lit(-1))
     withScaled(vectors).select("vec_id", "iv", "norm2")
-      .withColumn("hcoarse", best1)
+      .withColumn("_shc", probed)
       .withColumn("cluster", cluster)
       .select("vec_id", "iv", "norm2", "cluster")
   }

@@ -619,11 +619,20 @@ object Dedup {
     * fix for the k ∝ corpus deployment rule (the 100× probe's
     * measured wall). Same cluster-keyed equi-join pair tail; pair
     * candidates are Σ n_c² over the hier clusters.
+    *
+    * `probes` > 1 routes each vector through its `probes` nearest
+    * coarse cells and argmins over ALL their children — the standard
+    * IVF multi-probe recall knob: single-probe routing misses the
+    * true fine centroid whenever it parents to a coarse cell other
+    * than the vector's nearest (agreement vs exact Lloyd measured
+    * per-p in DESIGN.md), at p×(k/b) fine-candidate cost, still zero
+    * routing exchanges.
     */
   def semanticDedupPairsHier(vectors: DataFrame, k: Int, b: Int,
                              rounds: Int, minCos: Double,
-                             trainPpm: Long = 1000000L): DataFrame = {
-    val av = Ann.hierAssign(vectors, k, b, rounds, trainPpm)
+                             trainPpm: Long = 1000000L,
+                             probes: Int = 1): DataFrame = {
+    val av = Ann.hierAssign(vectors, k, b, rounds, trainPpm, probes)
       .select(col("cluster"), col("vec_id"), col("iv"), col("norm2"))
     val a = av.select(col("cluster"), col("vec_id").as("vec1"),
       col("iv").as("iv1"), col("norm2").as("n1"))

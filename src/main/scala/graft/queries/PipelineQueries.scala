@@ -186,6 +186,68 @@ object PipelineQueries {
     s"""$vSql,
         ${kmeansChainSql("v")}"""
 
+  /** pl_d15/pl_d16 oracle: the hierarchical-assignment chain — kmeans
+    * over the 60 % hash sample, integer-quantized centroids, hc-hash
+    * coarse subset, parenting, two-stage routing, pl_d14 pair tail.
+    * `probes` parameterizes ONLY stage 1's keep-rank (s1 `rk <=
+    * probes`: each vector's p nearest coarse cells); hr's global
+    * argmin over the union of the probed cells' children is the same
+    * SQL at any p.
+    */
+  private def hierSemSql(probes: Int): String =
+    s"""WITH $vSql,
+        tv AS (
+          SELECT * FROM v
+          WHERE ${h60("'kmt|' || vec_id")} % 1000000 < 600000),
+        ${kmeansChainSql("tv")},
+        qc AS (
+          SELECT c_id,
+                 list_transform(sv, s -> CASE WHEN s >= 0
+                   THEN (2*s + n) // (2*n)
+                   ELSE -((2*(-s) + n) // (2*n)) END) AS qv
+          FROM c1),
+        hsel AS (
+          SELECT c_id, qv FROM (
+            SELECT c_id, qv, row_number() OVER (ORDER BY
+              ${h60("'hc|' || c_id")} ASC, c_id ASC) AS rn FROM qc)
+          WHERE rn <= 3),
+        par AS (
+          SELECT c_id, coarse FROM (
+            SELECT f.c_id, h.c_id AS coarse,
+                   row_number() OVER (PARTITION BY f.c_id ORDER BY
+                     list_sum(list_transform(list_zip(f.qv, h.qv),
+                       z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
+                     h.c_id ASC) AS rk
+            FROM qc f, hsel h) WHERE rk = 1),
+        s1 AS (
+          SELECT vec_id, coarse FROM (
+            SELECT v.vec_id, h.c_id AS coarse,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(v.iv, h.qv),
+                       z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
+                     h.c_id ASC) AS rk
+            FROM v, hsel h) WHERE rk <= $probes),
+        hr AS (
+          SELECT vec_id, cluster FROM (
+            SELECT v.vec_id, q.c_id AS cluster,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(v.iv, q.qv),
+                       z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
+                     q.c_id ASC) AS rk
+            FROM v JOIN s1 USING (vec_id)
+                 JOIN par p ON p.coarse = s1.coarse
+                 JOIN qc q ON q.c_id = p.c_id) WHERE rk = 1),
+        av AS (
+          SELECT v.vec_id, v.iv, v.norm2, hr.cluster
+          FROM v JOIN hr USING (vec_id))
+        SELECT a.cluster, a.vec_id AS vec1, b.vec_id AS vec2,
+               ${dotSql("a.iv", "b.iv")} AS dot_scaled,
+               round(${dotSql("a.iv", "b.iv")}::DOUBLE
+                 / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) AS cos
+        FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE ${dotSql("a.iv", "b.iv")}::DOUBLE
+                / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)) >= 0.45"""
+
   /** Token → (register, rho) CTE chain for the p=8 HLL — shared by
     * pl_k4's one-row summary and the streaming register-table twin
     * (st13) so the hash/register structure can never drift.
@@ -419,6 +481,16 @@ object PipelineQueries {
     "pl_d15_semantic_hier" -> ((s, d) =>
       Dedup.semanticDedupPairsHier(Tables.embeddings(s, d), 8, 3, 2,
         0.45, 600000L)),
+
+    // Multi-probe hierarchical SemDeDup: same trained chain as
+    // pl_d15 but each vector routes through its 2 nearest coarse
+    // cells and argmins over BOTH children sets — the IVF recall
+    // knob, closing most of the single-probe routing error (see
+    // DESIGN.md agreement table) at 2×(k/b) fine candidates, still
+    // zero routing exchanges (PlanShapeSpec-locked with pl_d15).
+    "pl_d16_semantic_hier_mp" -> ((s, d) =>
+      Dedup.semanticDedupPairsHier(Tables.embeddings(s, d), 8, 3, 2,
+        0.45, 600000L, probes = 2)),
 
     // Exact n-gram Jaccard near-dup via inverted-index join (postings
     // capped at document frequency 3 — the stop-gram guard fires on
@@ -1076,60 +1148,12 @@ object PipelineQueries {
     // sample (tv), centroids integer-quantized (round-half-away as a
     // pure div — no doubles), coarse subset by the hc-hash rule,
     // parenting + two-stage routing as integer argmins, then the
-    // pl_d14 pair tail over the hier clusters.
-    "pl_d15_semantic_hier" ->
-      s"""WITH $vSql,
-          tv AS (
-            SELECT * FROM v
-            WHERE ${h60("'kmt|' || vec_id")} % 1000000 < 600000),
-          ${kmeansChainSql("tv")},
-          qc AS (
-            SELECT c_id,
-                   list_transform(sv, s -> CASE WHEN s >= 0
-                     THEN (2*s + n) // (2*n)
-                     ELSE -((2*(-s) + n) // (2*n)) END) AS qv
-            FROM c1),
-          hsel AS (
-            SELECT c_id, qv FROM (
-              SELECT c_id, qv, row_number() OVER (ORDER BY
-                ${h60("'hc|' || c_id")} ASC, c_id ASC) AS rn FROM qc)
-            WHERE rn <= 3),
-          par AS (
-            SELECT c_id, coarse FROM (
-              SELECT f.c_id, h.c_id AS coarse,
-                     row_number() OVER (PARTITION BY f.c_id ORDER BY
-                       list_sum(list_transform(list_zip(f.qv, h.qv),
-                         z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
-                       h.c_id ASC) AS rk
-              FROM qc f, hsel h) WHERE rk = 1),
-          s1 AS (
-            SELECT vec_id, coarse FROM (
-              SELECT v.vec_id, h.c_id AS coarse,
-                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                       list_sum(list_transform(list_zip(v.iv, h.qv),
-                         z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
-                       h.c_id ASC) AS rk
-              FROM v, hsel h) WHERE rk = 1),
-          hr AS (
-            SELECT vec_id, cluster FROM (
-              SELECT v.vec_id, q.c_id AS cluster,
-                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                       list_sum(list_transform(list_zip(v.iv, q.qv),
-                         z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
-                       q.c_id ASC) AS rk
-              FROM v JOIN s1 USING (vec_id)
-                   JOIN par p ON p.coarse = s1.coarse
-                   JOIN qc q ON q.c_id = p.c_id) WHERE rk = 1),
-          av AS (
-            SELECT v.vec_id, v.iv, v.norm2, hr.cluster
-            FROM v JOIN hr USING (vec_id))
-          SELECT a.cluster, a.vec_id AS vec1, b.vec_id AS vec2,
-                 ${dotSql("a.iv", "b.iv")} AS dot_scaled,
-                 round(${dotSql("a.iv", "b.iv")}::DOUBLE
-                   / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) AS cos
-          FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-          WHERE ${dotSql("a.iv", "b.iv")}::DOUBLE
-                  / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)) >= 0.45""",
+    // pl_d14 pair tail over the hier clusters. pl_d16 is the SAME
+    // chain with multi-probe stage-1 routing (s1 keeps rk <= 2: each
+    // vector's 2 nearest coarse cells; hr's global argmin over the
+    // union of their children is unchanged SQL).
+    "pl_d15_semantic_hier" -> hierSemSql(1),
+    "pl_d16_semantic_hier_mp" -> hierSemSql(2),
 
     "pl_d4_simhash" ->
       s"""WITH dt AS (

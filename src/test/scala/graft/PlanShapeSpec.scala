@@ -297,7 +297,10 @@ class PlanShapeSpec extends SparkSpec {
     for ((what, df) <- Seq(
         "semanticDedupPairs" -> Dedup.semanticDedupPairs(embs, 8, 2, 0.45),
         "semanticDedupPairsHier" ->
-          Dedup.semanticDedupPairsHier(embs, 8, 3, 2, 0.45, 600000L))) {
+          Dedup.semanticDedupPairsHier(embs, 8, 3, 2, 0.45, 600000L),
+        "semanticDedupPairsHierMp" ->
+          Dedup.semanticDedupPairsHier(embs, 8, 3, 2, 0.45, 600000L,
+            probes = 2))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"),
         s"$what plans a cartesian join:\n$p")
@@ -311,13 +314,17 @@ class PlanShapeSpec extends SparkSpec {
     // the hierarchical ROUTING itself (r15): both coarse and fine
     // argmins are literal-array projections — the assignment plan
     // must be one embeddings scan with ZERO exchanges of any kind
-    // (r13/r14 shipped crossJoin+window, ~2N√k shuffled rows)
-    val pr = plan(graft.pipeline.Ann.hierAssign(embs, 8, 3, 2))
-    assert(!pr.contains("Exchange"),
-      s"hierAssign routing shuffles (must be a pure projection):\n$pr")
-    val embScans = pr.linesIterator.count(_.contains("FileScan"))
-    assert(embScans <= 1,
-      s"hierAssign routing re-scans the corpus ($embScans scans):\n$pr")
+    // (r13/r14 shipped crossJoin+window, ~2N√k shuffled rows) —
+    // at single-probe AND multi-probe
+    for (p <- Seq(1, 2)) {
+      val pr = plan(graft.pipeline.Ann.hierAssign(embs, 8, 3, 2,
+        probes = p))
+      assert(!pr.contains("Exchange"),
+        s"hierAssign p=$p routing shuffles (must be a pure projection):\n$pr")
+      val embScans = pr.linesIterator.count(_.contains("FileScan"))
+      assert(embScans <= 1,
+        s"hierAssign p=$p routing re-scans the corpus ($embScans scans):\n$pr")
+    }
   }
 
   test("bigram LM: keyed shuffles only, no all-pairs join, no global sort") {
