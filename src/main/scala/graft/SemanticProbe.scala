@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * clustering method — the SemDeDup deployment rule is k ∝ corpus).
   *
   * Usage: runMain graft.SemanticProbe <sfDir> [k] [rounds] [minCos]
-  *   [b] [trainPpm] [agree] — pass b > 0 to route through
+  *   [b] [trainPpm] [agree] [probes] [tc] — pass b > 0 to route through
   * [[graft.pipeline.Dedup.semanticDedupPairsHier]] (coarse→fine
   * hierarchical assignment + sampled training) instead of the exact
   * N·k path. One probe per JVM (DESIGN.md probe discipline).
@@ -31,6 +31,7 @@ object SemanticProbe {
     val b = args.lift(4).map(_.toInt).getOrElse(0)
     val trainPpm = args.lift(5).map(_.toLong).getOrElse(1000000L)
     val probes = args.lift(7).map(_.toInt).getOrElse(1)
+    val tc = args.lift(8).exists(_ == "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,14 +53,15 @@ object SemanticProbe {
       val c0 = cpuSec; val t0 = System.nanoTime()
       val pairs =
         if (b > 0) graft.pipeline.Dedup.semanticDedupPairsHier(
-          emb, k, b, rounds, minCos, trainPpm, probes)
+          emb, k, b, rounds, minCos, trainPpm, probes, tc)
         else graft.pipeline.Dedup.semanticDedupPairs(emb, k, rounds, minCos)
       if (tag == "cold" && sys.env.contains("GRAFT_PRINT_PLAN"))
         println(pairs.queryExecution.executedPlan.toString.take(6000))
       val nPairs = pairs.count()
       val wall = (System.nanoTime() - t0) / 1e9
       graft.pipeline.Caches.releaseQuiet(pairs)
-      println(f"[semprobe] $tag n_vec=$nVec k=$k b=$b p=$probes ppm=$trainPpm " +
+      println(f"[semprobe] $tag n_vec=$nVec k=$k b=$b p=$probes tc=$tc " +
+        f"ppm=$trainPpm " +
         f"pairs=$nPairs wall=$wall%.2f cpu=${cpuSec - c0}%.2f")
     }
     once("cold")
@@ -72,8 +74,8 @@ object SemanticProbe {
     // and leaked the k-row blocks for the probe's lifetime).
     val (assigned, centOpt) =
       if (b > 0)
-        (graft.pipeline.Ann.hierAssign(emb, k, b, rounds, trainPpm, probes),
-          None)
+        (graft.pipeline.Ann.hierAssign(emb, k, b, rounds, trainPpm, probes,
+          tc), None)
       else {
         val (a, c) = graft.pipeline.Ann.kmeansModel(emb, k, rounds)
         (a, Some(c))

@@ -354,7 +354,8 @@ object Ann {
     * Returns (vec_id, iv, norm2, cluster).
     */
   def hierAssign(vectors: DataFrame, k: Int, b: Int, rounds: Int,
-                 trainPpm: Long = 1000000L, probes: Int = 1): DataFrame = {
+                 trainPpm: Long = 1000000L, probes: Int = 1,
+                 trainedCoarse: Boolean = false): DataFrame = {
     require(b >= 1 && b <= k, s"need 1 <= b <= k, got b=$b k=$k")
     require(probes >= 1 && probes <= b,
       s"need 1 <= probes <= b, got probes=$probes b=$b")
@@ -374,16 +375,51 @@ object Ann {
       (r.getInt(0), r.getSeq[Long](2).map(s => qRound(s, n)).toArray)
     }
     Caches.releaseQuiet(cent)
-    val coarse = cents.sortBy { case (id, _) =>
+    val coarse0 = cents.sortBy { case (id, _) =>
       (TextOps.hash60(s"hc|$id"), id) }.take(b)
     def d2(a: Array[Long], c: Array[Long]): Long = {
       var i = 0; var acc = 0L
       while (i < a.length) { val t = a(i) - c(i); acc += t * t; i += 1 }
       acc
     }
+    // TRAINED coarse layer (r15, the second quality knob next to
+    // multi-probe): instead of routing through a RANDOM size-b subset
+    // of the fine centroids (the md5 pick — cheap but increasingly
+    // unrepresentative as k grows, the measured agreement decay in
+    // DESIGN.md), run Lloyd over the k quantized fine centroids,
+    // seeded by the same hc-hash pick, with the same
+    // (assignment r, centers r−1) contract as kmeansModel — so the
+    // parenting argmin below IS the final Lloyd assignment round.
+    // All driver-side over k rows (the centroid table is tiny); every
+    // step is integer (same d2, same qRound quantizer, same c_id
+    // tie-breaks), so the oracle replays it CTE-by-CTE. A seed's c_id
+    // labels its cell across rounds; a cell that ends a recompute
+    // with no members disappears (GROUP BY semantics, both engines).
+    val coarse =
+      if (!trainedCoarse) coarse0
+      else (1 until rounds).foldLeft(coarse0) { (cur, _) =>
+        cents
+          .groupBy { case (_, qv) =>
+            cur.minBy { case (cid, cqv) => (d2(qv, cqv), cid) }._1 }
+          .toArray
+          .map { case (cid, members) =>
+            val n = members.length.toLong
+            (cid, Array.tabulate(members.head._2.length) { dIdx =>
+              qRound(members.map(_._2(dIdx)).sum, n) })
+          }
+          .sortBy(_._1)
+      }
     val parentOf = cents.map { case (id, qv) =>
       id -> coarse.minBy { case (cid, cqv) => (d2(qv, cqv), cid) }._1
     }.toMap
+    // Stage-1 candidates: only cells with >=1 child can yield a fine
+    // centroid. With random coarse every cell parents itself (d2=0)
+    // so the filter is an exact no-op; with trained coarse a
+    // childless cell must not absorb a probe (the oracle mirrors via
+    // `WHERE c_id IN (SELECT coarse FROM par)`).
+    val live = parentOf.values.toSet
+    val routable = coarse.filter { case (cid, _) => live(cid) }
+    val nProbes = math.min(probes, routable.length)
     // Both routing argmins are PURE PROJECTIONS (r15; r13/r14 shipped
     // crossJoin(broadcast)+row_number().over(partitionBy(vec_id)) —
     // an Exchange of the exploded N×b then N×(k/b) frame, ~2N√k
@@ -419,16 +455,16 @@ object Ann {
     // a non-cheap multi-referenced alias staged, so `_shc` is
     // computed once per row and the conditions are O(1) array reads.
     val probed = slice(array_sort(
-      array(coarse.toSeq.map { case (id, qv) => cand(id, qv) }: _*)),
-      1, probes)
+      array(routable.toSeq.map { case (id, qv) => cand(id, qv) }: _*)),
+      1, nProbes)
     val byParent = cents.groupBy { case (id, _) => parentOf(id) }
     // struct-valued per-cell best: min (d2, id) among the cell's children
-    val branchStruct = coarse.toSeq.map { case (hc, _) =>
+    val branchStruct = routable.toSeq.map { case (hc, _) =>
       hc -> array_min(
         array(byParent(hc).toSeq.map { case (id, qv) => cand(id, qv) }: _*))
     }
-    // a probed id ranges over exactly the b coarse ids (every coarse
-    // centroid parents itself at d2=0), so the last branch is the
+    // a probed id ranges over exactly the routable coarse ids (each
+    // has >=1 child by construction), so the last branch is the
     // total `otherwise`
     def cellBest(hcId: Column): Column =
       branchStruct.init.foldRight(branchStruct.last._2) {
@@ -444,7 +480,7 @@ object Ann {
     // mark, no constraint is inferred and routing runs once per row
     // in the projection.
     val cluster = coalesce(
-      (0 until probes)
+      (0 until nProbes)
         .map(i => cellBest(element_at(col("_shc"), i + 1).getField("id")))
         .reduce(least(_, _))
         .getField("id"),

@@ -627,12 +627,19 @@ object Dedup {
     * than the vector's nearest (agreement vs exact Lloyd measured
     * per-p in DESIGN.md), at p×(k/b) fine-candidate cost, still zero
     * routing exchanges.
+    *
+    * `trainedCoarse` replaces the random hc-hash coarse subset with b
+    * Lloyd-trained coarse centers over the k fine centroids (driver
+    * side, k tiny rows) — the representativeness fix for the other
+    * half of the routing error; composes freely with `probes`.
     */
   def semanticDedupPairsHier(vectors: DataFrame, k: Int, b: Int,
                              rounds: Int, minCos: Double,
                              trainPpm: Long = 1000000L,
-                             probes: Int = 1): DataFrame = {
-    val av = Ann.hierAssign(vectors, k, b, rounds, trainPpm, probes)
+                             probes: Int = 1,
+                             trainedCoarse: Boolean = false): DataFrame = {
+    val av = Ann.hierAssign(vectors, k, b, rounds, trainPpm, probes,
+      trainedCoarse)
       .select(col("cluster"), col("vec_id"), col("iv"), col("norm2"))
     val a = av.select(col("cluster"), col("vec_id").as("vec1"),
       col("iv").as("iv1"), col("norm2").as("n1"))

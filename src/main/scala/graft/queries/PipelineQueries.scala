@@ -186,15 +186,51 @@ object PipelineQueries {
     s"""$vSql,
         ${kmeansChainSql("v")}"""
 
-  /** pl_d15/pl_d16 oracle: the hierarchical-assignment chain — kmeans
-    * over the 60 % hash sample, integer-quantized centroids, hc-hash
-    * coarse subset, parenting, two-stage routing, pl_d14 pair tail.
-    * `probes` parameterizes ONLY stage 1's keep-rank (s1 `rk <=
+  /** pl_d15/pl_d16/pl_d17 oracle: the hierarchical-assignment chain —
+    * kmeans over the 60 % hash sample, integer-quantized centroids,
+    * hc-hash coarse subset, parenting, two-stage routing, pl_d14 pair
+    * tail. `probes` parameterizes ONLY stage 1's keep-rank (s1 `rk <=
     * probes`: each vector's p nearest coarse cells); hr's global
     * argmin over the union of the probed cells' children is the same
-    * SQL at any p.
+    * SQL at any p. `trained` swaps the coarse table from the raw
+    * hc-hash seed pick to one Lloyd round over the k fine centroids
+    * (tr1/tc1 below — Ann.hierAssign's trainedCoarse path).
     */
-  private def hierSemSql(probes: Int): String =
+  private def hierSemSql(probes: Int, trained: Boolean = false): String = {
+    // Trained-coarse CTEs (pl_d17): one Lloyd round over the k fine
+    // centroids — assign each to its nearest hc-hash seed (tr1), then
+    // recompute the coarse centers as integer-quantized per-dimension
+    // means (tc1, the same (2|s|+n)//(2n) quantizer as qc). rsel keeps
+    // only cells that parent >=1 fine centroid (a childless cell must
+    // not absorb a probe — Ann.hierAssign's `routable` filter).
+    val trainedCtes = if (!trained) "" else s""",
+        tr1 AS (
+          SELECT c_id, coarse FROM (
+            SELECT f.c_id, h.c_id AS coarse,
+                   row_number() OVER (PARTITION BY f.c_id ORDER BY
+                     list_sum(list_transform(list_zip(f.qv, h.qv),
+                       z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
+                     h.c_id ASC) AS rk
+            FROM qc f, hsel h) WHERE rk = 1),
+        tc1 AS (
+          SELECT coarse AS c_id, list(q ORDER BY d) AS qv
+          FROM (
+            SELECT tr1.coarse, dd.d,
+                   CASE WHEN CAST(sum(f.qv[dd.d+1]) AS BIGINT) >= 0
+                     THEN (2*CAST(sum(f.qv[dd.d+1]) AS BIGINT)
+                           + count(*)) // (2*count(*))
+                     ELSE -((2*(-CAST(sum(f.qv[dd.d+1]) AS BIGINT))
+                           + count(*)) // (2*count(*))) END AS q
+            FROM tr1 JOIN qc f USING (c_id),
+                 (SELECT unnest(range(64)) AS d) dd
+            GROUP BY 1, 2)
+          GROUP BY 1)"""
+    val routeTbl = if (trained) "tc1" else "hsel"
+    val rselCte = if (!trained) "" else s""",
+        rsel AS (
+          SELECT * FROM tc1
+          WHERE c_id IN (SELECT DISTINCT coarse FROM par))"""
+    val s1Tbl = if (trained) "rsel" else "hsel"
     s"""WITH $vSql,
         tv AS (
           SELECT * FROM v
@@ -210,7 +246,7 @@ object PipelineQueries {
           SELECT c_id, qv FROM (
             SELECT c_id, qv, row_number() OVER (ORDER BY
               ${h60("'hc|' || c_id")} ASC, c_id ASC) AS rn FROM qc)
-          WHERE rn <= 3),
+          WHERE rn <= 3)$trainedCtes,
         par AS (
           SELECT c_id, coarse FROM (
             SELECT f.c_id, h.c_id AS coarse,
@@ -218,7 +254,7 @@ object PipelineQueries {
                      list_sum(list_transform(list_zip(f.qv, h.qv),
                        z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
                      h.c_id ASC) AS rk
-            FROM qc f, hsel h) WHERE rk = 1),
+            FROM qc f, $routeTbl h) WHERE rk = 1)$rselCte,
         s1 AS (
           SELECT vec_id, coarse FROM (
             SELECT v.vec_id, h.c_id AS coarse,
@@ -226,7 +262,7 @@ object PipelineQueries {
                      list_sum(list_transform(list_zip(v.iv, h.qv),
                        z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
                      h.c_id ASC) AS rk
-            FROM v, hsel h) WHERE rk <= $probes),
+            FROM v, $s1Tbl h) WHERE rk <= $probes),
         hr AS (
           SELECT vec_id, cluster FROM (
             SELECT v.vec_id, q.c_id AS cluster,
@@ -247,6 +283,7 @@ object PipelineQueries {
         FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE ${dotSql("a.iv", "b.iv")}::DOUBLE
                 / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)) >= 0.45"""
+  }
 
   /** Token → (register, rho) CTE chain for the p=8 HLL — shared by
     * pl_k4's one-row summary and the streaming register-table twin
@@ -491,6 +528,17 @@ object PipelineQueries {
     "pl_d16_semantic_hier_mp" -> ((s, d) =>
       Dedup.semanticDedupPairsHier(Tables.embeddings(s, d), 8, 3, 2,
         0.45, 600000L, probes = 2)),
+
+    // Trained-coarse + multi-probe hierarchical SemDeDup — the full
+    // deployment-quality shape: the coarse layer is Lloyd-trained
+    // over the k fine centroids (driver-side, k rows) instead of a
+    // random hc-hash subset, THEN each vector multi-probes its 2
+    // nearest trained cells. Both knobs attack the routing error the
+    // DESIGN.md agreement table measures; routing is still a single
+    // zero-exchange projection (PlanShapeSpec-locked with pl_d15/16).
+    "pl_d17_semantic_hier_tc" -> ((s, d) =>
+      Dedup.semanticDedupPairsHier(Tables.embeddings(s, d), 8, 3, 2,
+        0.45, 600000L, probes = 2, trainedCoarse = true)),
 
     // Exact n-gram Jaccard near-dup via inverted-index join (postings
     // capped at document frequency 3 — the stop-gram guard fires on
@@ -1154,6 +1202,8 @@ object PipelineQueries {
     // union of their children is unchanged SQL).
     "pl_d15_semantic_hier" -> hierSemSql(1),
     "pl_d16_semantic_hier_mp" -> hierSemSql(2),
+
+    "pl_d17_semantic_hier_tc" -> hierSemSql(2, trained = true),
 
     "pl_d4_simhash" ->
       s"""WITH dt AS (

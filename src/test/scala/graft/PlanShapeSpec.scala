@@ -300,7 +300,10 @@ class PlanShapeSpec extends SparkSpec {
           Dedup.semanticDedupPairsHier(embs, 8, 3, 2, 0.45, 600000L),
         "semanticDedupPairsHierMp" ->
           Dedup.semanticDedupPairsHier(embs, 8, 3, 2, 0.45, 600000L,
-            probes = 2))) {
+            probes = 2),
+        "semanticDedupPairsHierTc" ->
+          Dedup.semanticDedupPairsHier(embs, 8, 3, 2, 0.45, 600000L,
+            probes = 2, trainedCoarse = true))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"),
         s"$what plans a cartesian join:\n$p")
@@ -315,15 +318,15 @@ class PlanShapeSpec extends SparkSpec {
     // argmins are literal-array projections — the assignment plan
     // must be one embeddings scan with ZERO exchanges of any kind
     // (r13/r14 shipped crossJoin+window, ~2N√k shuffled rows) —
-    // at single-probe AND multi-probe
-    for (p <- Seq(1, 2)) {
+    // at single-probe AND multi-probe, random AND trained coarse
+    for (p <- Seq(1, 2); tc <- Seq(false, true)) {
       val pr = plan(graft.pipeline.Ann.hierAssign(embs, 8, 3, 2,
-        probes = p))
+        probes = p, trainedCoarse = tc))
       assert(!pr.contains("Exchange"),
-        s"hierAssign p=$p routing shuffles (must be a pure projection):\n$pr")
+        s"hierAssign p=$p tc=$tc routing shuffles (must be a pure projection):\n$pr")
       val embScans = pr.linesIterator.count(_.contains("FileScan"))
       assert(embScans <= 1,
-        s"hierAssign p=$p routing re-scans the corpus ($embScans scans):\n$pr")
+        s"hierAssign p=$p tc=$tc routing re-scans the corpus ($embScans scans):\n$pr")
     }
   }
 
