@@ -653,6 +653,89 @@ object Ann {
         round(col("adc"), 6).as("adc"), round(col("cos"), 6).as("cos"))
   }
 
+  /** ANN scale path 4: per-dimension scalar quantization (SQ8).
+    * Each corpus vector is compressed to Dim uint8 codes against a
+    * GLOBAL per-dimension [min, max] grid:
+    * `code_d = floor((iv_d − min_d)·255 / range_d)` (0 when the
+    * dimension is constant). One byte per dimension (vs 4–8 for
+    * floats) — the compressed representation vector stores ship when
+    * PQ's codebook training is too heavy, because SQ8 "training" is a
+    * single min/max pass.
+    *
+    * Probes are answered by an asymmetric integer distance: the probe
+    * keeps its exact coordinates, the candidate is dequantized on its
+    * grid cell floor. Scaling everything by 255 keeps it in pure
+    * int64 — `sqd = Σ_d (255·(p_d − min_d) − code_d·range_d)²`, each
+    * term ≤ (2·255·Scale)² and ×Dim=64 ⇒ Σ ≤ 1.7·10¹⁵ < 2⁶³ — so the
+    * ranking is bit-replayable by the DuckDB oracle with no doubles
+    * anywhere before the final cosine. Top-k by (sqd asc, vec_id asc)
+    * then ONE exact cosine rerank over k rows per probe (annPq's
+    * discipline).
+    *
+    * Scale shape (100 TB / 10⁹ vectors): training is one
+    * partial-aggregated global min/max (2·Dim agg columns over
+    * element_at — map-side combine, a 1-row final exchange; NO
+    * posexplode shuffle of N×Dim rows). The 2·Dim-long grid ships
+    * back as LITERAL arrays inside the encode/score projections
+    * (hierAssign's collect discipline), so encoding adds zero joins
+    * and the scored scan reads only (vec_id, codes). The only
+    * corpus-wide exchange is the P×corpus top-k ranking.
+    * Returns (probe_id, rank, neighbor_id, sqd, cos).
+    */
+  def annSq8(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    val v = withScaled(vectors)
+    // one-pass global per-dimension min/max; Dim×2 tiny values collect
+    // driver-side (the Bda-sizing discipline) and return as literals.
+    val aggs = (1 to Dim).flatMap { d =>
+      Seq(min(element_at(col("iv"), d)).as(s"mn$d"),
+        max(element_at(col("iv"), d)).as(s"mx$d"))
+    }
+    val row = v.agg(aggs.head, aggs.drop(1): _*).head()
+    val mins = Array.tabulate(Dim)(i => row.getLong(2 * i))
+    val rngs = Array.tabulate(Dim)(i => row.getLong(2 * i + 1) - mins(i))
+    val minsL = array(mins.map(lit(_)): _*)
+    val rngsL = array(rngs.map(lit(_)): _*)
+
+    // encode: a pure projection over the corpus — (iv_d − min_d) ≥ 0,
+    // so floor of the double quotient is exact integer division (the
+    // numerator ≤ 2·Scale·255 ≈ 5.1e6 is far inside double exactness).
+    val codeAt = (di: Column) => when(element_at(rngsL, di + 1) === 0L, 0L)
+      .otherwise(floor((element_at(col("iv"), di + 1)
+        - element_at(minsL, di + 1)).cast("double") * 255d
+        / element_at(rngsL, di + 1).cast("double")).cast("bigint"))
+    val codes = v.select(col("vec_id"),
+      transform(sequence(lit(0), lit(Dim - 1)), codeAt).as("codes"))
+
+    // probe side pre-shifts onto the grid: pm_d = 255·(p_d − min_d).
+    val probes = v.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
+        col("norm2").as("p_norm2"),
+        transform(sequence(lit(0), lit(Dim - 1)), di =>
+          (element_at(col("iv"), di + 1) - element_at(minsL, di + 1))
+            * lit(255L)).as("pm"))
+
+    val terms = transform(sequence(lit(0), lit(Dim - 1)), di => {
+      val t = element_at(col("pm"), di + 1) -
+        element_at(col("codes"), di + 1) * element_at(rngsL, di + 1)
+      t * t
+    })
+    val scored = codes.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sqd", aggregate(terms, lit(0L), (a, x) => a + x))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sqd").asc, col("vec_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "vec_id", "sqd", "p_iv", "p_norm2")
+    // exact rerank of the winners only (same tail as annPq).
+    v.select(col("vec_id"), col("iv"), col("norm2"))
+      .join(broadcast(top), "vec_id")
+      .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
+      .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sqd"), round(col("cos"), 6).as("cos"))
+  }
+
   private val Window = org.apache.spark.sql.expressions.Window
 
   /** Top-k per probe by (cos desc, neighbor asc) — deterministic. */

@@ -618,6 +618,14 @@ object PipelineQueries {
     "pl_a6_ann_pq" -> ((s, d) =>
       Ann.annPq(Tables.embeddings(s, d), probeF, K, 2)),
 
+    // ANN scale path 4: scalar quantization (SQ8) — one byte per
+    // dimension on a global per-dimension min/max grid. Training is a
+    // single partial-aggregated min/max pass (no Lloyd rounds), the
+    // grid ships as literal arrays, and probes rank by a pure-int64
+    // asymmetric distance before the exact cosine rerank.
+    "pl_a9_ann_sq8" -> ((s, d) =>
+      Ann.annSq8(Tables.embeddings(s, d), probeF, K)),
+
     // The composed corpus filter: quality ∧ exact-keeper ∧ not a
     // near-dup pair loser — the operators chained as a real pretraining
     // data run would chain them.
@@ -1426,6 +1434,53 @@ object PipelineQueries {
           JOIN probes p ON p.probe_id = r.probe_id
           WHERE r.rank <= $K"""
     },
+
+    // SQ8 oracle: the same global min/max grid, floor-quantized codes,
+    // and 255-scaled integer asymmetric distance, replayed step by
+    // step. `//` (DuckDB integer division) matches Spark's
+    // floor(double quotient) because the numerator is nonnegative and
+    // exactly representable.
+    "pl_a9_ann_sq8" ->
+      s"""WITH $vSql,
+          dims AS (SELECT unnest(range(1, ${Ann.Dim + 1})) AS d),
+          mm AS (
+            SELECT d, min(iv[d]) AS mn, max(iv[d]) - min(iv[d]) AS rng
+            FROM v, dims GROUP BY d),
+          mml AS (
+            SELECT list(mn ORDER BY d) AS mns, list(rng ORDER BY d) AS rngs
+            FROM mm),
+          codes AS (
+            SELECT vec_id,
+                   list_transform(range(1, ${Ann.Dim + 1}), d ->
+                     CASE WHEN g.rngs[d] = 0 THEN 0
+                          ELSE ((v.iv[d] - g.mns[d]) * 255) // g.rngs[d]
+                     END) AS codes
+            FROM v, mml g),
+          probes AS (
+            SELECT vec_id AS probe_id, iv AS p_iv, norm2 AS p_norm2,
+                   list_transform(range(1, ${Ann.Dim + 1}), d ->
+                     (v.iv[d] - g.mns[d]) * 255) AS pm
+            FROM v, mml g WHERE vec_id < 8),
+          scored AS (
+            SELECT p.probe_id, c.vec_id,
+                   CAST(list_sum(list_transform(range(1, ${Ann.Dim + 1}), d ->
+                     (p.pm[d] - c.codes[d] * g.rngs[d])
+                       * (p.pm[d] - c.codes[d] * g.rngs[d]))) AS BIGINT)
+                     AS sqd,
+                   p.p_iv, p.p_norm2
+            FROM codes c, probes p, mml g
+            WHERE c.vec_id <> p.probe_id),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY sqd ASC, vec_id ASC) AS rank
+            FROM scored)
+          SELECT r.probe_id, CAST(r.rank AS BIGINT) AS rank,
+                 r.vec_id AS neighbor_id, r.sqd,
+                 round(${dotSql("vv.iv", "r.p_iv")}::DOUBLE
+                   / (sqrt(r.p_norm2::DOUBLE) * sqrt(vv.norm2::DOUBLE)), 6)
+                   AS cos
+          FROM ranked r JOIN v vv ON vv.vec_id = r.vec_id
+          WHERE r.rank <= $K""",
 
     // Composes the pl_t2 quality CTE, the pl_d1 keeper rule, and the
     // brute-force verified-pair ground truth (LSH recall is 100% on

@@ -189,6 +189,31 @@ class PlanShapeSpec extends SparkSpec {
         s"($singles single-partition exchanges vs $blooms bloom builds)")
   }
 
+  test("SQ8 ANN: literal grid (no training joins), pruned code scan, no funnel") {
+    // the min/max grid is collected at build time and inlined as
+    // literals, so the RETURNED plan must contain no training
+    // aggregation at all, and the scored path is codes ×
+    // broadcast(probes) — same contract as annPq's ADC scan.
+    val probe = org.apache.spark.sql.functions.col("vec_id") < 8
+    val p = plan(Ann.annSq8(embs, probe, 5))
+    assert(!p.contains("CartesianProduct"), "annSq8 plans a cartesian join")
+    assert(p.contains("WindowGroupLimit"),
+      s"annSq8 lost the WindowGroupLimit top-k pushdown:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"annSq8's returned plan re-runs grid training (grid must be literal):\n$p")
+    // every embeddings scan is pruned to the two columns a stage needs
+    // (vec_id+embedding); the fixture's payload columns never load
+    val scans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("embeddings.parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(!_.contains("label")),
+      s"an SQ8 scan reads payload columns:\n${scans.mkString("\n")}")
+    val singles = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    val blooms = p.linesIterator.count(_.contains("bloom_filter_agg"))
+    assert(singles <= blooms,
+      s"annSq8 funnels a fact path through one partition " +
+        s"($singles single-partition exchanges vs $blooms bloom builds)")
+  }
+
   test("per-probe/per-stratum top-k plans WindowGroupLimit (partial top-k before the shuffle)") {
     // Load-bearing at 100 TB: the rank filter over
     // row_number().over(partitionBy(...)) must plan WindowGroupLimit —

@@ -785,6 +785,37 @@ class PipelineSpec extends SparkSpec {
     Caches.release(res)
   }
 
+  test("SQ8: codes within [0,255]; sqd monotone in rank; rerank bounded by brute") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val res = Ann.annSq8(embs, col("vec_id") < 3, 5).cache()
+    assert(res.filter(col("probe_id") === col("neighbor_id")).count() == 0)
+    assert(res.groupBy("probe_id").count().filter(col("count") =!= 5).count() == 0)
+    // quantized distance non-decreasing in rank per probe
+    val byProbe = res.groupBy("probe_id")
+      .agg(max(when(col("rank") === 1, col("sqd"))).as("d1"),
+        max(when(col("rank") === 5, col("sqd"))).as("d5"))
+    assert(byProbe.filter(col("d1") > col("d5")).count() == 0)
+    // the reranked true cosine can never beat the brute-force optimum
+    val brute = Ann.knnBrute(embs, col("vec_id") < 3, 1)
+      .select(col("probe_id"), col("cos").as("bc"))
+    val top = res.filter(col("rank") === 1)
+      .select(col("probe_id"), col("cos").as("pc"))
+    assert(top.join(brute, "probe_id").filter(col("pc") > col("bc")).count() == 0)
+    Caches.release(res)
+    // an exact duplicate (vec 0 cloned as id 10007) shares the probe's
+    // codes, so its per-dim residual is the probe's own in-cell offset
+    // r_d ∈ [0, rng) — near-minimal in every dimension. Asymmetric SQ8
+    // doesn't PROVE rank 1 (a ceiling-side code can undercut a large
+    // offset in one dim), but on this deterministic fixture the clone
+    // wins outright; locked as a recall regression check.
+    val dup = embs.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(10007L))
+    val res2 = Ann.annSq8(embs.unionByName(dup), col("vec_id") === 0, 3)
+    val first = res2.filter(col("rank") === 1).head()
+    assert(first.getAs[Long]("neighbor_id") == 10007L,
+      s"exact duplicate must rank first, got $first")
+  }
+
   test("pipeline storage hygiene: pair ops release their corpus caches") {
     // each pairs op stages corpus-scale frames (signatures/postings)
     // internally; after it returns, only the materialized pair-sized
