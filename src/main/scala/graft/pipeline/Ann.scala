@@ -631,13 +631,22 @@ object Ann {
       .groupBy("probe_id")
       .agg(map_from_entries(collect_list(struct(
         (col("m") * PqCodes + col("c_id")).cast("int"), col("pd2")))).as("lut"))
+      // densify ONCE PER PROBE: position m·K + c holds pd2 (null for
+      // an emptied cluster no code references). The per-pair ADC scan
+      // must never probe the catalyst MAP — element_at on it is a
+      // linear key scan and the HOF composition around it is
+      // interpreted; the dense array + native AdcSum keeps the
+      // P×corpus stage inside whole-stage codegen (measured 10×:
+      // 35 s → ~2 s warm).
+      .withColumn("luta", transform(
+        sequence(lit(0), lit(PqSubspaces * PqCodes - 1)),
+        i => element_at(col("lut"), i.cast("int"))))
+      .drop("lut")
       .join(probes, "probe_id")
-    val terms = transform(sequence(lit(0), lit(PqSubspaces - 1)),
-      mi => element_at(col("lut"),
-        (mi * PqCodes + element_at(col("codes"), mi + 1)).cast("int")))
     val scored = codes.crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("adc", aggregate(terms, lit(0.0d), (a, x) => a + x))
+      .withColumn("adc",
+        graft.expressions.AdcSum(col("codes"), col("luta"), PqCodes))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adc").asc, col("vec_id").asc)
     val top = scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -684,44 +693,71 @@ object Ann {
     */
   def annSq8(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
     val v = withScaled(vectors)
-    // one-pass global per-dimension min/max; Dim×2 tiny values collect
-    // driver-side (the Bda-sizing discipline) and return as literals.
+    // one-pass global per-dimension min/max over the RAW embedding
+    // column (direct array access — aggregating element_at over the
+    // scaled `iv` would re-evaluate the whole scale-transform per
+    // agg expression in interpreted mode). round(·Scale) is monotone
+    // non-decreasing, so min/max commute with it and the driver
+    // applies the IDENTICAL rounding rule Spark's round() uses
+    // (BigDecimal.decimal → HALF_UP) to land on the same grid the
+    // oracle derives from iv. Dim×2 tiny values collect driver-side
+    // (the Bda-sizing discipline) and return as true array literals.
     val aggs = (1 to Dim).flatMap { d =>
-      Seq(min(element_at(col("iv"), d)).as(s"mn$d"),
-        max(element_at(col("iv"), d)).as(s"mx$d"))
+      Seq(min(element_at(col("embedding"), d)).as(s"mn$d"),
+        max(element_at(col("embedding"), d)).as(s"mx$d"))
     }
     val row = v.agg(aggs.head, aggs.drop(1): _*).head()
-    val mins = Array.tabulate(Dim)(i => row.getLong(2 * i))
-    val rngs = Array.tabulate(Dim)(i => row.getLong(2 * i + 1) - mins(i))
-    val minsL = array(mins.map(lit(_)): _*)
-    val rngsL = array(rngs.map(lit(_)): _*)
+    def toGrid(x: Double): Long =
+      BigDecimal.decimal(x * Scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val mins = Array.tabulate(Dim)(i => toGrid(row.getFloat(2 * i).toDouble))
+    val rngs = Array.tabulate(Dim)(i =>
+      toGrid(row.getFloat(2 * i + 1).toDouble) - mins(i))
+    // lit(Array[Long]) is ONE Literal of ArrayType — element_at is a
+    // constant-time read. (array(lit, lit, …) is a CreateArray that
+    // interpreted evaluation would rebuild on every access.)
+    val minsL = lit(mins)
+    val rngsL = lit(rngs)
 
-    // encode: a pure projection over the corpus — (iv_d − min_d) ≥ 0,
-    // so floor of the double quotient is exact integer division (the
-    // numerator ≤ 2·Scale·255 ≈ 5.1e6 is far inside double exactness).
-    val codeAt = (di: Column) => when(element_at(rngsL, di + 1) === 0L, 0L)
-      .otherwise(floor((element_at(col("iv"), di + 1)
-        - element_at(minsL, di + 1)).cast("double") * 255d
-        / element_at(rngsL, di + 1).cast("double")).cast("bigint"))
-    val codes = v.select(col("vec_id"),
-      transform(sequence(lit(0), lit(Dim - 1)), codeAt).as("codes"))
+    // Three expression-shape rules keep the hot path off interpreted
+    // higher-order-function cliffs (measured: the HOF form cost 50×
+    // the scan at 10×, and nested element_at(<transform>, i) chains
+    // re-run the inner transform PER INDEX — combinatorial blowup
+    // under CollapseProject):
+    //  1. per-dimension work uses the index-lambda transform over the
+    //     array column — each input array evaluates once per row;
+    //  2. per-side arrays (cr, pm) and self-dots are computed once
+    //     per ROW, never per pair;
+    //  3. the per-PAIR work is a single native-codegen DotProductL.
+    // encode: (iv_d − min_d) ≥ 0, so floor of the double quotient is
+    // exact integer division (numerator ≤ 2·Scale·255 ≈ 5.1e6, far
+    // inside double exactness). The candidate carries its
+    // dequantized-on-grid coordinates cr_d = code_d·range_d directly.
+    val cand = v.select(col("vec_id"),
+      transform(col("iv"), (x, i) => {
+        val rng = element_at(rngsL, i + 1)
+        when(rng === 0L, 0L).otherwise(
+          floor((x - element_at(minsL, i + 1)).cast("double") * 255d
+            / rng.cast("double")).cast("bigint") * rng)
+      }).as("cr"))
+      .withColumn("crn", doti(col("cr"), col("cr")))
 
     // probe side pre-shifts onto the grid: pm_d = 255·(p_d − min_d).
     val probes = v.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
         col("norm2").as("p_norm2"),
-        transform(sequence(lit(0), lit(Dim - 1)), di =>
-          (element_at(col("iv"), di + 1) - element_at(minsL, di + 1))
-            * lit(255L)).as("pm"))
+        transform(col("iv"), (x, i) =>
+          (x - element_at(minsL, i + 1)) * lit(255L)).as("pm"))
+      .withColumn("pmn", doti(col("pm"), col("pm")))
 
-    val terms = transform(sequence(lit(0), lit(Dim - 1)), di => {
-      val t = element_at(col("pm"), di + 1) -
-        element_at(col("codes"), di + 1) * element_at(rngsL, di + 1)
-      t * t
-    })
-    val scored = codes.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("sqd", aggregate(terms, lit(0L), (a, x) => a + x))
+    // sqd = Σ(pm−cr)² expanded to pmn − 2·pm·cr + crn: the SAME exact
+    // integer (ratD2's trick), but one DotProductL per pair. Bounds:
+    // pmn, crn ≤ 64·(2·255·Scale)² ≈ 1.7e15, |2·pm·cr| ≤ 3.4e15 —
+    // every partial sum far inside int64.
+    val scored = cand.join(broadcast(probes),
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("sqd",
+        col("pmn") + col("crn") - lit(2L) * doti(col("pm"), col("cr")))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sqd").asc, col("vec_id").asc)
     val top = scored.withColumn("rank", row_number().over(w).cast("bigint"))

@@ -785,7 +785,7 @@ class PipelineSpec extends SparkSpec {
     Caches.release(res)
   }
 
-  test("SQ8: codes within [0,255]; sqd monotone in rank; rerank bounded by brute") {
+  test("SQ8: sqd monotone in rank; rerank bounded by brute; duplicate ranks first") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val res = Ann.annSq8(embs, col("vec_id") < 3, 5).cache()
     assert(res.filter(col("probe_id") === col("neighbor_id")).count() == 0)
