@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
   * geometry preserved, cross-copy duplication broken) so neighbor
   * structure is realistic at every factor.
   *
-  * Usage: runMain graft.AnnProbe <embDir> <brute|pq|sq8> [k] [nProbes]
-  * One probe per JVM (DESIGN.md probe discipline).
+  * Usage: runMain graft.AnnProbe <embDir> <brute|pq|sq8|ivfsq8> [k]
+  * [nProbes] — one probe per JVM (DESIGN.md probe discipline).
   */
 object AnnProbe {
   def main(args: Array[String]): Unit = {
@@ -49,10 +49,26 @@ object AnnProbe {
     val probeF = col("vec_id") < nProbes
 
     def run() = path match {
-      case "brute" => pipeline.Ann.knnBrute(emb, probeF, k)
-      case "pq"    => pipeline.Ann.annPq(emb, probeF, k, 2)
-      case "sq8"   => pipeline.Ann.annSq8(emb, probeF, k)
-      case other   => sys.error(s"unknown path $other")
+      case "brute"   => pipeline.Ann.knnBrute(emb, probeF, k)
+      case "pq"      => pipeline.Ann.annPq(emb, probeF, k, 2)
+      case "sq8"     => pipeline.Ann.annSq8(emb, probeF, k)
+      // IVF list count follows the SemDeDup k ∝ corpus rule so the
+      // per-list candidate set stays bounded across factors
+      case "ivfsq8"  => pipeline.Ann.annIvfSq8(emb, probeF, k,
+        math.max(8, (nVec / 250).toInt), 2)
+      // the production config: 10 % sampled training + 2-probe lists
+      case "ivfsq8p" => pipeline.Ann.annIvfSq8(emb, probeF, k,
+        math.max(8, (nVec / 250).toInt), 2, 100000L, 2)
+      // the 10⁹-vector shape: hier-routed lists (trained coarse,
+      // b ≈ √k, 10 % sampled train) — same knobs as ivfsq8p so the
+      // delta isolates the router; arg 5 = listProbes (recall knob)
+      case "ivfsq8h" =>
+        val kk = math.max(8, (nVec / 250).toInt)
+        pipeline.Ann.annIvfSq8Hier(emb, probeF, k, kk,
+          math.max(2, math.sqrt(kk.toDouble).round.toInt), 2,
+          100000L, 2, trainedCoarse = true,
+          listProbes = args.lift(4).map(_.toInt).getOrElse(2))
+      case other     => sys.error(s"unknown path $other")
     }
 
     def once(tag: String): Unit = {

@@ -355,7 +355,19 @@ object Ann {
     */
   def hierAssign(vectors: DataFrame, k: Int, b: Int, rounds: Int,
                  trainPpm: Long = 1000000L, probes: Int = 1,
-                 trainedCoarse: Boolean = false): DataFrame = {
+                 trainedCoarse: Boolean = false): DataFrame =
+    hierAssignModel(vectors, k, b, rounds, trainPpm, probes,
+      trainedCoarse)._1
+
+  /** [[hierAssign]] plus the quantized fine-centroid table it routed
+    * against ((c_id, qv) driver-side rows) — the model a hier-routed
+    * index ([[annIvfSq8Hier]]) needs: probe-side assignment must
+    * quantize against the SAME integer centroids that built the lists.
+    */
+  private[graft] def hierAssignModel(vectors: DataFrame, k: Int, b: Int,
+      rounds: Int, trainPpm: Long = 1000000L, probes: Int = 1,
+      trainedCoarse: Boolean = false)
+      : (DataFrame, Array[(Int, Array[Long])]) = {
     require(b >= 1 && b <= k, s"need 1 <= b <= k, got b=$b k=$k")
     require(probes >= 1 && probes <= b,
       s"need 1 <= probes <= b, got probes=$probes b=$b")
@@ -485,10 +497,10 @@ object Ann {
         .reduce(least(_, _))
         .getField("id"),
       lit(-1))
-    withScaled(vectors).select("vec_id", "iv", "norm2")
+    (withScaled(vectors).select("vec_id", "iv", "norm2")
       .withColumn("_shc", probed)
       .withColumn("cluster", cluster)
-      .select("vec_id", "iv", "norm2", "cluster")
+      .select("vec_id", "iv", "norm2", "cluster"), cents)
   }
 
   /** IVF over the TRAINED k-means quantizer — the end-to-end form that
@@ -691,17 +703,20 @@ object Ann {
     * corpus-wide exchange is the P×corpus top-k ranking.
     * Returns (probe_id, rank, neighbor_id, sqd, cos).
     */
-  def annSq8(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
-    val v = withScaled(vectors)
-    // one-pass global per-dimension min/max over the RAW embedding
-    // column (direct array access — aggregating element_at over the
-    // scaled `iv` would re-evaluate the whole scale-transform per
-    // agg expression in interpreted mode). round(·Scale) is monotone
-    // non-decreasing, so min/max commute with it and the driver
-    // applies the IDENTICAL rounding rule Spark's round() uses
-    // (BigDecimal.decimal → HALF_UP) to land on the same grid the
-    // oracle derives from iv. Dim×2 tiny values collect driver-side
-    // (the Bda-sizing discipline) and return as true array literals.
+  /** One-pass global SQ8 grid over the RAW embedding column (direct
+    * array access — aggregating element_at over the scaled `iv` would
+    * re-evaluate the whole scale-transform per agg expression in
+    * interpreted mode). round(·Scale) is monotone non-decreasing, so
+    * min/max commute with it and the driver applies the IDENTICAL
+    * rounding rule Spark's round() uses (BigDecimal.decimal →
+    * HALF_UP) to land on the same grid the oracle derives from iv.
+    * Dim×2 tiny values collect driver-side (the Bda-sizing
+    * discipline) and return as TRUE array literals: lit(Array[Long])
+    * is ONE Literal of ArrayType with constant-time element_at,
+    * where array(lit, lit, …) is a CreateArray that interpreted
+    * evaluation would rebuild on every access. Returns (mins, ranges).
+    */
+  private def sq8Grid(v: DataFrame): (Column, Column) = {
     val aggs = (1 to Dim).flatMap { d =>
       Seq(min(element_at(col("embedding"), d)).as(s"mn$d"),
         max(element_at(col("embedding"), d)).as(s"mx$d"))
@@ -713,41 +728,50 @@ object Ann {
     val mins = Array.tabulate(Dim)(i => toGrid(row.getFloat(2 * i).toDouble))
     val rngs = Array.tabulate(Dim)(i =>
       toGrid(row.getFloat(2 * i + 1).toDouble) - mins(i))
-    // lit(Array[Long]) is ONE Literal of ArrayType — element_at is a
-    // constant-time read. (array(lit, lit, …) is a CreateArray that
-    // interpreted evaluation would rebuild on every access.)
-    val minsL = lit(mins)
-    val rngsL = lit(rngs)
+    (lit(mins), lit(rngs))
+  }
+
+  /** Candidate-side SQ8 encode: dequantized-on-grid coordinates
+    * cr_d = code_d·range_d with code_d = floor((iv_d − min_d)·255 /
+    * range_d) (0 when the dimension is constant). (iv_d − min_d) ≥ 0,
+    * so floor of the double quotient is exact integer division
+    * (numerator ≤ 2·Scale·255 ≈ 5.1e6, far inside double exactness).
+    * Index-lambda transform over the array column — the input array
+    * evaluates once per row (see the expression-shape rules on
+    * [[annSq8]]).
+    */
+  private def sq8Cr(minsL: Column, rngsL: Column): Column =
+    transform(col("iv"), (x, i) => {
+      val rng = element_at(rngsL, i + 1)
+      when(rng === 0L, 0L).otherwise(
+        floor((x - element_at(minsL, i + 1)).cast("double") * 255d
+          / rng.cast("double")).cast("bigint") * rng)
+    })
+
+  /** Probe-side grid shift: pm_d = 255·(p_d − min_d). */
+  private def sq8Pm(minsL: Column): Column =
+    transform(col("iv"), (x, i) =>
+      (x - element_at(minsL, i + 1)) * lit(255L))
+
+  def annSq8(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    val v = withScaled(vectors)
+    val (minsL, rngsL) = sq8Grid(v)
 
     // Three expression-shape rules keep the hot path off interpreted
     // higher-order-function cliffs (measured: the HOF form cost 50×
     // the scan at 10×, and nested element_at(<transform>, i) chains
-    // re-run the inner transform PER INDEX — combinatorial blowup
-    // under CollapseProject):
+    // re-run the whole inner transform PER INDEX — combinatorial
+    // blowup under CollapseProject):
     //  1. per-dimension work uses the index-lambda transform over the
     //     array column — each input array evaluates once per row;
     //  2. per-side arrays (cr, pm) and self-dots are computed once
     //     per ROW, never per pair;
     //  3. the per-PAIR work is a single native-codegen DotProductL.
-    // encode: (iv_d − min_d) ≥ 0, so floor of the double quotient is
-    // exact integer division (numerator ≤ 2·Scale·255 ≈ 5.1e6, far
-    // inside double exactness). The candidate carries its
-    // dequantized-on-grid coordinates cr_d = code_d·range_d directly.
-    val cand = v.select(col("vec_id"),
-      transform(col("iv"), (x, i) => {
-        val rng = element_at(rngsL, i + 1)
-        when(rng === 0L, 0L).otherwise(
-          floor((x - element_at(minsL, i + 1)).cast("double") * 255d
-            / rng.cast("double")).cast("bigint") * rng)
-      }).as("cr"))
+    val cand = v.select(col("vec_id"), sq8Cr(minsL, rngsL).as("cr"))
       .withColumn("crn", doti(col("cr"), col("cr")))
-
-    // probe side pre-shifts onto the grid: pm_d = 255·(p_d − min_d).
     val probes = v.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
-        col("norm2").as("p_norm2"),
-        transform(col("iv"), (x, i) =>
-          (x - element_at(minsL, i + 1)) * lit(255L)).as("pm"))
+        col("norm2").as("p_norm2"), sq8Pm(minsL).as("pm"))
       .withColumn("pmn", doti(col("pm"), col("pm")))
 
     // sqd = Σ(pm−cr)² expanded to pmn − 2·pm·cr + crn: the SAME exact
@@ -770,6 +794,162 @@ object Ann {
       .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("sqd"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-SQ8: the production vector-store composition — a TRAINED
+    * coarse quantizer partitions the corpus into k inverted lists
+    * ([[kmeansModel]], the pl_a5 trainer) and each list stores only
+    * SQ8-compressed vectors; a probe quantizes against the same
+    * centroids and scans ITS list's codes with the pure-int64
+    * asymmetric distance, then exact-reranks the top-k winners.
+    *
+    * Scale shape (100 TB / 10⁹ vectors): combines the two
+    * sublinearities — the list assignment cuts candidates to
+    * ~corpus/k per probe (annIvfKmeans's contract) and the scan
+    * reads 1-byte/dim codes instead of raw floats (annSq8's
+    * contract). Grid + centroids are tiny and broadcast/literal;
+    * the only corpus-wide exchanges are the list build (one keyed
+    * shuffle, amortized over every future probe batch) and the
+    * per-probe top-k. Returns
+    * (probe_id, assigned_cluster, rank, neighbor_id, sqd, cos).
+    */
+  def annIvfSq8(vectors: DataFrame, probeFilter: Column, topk: Int,
+                k: Int = 8, rounds: Int = 2,
+                trainPpm: Long = 1000000L, probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= k,
+      s"need 1 <= probes <= k, got probes=$probes k=$k")
+    val v = withScaled(vectors)
+    // the production knobs, same contracts as hierAssign: the coarse
+    // quantizer trains on a deterministic hash sample (salt "kmt" —
+    // caps the N·k Lloyd wall the AnnProbe grid measures) and each
+    // probe scans its `probes` nearest lists (the IVF recall knob; a
+    // vector lives in exactly one list, so the union is dedup-free).
+    val train =
+      if (trainPpm >= 1000000L) vectors
+      else graft.pipeline.Sampling.uniform(
+        vectors, col("vec_id"), trainPpm, salt = "kmt")
+    val (assignedTrain, cent) = kmeansModel(train, k, rounds)
+    val assigned =
+      if (trainPpm >= 1000000L) assignedTrain.select("vec_id", "cluster")
+      else {
+        // sampled train ⇒ the model's own assignment covers only the
+        // sample; assign the FULL corpus against the same centroids
+        // with the same argmin contract (d2 asc, c_id asc).
+        val centN = cent.withColumn("_svn", doti(col("sv"), col("sv")))
+        val wF = Window.partitionBy("vec_id")
+          .orderBy(col("d2").asc, col("c_id").asc)
+        v.select(col("vec_id"), col("iv"))
+          .withColumn("_ivn", doti(col("iv"), col("iv")))
+          .crossJoin(broadcast(centN))
+          .withColumn("d2", ratD2Pre(col("iv"), col("sv"), col("n"),
+            col("_ivn"), col("_svn")))
+          .withColumn("_rk", row_number().over(wF))
+          .filter(col("_rk") === 1)
+          .select(col("vec_id"), col("c_id").as("cluster"))
+      }
+    val (minsL, rngsL) = sq8Grid(v)
+    val lists = v.select(col("vec_id"), sq8Cr(minsL, rngsL).as("cr"))
+      .withColumn("crn", doti(col("cr"), col("cr")))
+      .join(assigned, "vec_id")
+    val probesDf = v.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
+        col("norm2").as("p_norm2"), sq8Pm(minsL).as("pm"))
+      .withColumn("pmn", doti(col("pm"), col("pm")))
+    val dist = probesDf.crossJoin(broadcast(cent))
+      .withColumn("d2", ratD2(col("p_iv"), col("sv"), col("n")))
+    val wA = Window.partitionBy("probe_id")
+      .orderBy(col("d2").asc, col("c_id").asc)
+    val pAssigned = dist.withColumn("_rk", row_number().over(wA))
+      .filter(col("_rk") <= probes)
+      .select(col("probe_id"), col("p_iv"), col("p_norm2"), col("pm"),
+        col("pmn"), col("c_id").as("assigned_cluster"))
+    val scored = lists.join(broadcast(pAssigned),
+        col("cluster") === col("assigned_cluster") &&
+          col("vec_id") =!= col("probe_id"))
+      .withColumn("sqd",
+        col("pmn") + col("crn") - lit(2L) * doti(col("pm"), col("cr")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sqd").asc, col("vec_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topk)
+      .select("probe_id", "assigned_cluster", "rank", "vec_id", "sqd",
+        "p_iv", "p_norm2")
+    v.select(col("vec_id"), col("iv"), col("norm2"))
+      .join(broadcast(top), "vec_id")
+      .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
+      .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
+      .select(col("probe_id"), col("assigned_cluster"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("sqd"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** The 10⁹-vector IVF-SQ8: inverted lists built by the
+    * ZERO-EXCHANGE hierarchical router ([[hierAssignModel]] — sampled
+    * training caps the Lloyd wall, coarse→fine literal-argmin routing
+    * costs N·(b + k/b) dots and no shuffle) over SQ8-compressed
+    * vectors. Probes take their `listProbes` nearest QUANTIZED fine
+    * centroids — the same integer table the lists were routed
+    * against, as a staged sorted literal array (exact over all k
+    * cells; probes are few) — and scan those lists with the pure-
+    * int64 asymmetric distance before the exact rerank. Every stage
+    * is integer/deterministic, so the composition is oracle-
+    * replayable end to end. This fixes both walls the AnnProbe grid
+    * measures on the flat composition at k ∝ corpus: full-train
+    * Lloyd (sampled) and the N·k assignment (hier routing).
+    * Returns (probe_id, assigned_cluster, rank, neighbor_id, sqd, cos).
+    */
+  def annIvfSq8Hier(vectors: DataFrame, probeFilter: Column, topk: Int,
+                    k: Int, b: Int, rounds: Int = 2,
+                    trainPpm: Long = 600000L, routeProbes: Int = 2,
+                    trainedCoarse: Boolean = true,
+                    listProbes: Int = 2): DataFrame = {
+    val v = withScaled(vectors)
+    val (assigned, cents) = hierAssignModel(vectors, k, b, rounds,
+      trainPpm, routeProbes, trainedCoarse)
+    val (minsL, rngsL) = sq8Grid(v)
+    val lists = v.select(col("vec_id"), sq8Cr(minsL, rngsL).as("cr"))
+      .withColumn("crn", doti(col("cr"), col("cr")))
+      .join(assigned.select("vec_id", "cluster"), "vec_id")
+    // probe cells: (d2, id) structs over the quantized centroids,
+    // sorted and sliced — the hierAssign stage-1 pattern; d2 =
+    // norm2 − 2·⟨iv,qv⟩ + ⟨qv,qv⟩ is the same integer as Σ(iv−qv)².
+    def candP(id: Int, qv: Array[Long]): Column = {
+      val qq = qv.map(x => x * x).sum
+      struct(
+        (col("norm2") - lit(2L) * doti(col("iv"), typedLit(qv.toSeq))
+          + lit(qq)).as("d"),
+        lit(id).as("id"))
+    }
+    val np = math.min(listProbes, cents.length)
+    val pcells = v.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
+        col("norm2").as("p_norm2"), sq8Pm(minsL).as("pm"),
+        slice(array_sort(
+          array(cents.toSeq.map { case (id, qv) => candP(id, qv) }: _*)),
+          1, np).as("_pc"))
+      .withColumn("pmn", doti(col("pm"), col("pm")))
+      .withColumn("_pce", explode(col("_pc")))
+      .withColumn("assigned_cluster", col("_pce").getField("id"))
+      .select("probe_id", "p_iv", "p_norm2", "pm", "pmn",
+        "assigned_cluster")
+    val scored = lists.join(broadcast(pcells),
+        col("cluster") === col("assigned_cluster") &&
+          col("vec_id") =!= col("probe_id"))
+      .withColumn("sqd",
+        col("pmn") + col("crn") - lit(2L) * doti(col("pm"), col("cr")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sqd").asc, col("vec_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topk)
+      .select("probe_id", "assigned_cluster", "rank", "vec_id", "sqd",
+        "p_iv", "p_norm2")
+    v.select(col("vec_id"), col("iv"), col("norm2"))
+      .join(broadcast(top), "vec_id")
+      .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
+      .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
+      .select(col("probe_id"), col("assigned_cluster"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("sqd"),
+        round(col("cos"), 6).as("cos"))
   }
 
   private val Window = org.apache.spark.sql.expressions.Window

@@ -186,6 +186,85 @@ object PipelineQueries {
     s"""$vSql,
         ${kmeansChainSql("v")}"""
 
+  /** IVF-SQ8 oracle builder (pl_a10/pl_a11): trained coarse lists +
+    * SQ8-compressed in-list asymmetric scan + exact rerank. With
+    * `trainPpm < 10⁶` the kmeans chain runs over the "kmt"-hash
+    * sample and the full corpus is assigned against c1 with the same
+    * (d2 asc, c_id asc) argmin; `probes` is passigned's keep-rank —
+    * each probe scans its p nearest lists (a vector lives in exactly
+    * one list, so the union is dedup-free).
+    */
+  private def ivfSq8Sql(trainPpm: Long, probes: Int): String = {
+    val full = trainPpm >= 1000000L
+    val trainCtes =
+      if (full) kmeansChainSql("v")
+      else s"""tv AS (
+            SELECT * FROM v
+            WHERE ${h60("'kmt|' || vec_id")} % 1000000 < $trainPpm),
+          ${kmeansChainSql("tv")}"""
+    val assignCte =
+      if (full) "fassign AS (SELECT vec_id, cluster FROM r2)"
+      else s"""fassign AS (
+            SELECT vec_id, cluster FROM (
+              SELECT v.vec_id, c.c_id AS cluster,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       ${ratD2Sql("v.iv", "c.sv", "c.n")} ASC, c.c_id ASC) AS rk
+              FROM v, c1 c) WHERE rk = 1)"""
+    s"""WITH $vSql,
+        $trainCtes,
+        $assignCte,
+        dims AS (SELECT unnest(range(1, ${Ann.Dim + 1})) AS d),
+        mm AS (
+          SELECT d, min(iv[d]) AS mn, max(iv[d]) - min(iv[d]) AS rng
+          FROM v, dims GROUP BY d),
+        mml AS (
+          SELECT list(mn ORDER BY d) AS mns, list(rng ORDER BY d) AS rngs
+          FROM mm),
+        codes AS (
+          SELECT vec_id,
+                 list_transform(range(1, ${Ann.Dim + 1}), d ->
+                   CASE WHEN g.rngs[d] = 0 THEN 0
+                        ELSE ((v.iv[d] - g.mns[d]) * 255) // g.rngs[d]
+                   END) AS codes
+          FROM v, mml g),
+        probes AS (
+          SELECT vec_id AS probe_id, iv AS p_iv, norm2 AS p_norm2,
+                 list_transform(range(1, ${Ann.Dim + 1}), d ->
+                   (v.iv[d] - g.mns[d]) * 255) AS pm
+          FROM v, mml g WHERE vec_id < 8),
+        pdist AS (
+          SELECT p.probe_id, p.p_iv, p.p_norm2, p.pm, c.c_id,
+                 ${ratD2Sql("p.p_iv", "c.sv", "c.n")} AS d2
+          FROM probes p, c1 c),
+        passigned AS (
+          SELECT probe_id, p_iv, p_norm2, pm, c_id AS assigned_cluster
+          FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                             ORDER BY d2 ASC, c_id ASC) AS rk
+                FROM pdist) WHERE rk <= $probes),
+        scored AS (
+          SELECT a.probe_id, a.assigned_cluster, co.vec_id,
+                 CAST(list_sum(list_transform(range(1, ${Ann.Dim + 1}), d ->
+                   (a.pm[d] - co.codes[d] * g.rngs[d])
+                     * (a.pm[d] - co.codes[d] * g.rngs[d]))) AS BIGINT)
+                   AS sqd,
+                 a.p_iv, a.p_norm2
+          FROM fassign f JOIN codes co USING (vec_id)
+          JOIN passigned a ON f.cluster = a.assigned_cluster
+                          AND co.vec_id <> a.probe_id,
+               mml g),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY sqd ASC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT r.probe_id, r.assigned_cluster, CAST(r.rank AS BIGINT) AS rank,
+               r.vec_id AS neighbor_id, r.sqd,
+               round(${dotSql("vv.iv", "r.p_iv")}::DOUBLE
+                 / (sqrt(r.p_norm2::DOUBLE) * sqrt(vv.norm2::DOUBLE)), 6)
+                 AS cos
+        FROM ranked r JOIN v vv ON vv.vec_id = r.vec_id
+        WHERE r.rank <= $K"""
+  }
+
   /** pl_d15/pl_d16/pl_d17 oracle: the hierarchical-assignment chain —
     * kmeans over the 60 % hash sample, integer-quantized centroids,
     * hc-hash coarse subset, parenting, two-stage routing, pl_d14 pair
@@ -196,7 +275,27 @@ object PipelineQueries {
     * hc-hash seed pick to one Lloyd round over the k fine centroids
     * (tr1/tc1 below — Ann.hierAssign's trainedCoarse path).
     */
-  private def hierSemSql(probes: Int, trained: Boolean = false): String = {
+  private def hierSemSql(probes: Int, trained: Boolean = false): String =
+    s"""WITH $vSql,
+        ${hierChainCtesSql(probes, trained)},
+        av AS (
+          SELECT v.vec_id, v.iv, v.norm2, hr.cluster
+          FROM v JOIN hr USING (vec_id))
+        SELECT a.cluster, a.vec_id AS vec1, b.vec_id AS vec2,
+               ${dotSql("a.iv", "b.iv")} AS dot_scaled,
+               round(${dotSql("a.iv", "b.iv")}::DOUBLE
+                 / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) AS cos
+        FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE ${dotSql("a.iv", "b.iv")}::DOUBLE
+                / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)) >= 0.45"""
+
+  /** The hierarchical-assignment CTE chain (tv … hr), shared verbatim
+    * by [[hierSemSql]] (pl_d15/16/17) and the hier-routed IVF-SQ8
+    * oracle (pl_a12) so the routing semantics can never drift between
+    * dedup and retrieval. Expects `v` in scope; ends with
+    * hr(vec_id, cluster) — the full-corpus fine assignment.
+    */
+  private def hierChainCtesSql(probes: Int, trained: Boolean): String = {
     // Trained-coarse CTEs (pl_d17): one Lloyd round over the k fine
     // centroids — assign each to its nearest hc-hash seed (tr1), then
     // recompute the coarse centers as integer-quantized per-dimension
@@ -231,8 +330,7 @@ object PipelineQueries {
           SELECT * FROM tc1
           WHERE c_id IN (SELECT DISTINCT coarse FROM par))"""
     val s1Tbl = if (trained) "rsel" else "hsel"
-    s"""WITH $vSql,
-        tv AS (
+    s"""tv AS (
           SELECT * FROM v
           WHERE ${h60("'kmt|' || vec_id")} % 1000000 < 600000),
         ${kmeansChainSql("tv")},
@@ -272,18 +370,69 @@ object PipelineQueries {
                      q.c_id ASC) AS rk
             FROM v JOIN s1 USING (vec_id)
                  JOIN par p ON p.coarse = s1.coarse
-                 JOIN qc q ON q.c_id = p.c_id) WHERE rk = 1),
-        av AS (
-          SELECT v.vec_id, v.iv, v.norm2, hr.cluster
-          FROM v JOIN hr USING (vec_id))
-        SELECT a.cluster, a.vec_id AS vec1, b.vec_id AS vec2,
-               ${dotSql("a.iv", "b.iv")} AS dot_scaled,
-               round(${dotSql("a.iv", "b.iv")}::DOUBLE
-                 / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) AS cos
-        FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        WHERE ${dotSql("a.iv", "b.iv")}::DOUBLE
-                / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)) >= 0.45"""
+                 JOIN qc q ON q.c_id = p.c_id) WHERE rk = 1)"""
   }
+
+  /** pl_a12 oracle: the hier chain's full-corpus lists (hr) + the
+    * pl_a9 SQ8 grid/codes CTEs; probes take their `listProbes`
+    * nearest QUANTIZED fine centroids (qc — the same integer table
+    * the lists were routed against) and scan those lists with the
+    * 255-scaled integer asymmetric distance, then exact-rerank.
+    */
+  private def ivfSq8HierSql(routeProbes: Int, trained: Boolean,
+                            listProbes: Int): String =
+    s"""WITH $vSql,
+        ${hierChainCtesSql(routeProbes, trained)},
+        dims AS (SELECT unnest(range(1, ${Ann.Dim + 1})) AS d),
+        mm AS (
+          SELECT d, min(iv[d]) AS mn, max(iv[d]) - min(iv[d]) AS rng
+          FROM v, dims GROUP BY d),
+        mml AS (
+          SELECT list(mn ORDER BY d) AS mns, list(rng ORDER BY d) AS rngs
+          FROM mm),
+        codes AS (
+          SELECT vec_id,
+                 list_transform(range(1, ${Ann.Dim + 1}), d ->
+                   CASE WHEN g.rngs[d] = 0 THEN 0
+                        ELSE ((v.iv[d] - g.mns[d]) * 255) // g.rngs[d]
+                   END) AS codes
+          FROM v, mml g),
+        probes AS (
+          SELECT vec_id AS probe_id, iv AS p_iv, norm2 AS p_norm2,
+                 list_transform(range(1, ${Ann.Dim + 1}), d ->
+                   (v.iv[d] - g.mns[d]) * 255) AS pm
+          FROM v, mml g WHERE vec_id < 8),
+        pcells AS (
+          SELECT probe_id, p_iv, p_norm2, pm, c_id AS assigned_cluster
+          FROM (
+            SELECT p.probe_id, p.p_iv, p.p_norm2, p.pm, q.c_id,
+                   row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                     list_sum(list_transform(list_zip(p.p_iv, q.qv),
+                       z -> (z[1]-z[2])*(z[1]-z[2]))) ASC,
+                     q.c_id ASC) AS rk
+            FROM probes p, qc q) WHERE rk <= $listProbes),
+        scored AS (
+          SELECT a.probe_id, a.assigned_cluster, co.vec_id,
+                 CAST(list_sum(list_transform(range(1, ${Ann.Dim + 1}), d ->
+                   (a.pm[d] - co.codes[d] * g.rngs[d])
+                     * (a.pm[d] - co.codes[d] * g.rngs[d]))) AS BIGINT)
+                   AS sqd,
+                 a.p_iv, a.p_norm2
+          FROM hr JOIN codes co USING (vec_id)
+          JOIN pcells a ON hr.cluster = a.assigned_cluster
+                       AND co.vec_id <> a.probe_id,
+               mml g),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY sqd ASC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT r.probe_id, r.assigned_cluster, CAST(r.rank AS BIGINT) AS rank,
+               r.vec_id AS neighbor_id, r.sqd,
+               round(${dotSql("vv.iv", "r.p_iv")}::DOUBLE
+                 / (sqrt(r.p_norm2::DOUBLE) * sqrt(vv.norm2::DOUBLE)), 6)
+                 AS cos
+        FROM ranked r JOIN v vv ON vv.vec_id = r.vec_id
+        WHERE r.rank <= $K"""
 
   /** Token → (register, rho) CTE chain for the p=8 HLL — shared by
     * pl_k4's one-row summary and the streaming register-table twin
@@ -625,6 +774,32 @@ object PipelineQueries {
     // asymmetric distance before the exact cosine rerank.
     "pl_a9_ann_sq8" -> ((s, d) =>
       Ann.annSq8(Tables.embeddings(s, d), probeF, K)),
+
+    // The production vector-store composition: trained IVF lists
+    // (pl_a5's coarse quantizer) storing SQ8-compressed vectors —
+    // each probe scans only its list's 1-byte/dim codes, then
+    // exact-reranks the winners.
+    "pl_a10_ann_ivf_sq8" -> ((s, d) =>
+      Ann.annIvfSq8(Tables.embeddings(s, d), probeF, K, 8, 2)),
+
+    // The deployment config of the same composition: the coarse
+    // quantizer trains on a 60 % hash sample (capping the N·k Lloyd
+    // wall the AnnProbe grid measures) and each probe scans its 2
+    // nearest lists (the IVF recall knob) — the measured knobs from
+    // the hier-SemDeDup grid applied to retrieval.
+    "pl_a11_ann_ivf_sq8_mp" -> ((s, d) =>
+      Ann.annIvfSq8(Tables.embeddings(s, d), probeF, K, 8, 2,
+        600000L, 2)),
+
+    // The 10^9-vector shape: lists built by the ZERO-EXCHANGE
+    // hierarchical router (pl_d17's trained-coarse multi-probe
+    // config — sampled train + literal-argmin routing), storing SQ8
+    // codes; probes take their 2 nearest quantized fine cells from a
+    // staged sorted literal array. Fixes both measured walls of the
+    // flat composition at k ∝ corpus (full Lloyd, N·k assignment).
+    "pl_a12_ann_ivf_sq8_hier" -> ((s, d) =>
+      Ann.annIvfSq8Hier(Tables.embeddings(s, d), probeF, K, 8, 3, 2,
+        600000L, 2, trainedCoarse = true, listProbes = 2)),
 
     // The composed corpus filter: quality ∧ exact-keeper ∧ not a
     // near-dup pair loser — the operators chained as a real pretraining
@@ -1481,6 +1656,16 @@ object PipelineQueries {
                    AS cos
           FROM ranked r JOIN v vv ON vv.vec_id = r.vec_id
           WHERE r.rank <= $K""",
+
+    // IVF-SQ8 oracle: the pl_a5 kmeans chain (lists, c1 centroids,
+    // probe assignment) composed with the pl_a9 grid/codes CTEs; the
+    // in-list asymmetric distance is the same 255-scaled integer.
+    // pl_a11 is the production config: the chain trains over the
+    // "kmt"-hash sample (hierSemSql's tv rule), the FULL corpus is
+    // assigned against c1, and each probe scans its 2 nearest lists.
+    "pl_a10_ann_ivf_sq8" -> ivfSq8Sql(1000000L, 1),
+    "pl_a11_ann_ivf_sq8_mp" -> ivfSq8Sql(600000L, 2),
+    "pl_a12_ann_ivf_sq8_hier" -> ivfSq8HierSql(2, trained = true, 2),
 
     // Composes the pl_t2 quality CTE, the pl_d1 keeper rule, and the
     // brute-force verified-pair ground truth (LSH recall is 100% on

@@ -214,6 +214,39 @@ class PlanShapeSpec extends SparkSpec {
         s"($singles single-partition exchanges vs $blooms bloom builds)")
   }
 
+  test("IVF-SQ8: broadcast probe assignment, WindowGroupLimit, no cartesian") {
+    val probe = org.apache.spark.sql.functions.col("vec_id") < 8
+    val p = plan(Ann.annIvfSq8(embs, probe, 5, 4, 2))
+    assert(!p.contains("CartesianProduct"), "annIvfSq8 plans a cartesian join")
+    assert(p.contains("WindowGroupLimit"),
+      s"annIvfSq8 lost the WindowGroupLimit top-k pushdown:\n$p")
+    // the in-list scoring join is lists ⋈ broadcast(assigned probes) —
+    // the corpus-bearing side must never shuffle for it
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"annIvfSq8's scoring join is not broadcast:\n$p")
+  }
+
+  test("hier-routed IVF-SQ8: zero-exchange routing, broadcast scoring, WindowGroupLimit") {
+    val probe = org.apache.spark.sql.functions.col("vec_id") < 8
+    val p = plan(Ann.annIvfSq8Hier(embs, probe, 5, 8, 3, 2,
+      600000L, 2, trainedCoarse = true, listProbes = 2))
+    assert(!p.contains("CartesianProduct"), "annIvfSq8Hier plans a cartesian join")
+    assert(p.contains("WindowGroupLimit"),
+      s"annIvfSq8Hier lost the WindowGroupLimit top-k pushdown:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"annIvfSq8Hier's scoring join is not broadcast:\n$p")
+    // the corpus-list build must be a pure projection over the scan:
+    // the only shuffle exchanges allowed are the lists-join build and
+    // the per-probe top-k ranking — the routing itself adds NONE
+    // (hierAssign's literal-argmin contract carried into the index)
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition"))
+    assert(shuffles <= 2,
+      s"annIvfSq8Hier plans $shuffles shuffle exchanges (routing must add none):\n$p")
+  }
+
   test("per-probe/per-stratum top-k plans WindowGroupLimit (partial top-k before the shuffle)") {
     // Load-bearing at 100 TB: the rank filter over
     // row_number().over(partitionBy(...)) must plan WindowGroupLimit —

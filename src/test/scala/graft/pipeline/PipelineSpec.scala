@@ -816,6 +816,50 @@ class PipelineSpec extends SparkSpec {
       s"exact duplicate must rank first, got $first")
   }
 
+  test("IVF-SQ8: neighbors come from the probe's own list; rerank bounded by brute") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val res = Ann.annIvfSq8(embs, col("vec_id") < 3, 5, 4, 2).cache()
+    assert(res.filter(col("probe_id") === col("neighbor_id")).count() == 0)
+    assert(res.groupBy("probe_id").count().filter(col("count") =!= 5).count() == 0)
+    // list containment: every neighbor's trained cluster equals the
+    // probe's assigned cluster — the IVF contract the sqd scan relies on
+    val clusters = Ann.kmeansClusters(embs, 4, 2)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    assert(res.join(clusters, "neighbor_id")
+      .filter(col("cluster") =!= col("assigned_cluster")).count() == 0,
+      "a neighbor came from outside the probe's inverted list")
+    // quantized distance non-decreasing in rank per probe
+    val byProbe = res.groupBy("probe_id")
+      .agg(max(when(col("rank") === 1, col("sqd"))).as("d1"),
+        max(when(col("rank") === 5, col("sqd"))).as("d5"))
+    assert(byProbe.filter(col("d1") > col("d5")).count() == 0)
+    // the reranked true cosine can never beat the brute-force optimum
+    val brute = Ann.knnBrute(embs, col("vec_id") < 3, 1)
+      .select(col("probe_id"), col("cos").as("bc"))
+    val top = res.filter(col("rank") === 1)
+      .select(col("probe_id"), col("cos").as("pc"))
+    assert(top.join(brute, "probe_id").filter(col("pc") > col("bc")).count() == 0)
+    Caches.release(res)
+  }
+
+  test("IVF-SQ8 multi-probe: candidate superset never worsens the quantized top-1") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // same (full-train) model in both runs, so p=2 scans a strict
+    // superset of p=1's candidates ⇒ per-probe min sqd can only drop
+    val p1 = Ann.annIvfSq8(embs, col("vec_id") < 3, 1, 4, 2)
+      .select(col("probe_id"), col("sqd").as("s1"))
+    val p2 = Ann.annIvfSq8(embs, col("vec_id") < 3, 1, 4, 2,
+        probes = 2)
+      .select(col("probe_id"), col("sqd").as("s2"))
+    assert(p1.join(p2, "probe_id").filter(col("s2") > col("s1")).count() == 0)
+    // sampled training produces a DIFFERENT (but valid) model: the
+    // production config still returns a full result set per probe
+    val prod = Ann.annIvfSq8(embs, col("vec_id") < 3, 5, 4, 2,
+      600000L, 2)
+    assert(prod.groupBy("probe_id").count()
+      .filter(col("count") =!= 5).count() == 0)
+  }
+
   test("pipeline storage hygiene: pair ops release their corpus caches") {
     // each pairs op stages corpus-scale frames (signatures/postings)
     // internally; after it returns, only the materialized pair-sized
