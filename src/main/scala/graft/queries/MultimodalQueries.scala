@@ -83,9 +83,14 @@ object MultimodalQueries {
         .select(col("media_id"), col("iv"))
       val probes = v.filter(col("media_id") < 5)
         .select(col("media_id").as("probe_id"), col("iv").as("p_iv"))
+      // native codegen dot (same integer as the zip_with fold): the
+      // per-PAIR work must never be an interpreted HOF — with `iv`
+      // a derived expression, CollapseProject can inline the whole
+      // embedding derivation into each pair evaluation (the r15
+      // expression-shape rule from the AnnProbe grid, DESIGN.md)
       val scored = v.join(broadcast(probes), col("media_id") =!= col("probe_id"))
-        .withColumn("dot", aggregate(zip_with(col("iv"), col("p_iv"),
-          (x, y) => x * y), lit(0L), (a, t) => a + t))
+        .withColumn("dot",
+          graft.expressions.DotProductL(col("iv"), col("p_iv")))
       val w = Window.partitionBy("probe_id")
         .orderBy(col("dot").desc, col("media_id").asc)
       scored.withColumn("rank", row_number().over(w).cast("long"))
