@@ -65,7 +65,7 @@ object IvfLayoutProbe {
 
     // the probed cells: first `lp` clusters by id — WHICH cells is
     // irrelevant to layout cost, only HOW MANY directories open
-    val cells = cents.map(_._1).sorted.take(lp).map(_.toString)
+    val cells = cents.map(_._1).sorted.take(lp).map(_.toString).toIndexedSeq
     def listRead(dirPath: String): org.apache.spark.sql.DataFrame =
       spark.read.parquet(dirPath)
         .filter(col("cluster").isin(cells: _*))

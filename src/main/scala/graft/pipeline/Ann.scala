@@ -178,7 +178,7 @@ object Ann {
         .reduce(_ + _)
         .as(s"bucket$b")
     }
-    df.select((df.columns.map(col) ++ buckets): _*)
+    df.select((df.columns.toIndexedSeq.map(col) ++ buckets): _*)
   }
 
   /** ANN via LSH: candidates share ≥1 band bucket with the probe, then
