@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
   * geometry preserved, cross-copy duplication broken) so neighbor
   * structure is realistic at every factor.
   *
-  * Usage: runMain graft.AnnProbe <embDir> <brute|pq|sq8|ivfsq8> [k]
-  * [nProbes] — one probe per JVM (DESIGN.md probe discipline).
+  * Usage: runMain graft.AnnProbe <embDir>
+  *   <brute|pq|sq8|ivfsq8|ivfsq8p|ivfsq8h> [k] [nProbes] [listProbes]
+  * — ivfsq8 = full-train flat lists, ivfsq8p = 10 % sampled train +
+  * 2-probe lists, ivfsq8h = hier-routed lists ([listProbes] = list
+  * fan-out, the recall knob). One probe per JVM (DESIGN.md probe
+  * discipline).
   */
 object AnnProbe {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: AnnProbe <embDir> <brute|pq|sq8> [k] [nProbes]")
+    require(args.length >= 2, "usage: AnnProbe <embDir> " +
+      "<brute|pq|sq8|ivfsq8|ivfsq8p|ivfsq8h> [k] [nProbes] [listProbes]")
     val dir = args(0)
     val path = args(1)
     val k = args.lift(2).map(_.toInt).getOrElse(5)

@@ -64,8 +64,11 @@ object IvfLayoutProbe {
       f"write_part=$tPart%.1f s")
 
     // the probed cells: first `lp` clusters by id — WHICH cells is
-    // irrelevant to layout cost, only HOW MANY directories open
-    val cells = cents.map(_._1).sorted.take(lp).map(_.toString).toIndexedSeq
+    // irrelevant to layout cost, only HOW MANY directories open.
+    // INT literals, same type as the column: a string isin would
+    // type-coerce to cast(cluster AS string) IN (…), which cannot be
+    // pushed to parquet and would rig the flat layout's reading.
+    val cells = cents.map(_._1).sorted.take(lp).toIndexedSeq
     def listRead(dirPath: String): org.apache.spark.sql.DataFrame =
       spark.read.parquet(dirPath)
         .filter(col("cluster").isin(cells: _*))

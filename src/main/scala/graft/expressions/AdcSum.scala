@@ -21,9 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * (measured at 10×: the probe scan dropped ~10× switching the pl_a6
   * hot path to it).
   *
-  * Null semantics: null if either array is null; null/out-of-range
-  * LUT slots (an emptied codebook cluster that no code references by
-  * construction — defensive only) make the result null.
+  * Null semantics: null if either array is null; a null CODE element
+  * and null/out-of-range LUT slots (an emptied codebook cluster that
+  * no code references by construction — defensive only) make the
+  * result null, matching the element_at composition this replaced.
   */
 case class AdcSum(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
@@ -56,6 +57,7 @@ case class AdcSum(left: Expression, right: Expression, k: Int)
     var s = 0.0d
     var i = 0
     while (i < m) {
+      if (codes.isNullAt(i)) return null // a null code must not read slot i*k
       val idx = i * k + codes.getInt(i)
       if (idx < 0 || idx >= n || lut.isNullAt(idx)) return null
       s += lut.getDouble(idx)
@@ -76,6 +78,7 @@ case class AdcSum(left: Expression, right: Expression, k: Int)
          |final int $n = $l.numElements();
          |double $acc = 0.0d;
          |for (int $i = 0; $i < $m; $i++) {
+         |  if ($c.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final int $idx = $i * $k + $c.getInt($i);
          |  if ($idx < 0 || $idx >= $n || $l.isNullAt($idx)) {
          |    ${ev.isNull} = true; break;

@@ -325,11 +325,19 @@ object PipelineQueries {
             GROUP BY 1, 2)
           GROUP BY 1)"""
     val routeTbl = if (trained) "tc1" else "hsel"
-    val rselCte = if (!trained) "" else s""",
+    // the childless-cell exclusion applies to BOTH coarse tables:
+    // Ann.hierAssignModel filters stage-1 candidates to `routable`
+    // (cells parenting >=1 fine centroid) unconditionally. With the
+    // random hc-hash coarse this differs from raw hsel only in the
+    // degenerate case where two selected centroids share a quantized
+    // qv (the duplicate ties every child to the lower c_id, leaving
+    // the higher one childless) — but multi-probe routing MUST mirror
+    // it or that case diverges cross-engine.
+    val rselCte = s""",
         rsel AS (
-          SELECT * FROM tc1
+          SELECT * FROM $routeTbl
           WHERE c_id IN (SELECT DISTINCT coarse FROM par))"""
-    val s1Tbl = if (trained) "rsel" else "hsel"
+    val s1Tbl = "rsel"
     s"""tv AS (
           SELECT * FROM v
           WHERE ${h60("'kmt|' || vec_id")} % 1000000 < 600000),

@@ -58,5 +58,11 @@ class AdcSumSpec extends SparkSpec {
     val n3 = Seq((Seq(3), Seq(1.0, 2.0))).toDF("codes", "lut")
       .select(AdcSum(col("codes"), col("lut"), K).as("adc"))
     assert(n3.collect()(0).isNullAt(0))
+    // a null CODE element must yield null, never read slot i*k as 0
+    val n4 = Seq((Seq(Some(1), Option.empty[Int]), Seq(1.0, 2.0, 3.0,
+        4.0, 5.0, 6.0, 7.0, 8.0)))
+      .toDF("codes", "lut")
+      .select(AdcSum(col("codes"), col("lut"), K).as("adc"))
+    assert(n4.collect()(0).isNullAt(0))
   }
 }
