@@ -1126,4 +1126,89 @@ object Ann {
       }
       .toDF()
   }
+
+  case class Sq8Cand(probe_id: Long, assigned_cluster: Int,
+                     neighbor_id: Long, sqd: Long, cos: Double)
+  case class Sq8Hit(probe_id: Long, assigned_cluster: Int, rank: Long,
+                    neighbor_id: Long, sqd: Long, cos: Double)
+
+  /** Streaming hier-IVF-SQ8 serve — [[annIvfSq8Hier]]'s index as a
+    * continuous query endpoint: the model (hier-routed SQ8 lists,
+    * quantized centroid table, grid literals) builds ONCE from the
+    * static corpus; probe vectors arrive on `probeStream`, route to
+    * their `listProbes` nearest quantized cells as a PURE PROJECTION
+    * on the stream (the staged sorted literal array — no per-batch
+    * training, no stream-side shuffle before the join), and
+    * candidates come from a stream-static EQUI-join on the list key —
+    * the shape that stays bounded when the corpus doesn't broadcast:
+    * each micro-batch touches ~listProbes·corpus/k candidate rows per
+    * probe. Ranking + exact-cosine rerank fold per probe inside
+    * flatMapGroupsWithState with ZERO cross-batch state (each query
+    * is answered in its arrival batch). Emits [[annIvfSq8Hier]]'s
+    * exact rows, so the batch entry's oracle gates the stream.
+    */
+  def annIvfSq8HierStreamed(probeStream: DataFrame, corpus: DataFrame,
+                            topk: Int, k: Int, b: Int, rounds: Int = 2,
+                            trainPpm: Long = 600000L, routeProbes: Int = 2,
+                            trainedCoarse: Boolean = true,
+                            listProbes: Int = 2): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val v = withScaled(corpus)
+    val (assigned, cents) = hierAssignModel(corpus, k, b, rounds,
+      trainPpm, routeProbes, trainedCoarse)
+    val (minsL, rngsL) = sq8Grid(v)
+    // static side: compressed lists keyed by cluster, carrying the raw
+    // iv/norm2 the exact rerank needs
+    val lists = v.select(col("vec_id").as("neighbor_id"),
+        sq8Cr(minsL, rngsL).as("cr"), col("iv"), col("norm2"))
+      .withColumn("crn", doti(col("cr"), col("cr")))
+      .join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("cluster")), "neighbor_id")
+    def candP(id: Int, qv: Array[Long]): Column = {
+      val qq = qv.map(x => x * x).sum
+      struct(
+        (col("norm2") - lit(2L) * doti(col("iv"), typedLit(qv.toSeq))
+          + lit(qq)).as("d"),
+        lit(id).as("id"))
+    }
+    val np = math.min(listProbes, cents.length)
+    val probes = withScaled(probeStream)
+      .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
+        col("norm2").as("p_norm2"), sq8Pm(minsL).as("pm"),
+        slice(array_sort(
+          array(cents.toSeq.map { case (id, qv) => candP(id, qv) }: _*)),
+          1, np).as("_pc"))
+      .withColumn("pmn", doti(col("pm"), col("pm")))
+      .withColumn("_pce", explode(col("_pc")))
+      .withColumn("cluster", col("_pce").getField("id"))
+      .select("probe_id", "p_iv", "p_norm2", "pm", "pmn", "cluster")
+    val scored = probes.join(lists, "cluster")
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("sqd",
+        col("pmn") + col("crn") - lit(2L) * doti(col("pm"), col("cr")))
+      .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
+      .withColumn("cos",
+        cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
+      .select(col("probe_id"), col("cluster").as("assigned_cluster"),
+        col("neighbor_id"), col("sqd"), col("cos"))
+      .as[Sq8Cand]
+    scored
+      .groupByKey(_.probe_id)
+      .flatMapGroupsWithState[Long, Sq8Hit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (pid: Long, rows: Iterator[Sq8Cand], _) =>
+          // a vector lives in exactly one list, so no dedup is needed;
+          // rank by the batch tie rule (sqd asc, neighbor asc)
+          rows.toArray.sortBy(c => (c.sqd, c.neighbor_id))
+            .take(topk).zipWithIndex.map { case (c, i) =>
+              Sq8Hit(pid, c.assigned_cluster, (i + 1).toLong,
+                c.neighbor_id, c.sqd,
+                java.math.BigDecimal.valueOf(c.cos)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+            }.iterator
+      }
+      .toDF()
+  }
 }

@@ -890,6 +890,22 @@ object StreamingQueries {
       try withStatePartitions(s, nParts)(sinkToLocal(s, "graft_st15_sink",
         graft.pipeline.Ann.annLshStreamed(src, emb, 5), "append"))
       finally cleanup()
+    }),
+
+    // Streaming hier-IVF-SQ8 serve (pl_a12's twin): the quantized
+    // index builds once from the static corpus; probes route to their
+    // lists as a pure stream-side projection and candidates come from
+    // a stream-static EQUI-join on the list key — the serve shape
+    // that stays bounded when the corpus doesn't broadcast. Zero
+    // cross-batch state; oracle: pl_a12's SQL verbatim.
+    "st16_stream_ann_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (src, cleanup) = stagedFileStream(s, emb.filter(col("vec_id") < 8), 3)
+      val nParts = graft.streaming.StateSizing.partitions(8L * 64)
+      try withStatePartitions(s, nParts)(sinkToLocal(s, "graft_st16_sink",
+        graft.pipeline.Ann.annIvfSq8HierStreamed(src, emb, 5, 8, 3, 2,
+          600000L, 2, trainedCoarse = true, listProbes = 2), "append"))
+      finally cleanup()
     })
   )
 
@@ -1009,6 +1025,11 @@ object StreamingQueries {
     // Identical to the batch pl_a2 oracle — the streamed index serve
     // must return the batch index's exact top-k per probe.
     "st15_stream_ann" ->
-      PipelineQueries.oracleSql("pl_a2_ann_lsh")
+      PipelineQueries.oracleSql("pl_a2_ann_lsh"),
+
+    // Identical to the batch pl_a12 oracle — the streamed quantized
+    // index serve must return the batch composition's exact rows.
+    "st16_stream_ann_sq8" ->
+      PipelineQueries.oracleSql("pl_a12_ann_ivf_sq8_hier")
   )
 }
