@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
   * by the fixed per-step job latency × (k−1) (the small-P regime),
   * and where the P×n² table would stop fitting memory.
   *
-  * Usage: runMain graft.MmrProbe <sfDir> <P> [n] [k]
+  * Pass `hier` as the 5th arg to swap the candidate stage from the
+  * brute P×corpus scan to the hier-IVF-SQ8 index (pl_a13,
+  * Ann.mmrTopKHier, k ∝ corpus list rule) — the delta between the two
+  * runs isolates the candidate-scoring term the sublinear index
+  * removes; the MMR tail (P×n² sims + k−1 greedy steps) is identical.
+  *
+  * Usage: runMain graft.MmrProbe <sfDir> <P> [n] [k] [hier]
   * One probe per JVM (DESIGN.md probe discipline).
   */
 object MmrProbe {
@@ -23,6 +29,7 @@ object MmrProbe {
     val p = args.lift(1).map(_.toLong).getOrElse(8L)
     val n = args.lift(2).map(_.toInt).getOrElse(10)
     val k = args.lift(3).map(_.toInt).getOrElse(5)
+    val hier = args.lift(4).contains("hier")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,12 +50,21 @@ object MmrProbe {
     def once(tag: String): Unit = {
       System.gc()
       val c0 = cpuSec; val t0 = System.nanoTime()
-      val r = graft.pipeline.Ann.mmrTopK(emb, col("vec_id") < p, n, k)
+      val r =
+        if (hier) {
+          // the AnnProbe ivfsq8h knobs: k ∝ corpus, b ≈ √k, 10 %
+          // sampled train, trained coarse, 2 list-probes
+          val kk = math.max(8, (nVec / 250).toInt)
+          graft.pipeline.Ann.mmrTopKHier(emb, col("vec_id") < p, n, k,
+            kk, math.max(2, math.sqrt(kk.toDouble).round.toInt), 2,
+            100000L, 2, trainedCoarse = true, listProbes = 2)
+        } else graft.pipeline.Ann.mmrTopK(emb, col("vec_id") < p, n, k)
       val rows = r.count()
       val wall = (System.nanoTime() - t0) / 1e9
       graft.pipeline.Caches.releaseQuiet(r)
-      println(f"[mmrprobe] $tag n_vec=$nVec P=$p n=$n k=$k rows=$rows " +
-        f"sims=${p * n * (n - 1)} wall=$wall%.2f cpu=${cpuSec - c0}%.2f")
+      println(f"[mmrprobe] $tag hier=$hier n_vec=$nVec P=$p n=$n k=$k " +
+        f"rows=$rows sims=${p * n * (n - 1)} wall=$wall%.2f " +
+        f"cpu=${cpuSec - c0}%.2f")
     }
     once("cold")
     once("warm")

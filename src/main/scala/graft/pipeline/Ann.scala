@@ -980,7 +980,24 @@ object Ann {
                     k: Int, b: Int, rounds: Int = 2,
                     trainPpm: Long = 600000L, routeProbes: Int = 2,
                     trainedCoarse: Boolean = true,
-                    listProbes: Int = 2): DataFrame = {
+                    listProbes: Int = 2): DataFrame =
+    ivfSq8HierRanked(vectors, probeFilter, topk, k, b, rounds, trainPpm,
+      routeProbes, trainedCoarse, listProbes)
+      .withColumn("cos", round(col("cos"), 6))
+
+  /** [[annIvfSq8Hier]] with the exact rerank cosine UNROUNDED — the
+    * shared candidate stage: the public entry rounds to 6dp for its
+    * oracle, while [[mmrTopKHier]]'s greedy trace needs the exact
+    * rel (the pl_a8 rounding lesson, ADVICE r12: a rounded rel makes
+    * near-tie greedy picks diverge from the oracle's unrounded
+    * replay). Returns
+    * (probe_id, assigned_cluster, rank, neighbor_id, sqd, cos).
+    */
+  private def ivfSq8HierRanked(vectors: DataFrame, probeFilter: Column,
+                    topk: Int, k: Int, b: Int, rounds: Int,
+                    trainPpm: Long, routeProbes: Int,
+                    trainedCoarse: Boolean,
+                    listProbes: Int): DataFrame = {
     // mirror annIvfSq8's probes check: listProbes=0 would slice an
     // empty probe-cell array and the explode silently drops every
     // probe — a zero-row result with no signal (ADVICE r15)
@@ -1034,8 +1051,7 @@ object Ann {
       .withColumn("dot_scaled", doti(col("iv"), col("p_iv")))
       .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
       .select(col("probe_id"), col("assigned_cluster"), col("rank"),
-        col("vec_id").as("neighbor_id"), col("sqd"),
-        round(col("cos"), 6).as("cos"))
+        col("vec_id").as("neighbor_id"), col("sqd"), col("cos"))
   }
 
   private val Window = org.apache.spark.sql.expressions.Window
@@ -1091,10 +1107,45 @@ object Ann {
     val scored = v0.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
         cosine(doti(col("iv"), col("p_iv")), col("p_norm2"), col("norm2")))
-    val cand = Caches.materialize(
+    mmrSelect(
       topK(scored, n)
         .select(col("probe_id"), col("vec_id").as("cand_id"),
-          col("cos").as("rel")))
+          col("cos").as("rel")),
+      vectors, k)
+  }
+
+  /** MMR over SUBLINEAR candidates (r16, VERDICT r15 #2): the same
+    * greedy 0.7·rel − 0.3·maxsim trace as [[mmrTopK]], but the
+    * candidate stage is the hier-routed IVF-SQ8 index
+    * ([[annIvfSq8Hier]]'s chain, cosine unrounded) instead of the
+    * brute P×corpus scan — each probe's top-`n` comes from scanning
+    * its `listProbes` lists' SQ8 codes (~listProbes·corpus/k rows),
+    * so the whole retrieval-plus-diversification pipeline is
+    * sublinear in the corpus. The MMR tail is candidate-source-
+    * agnostic by design (rel = the exact rerank cosine either way).
+    */
+  def mmrTopKHier(vectors: DataFrame, probeFilter: Column, n: Int, k: Int,
+                  kk: Int, b: Int, rounds: Int = 2,
+                  trainPpm: Long = 600000L, routeProbes: Int = 2,
+                  trainedCoarse: Boolean = true,
+                  listProbes: Int = 2): DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
+    mmrSelect(
+      ivfSq8HierRanked(vectors, probeFilter, n, kk, b, rounds, trainPpm,
+        routeProbes, trainedCoarse, listProbes)
+        .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+          col("cos").as("rel")),
+      vectors, k)
+  }
+
+  /** The shared MMR greedy tail: `candIn` = (probe_id, cand_id, rel)
+    * with rel UNROUNDED; materialized once (P×n rows by construction),
+    * then k−1 bounded greedy steps — see [[mmrTopK]] for the full
+    * exactness/scale contract.
+    */
+  private def mmrSelect(candIn: DataFrame, vectors: DataFrame, k: Int):
+      DataFrame = {
+    val cand = Caches.materialize(candIn)
     val v = withScaled(vectors).select("vec_id", "iv", "norm2")
     val cv = cand.select("probe_id", "cand_id")
       .join(v, col("cand_id") === col("vec_id"))

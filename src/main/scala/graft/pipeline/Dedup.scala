@@ -150,7 +150,7 @@ object Dedup {
       logExclusions(overOpt, s"reference LSH bucket(s) over cap $maxBucketSize")
       m
     } finally {
-      cs.unpersist(blocking = false); rs.unpersist(blocking = false)
+      Caches.release(cs); Caches.release(rs)
     }
   }
 
@@ -162,11 +162,14 @@ object Dedup {
     // (doc_id, _sh, mh*) is read downstream on EITHER side, so staging
     // the signatures() projection instead of the full-width corpus
     // halves the doubled cache footprint and keeps both parquet scans
-    // pruned to (doc_id, text).
-    val cs = signatures(corpus, tokenizer)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rs = signatures(reference, tokenizer)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pruned to (doc_id, text). MATERIALIZED (r16, VERDICT r15 #6),
+    // not persist()ed: r14/r15 proved persist does not substitute
+    // into COMPOSED plans (the keptPlan lesson, CorpusFilter.scala) —
+    // a caller weaving this into a larger pipeline would silently
+    // re-scan both corpora per branch; the checkpoint makes every
+    // downstream stage read the narrow signature RDD by construction.
+    val cs = Caches.materialize(signatures(corpus, tokenizer))
+    val rs = Caches.materialize(signatures(reference, tokenizer))
     locally {
       val cb = bands(cs)
       val rbAll = bands(rs)
@@ -752,9 +755,18 @@ object Dedup {
     // unpersist works); later rounds are localCheckpoint'd, whose blocks
     // live on the RDD the checkpoint persisted — Dataset.unpersist is a
     // no-op on those; Caches.persistedRdd finds the storage-levelled
-    // node on the dependency walk.
-    var prevCkpt: org.apache.spark.rdd.RDD[_] = null
+    // node on the dependency walk. Superseded rounds release ONLY after
+    // a convergence count has materialized a round built on top of them
+    // (an unchecked round's checkpoint is lazy — dropping its parent's
+    // blocks first would recompute from the cached edge list).
+    def releaseOf(df: DataFrame): () => Unit = () => {
+      df.unpersist()
+      Caches.persistedRdd(df, quiet = true)
+        .foreach(_.unpersist(blocking = false))
+    }
+    var pending = List.empty[() => Unit]
     var changed = 1L
+    var round = 0
     while (changed > 0) {
       val nbMin = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("nb_rep")), "dst")
@@ -769,17 +781,32 @@ object Dedup {
         .select(col("id"),
           least(col("rep"), coalesce(col("nb_rep"), col("rep")),
             coalesce(col("hop_rep"), col("rep"))).as("rep"))
-        // localCheckpoint (eager via the count below) truncates the
-        // per-round lineage chain so plan size stays O(1) across rounds
+        // localCheckpoint truncates the per-round lineage chain so plan
+        // size stays O(1) across rounds; it materializes under the next
+        // convergence count's job (every 2nd round)
         .localCheckpoint(false)
-      changed = next.withColumnRenamed("rep", "new_rep")
-        .join(labels, "id")
-        .filter(col("new_rep") =!= col("rep"))
-        .count()
-      labels.unpersist()
-      if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
-      prevCkpt = Caches.persistedRdd(next).orNull
+      round += 1
+      val old = labels
+      pending ::= releaseOf(old)
       labels = next
+      // Convergence is checked every OTHER round (r16, VERDICT r15 #7):
+      // the per-round count() was one driver-synchronized action per
+      // round — a declared accepted cost at O(log diameter) rounds,
+      // halved here. A propagation round at the fixed point is
+      // idempotent (min over own/neighbor/hop labels of an already-
+      // stable labeling), so deferring the check can only run one
+      // harmless extra round; the fixed point — hence pl_d3 — is
+      // bit-unchanged.
+      if (round % 2 == 0) {
+        changed = next.withColumnRenamed("rep", "new_rep")
+          .join(old, "id")
+          .filter(col("new_rep") =!= col("rep"))
+          .count()
+        // `next` is materialized now — every prior round's storage is
+        // unreachable from any live plan
+        pending.foreach(_.apply())
+        pending = Nil
+      }
     }
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     val out = labels.join(sizes, "rep")
@@ -788,7 +815,8 @@ object Dedup {
     // materialize the (edge-list-sized) result so the last round's
     // checkpoint and the edge cache can be released too
     try Caches.materialize(out) finally {
-      if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
+      Caches.persistedRdd(labels, quiet = true)
+        .foreach(_.unpersist(blocking = false))
       edges.unpersist(blocking = false)
     }
   }

@@ -389,7 +389,24 @@ object PipelineQueries {
     */
   private def ivfSq8HierSql(routeProbes: Int, trained: Boolean,
                             listProbes: Int): String =
-    s"""WITH $vSql,
+    s"""WITH ${ivfSq8HierCtes(routeProbes, trained, listProbes)}
+        SELECT r.probe_id, r.assigned_cluster, CAST(r.rank AS BIGINT) AS rank,
+               r.vec_id AS neighbor_id, r.sqd,
+               round(${dotSql("vv.iv", "r.p_iv")}::DOUBLE
+                 / (sqrt(r.p_norm2::DOUBLE) * sqrt(vv.norm2::DOUBLE)), 6)
+                 AS cos
+        FROM ranked r JOIN v vv ON vv.vec_id = r.vec_id
+        WHERE r.rank <= $K"""
+
+  /** The hier-IVF-SQ8 CTE chain through `ranked` (per-probe in-list
+    * SQ8 ranking; v also in scope) — shared by [[ivfSq8HierSql]]
+    * (pl_a12) and the pl_a13 MMR-over-hier-candidates oracle so the
+    * index semantics cannot drift between retrieval and
+    * diversification.
+    */
+  private def ivfSq8HierCtes(routeProbes: Int, trained: Boolean,
+                             listProbes: Int): String =
+    s"""$vSql,
         ${hierChainCtesSql(routeProbes, trained)},
         dims AS (SELECT unnest(range(1, ${Ann.Dim + 1})) AS d),
         mm AS (
@@ -433,14 +450,48 @@ object PipelineQueries {
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY probe_id
                       ORDER BY sqd ASC, vec_id ASC) AS rank
-          FROM scored)
-        SELECT r.probe_id, r.assigned_cluster, CAST(r.rank AS BIGINT) AS rank,
-               r.vec_id AS neighbor_id, r.sqd,
-               round(${dotSql("vv.iv", "r.p_iv")}::DOUBLE
-                 / (sqrt(r.p_norm2::DOUBLE) * sqrt(vv.norm2::DOUBLE)), 6)
-                 AS cos
-        FROM ranked r JOIN v vv ON vv.vec_id = r.vec_id
-        WHERE r.rank <= $K"""
+          FROM scored)"""
+
+  /** MMR greedy-trace tail (recursive CTE): pairwise exact cosines
+    * over the candidate set, then the 0.7·rel − 0.3·maxsim argmax
+    * walked step by step carrying the selected list. Assumes CTEs
+    * `v(vec_id, iv, norm2)` and `cand(probe_id, cand_id, rel)` (rel
+    * UNROUNDED) in scope and a `WITH RECURSIVE` prefix — shared by
+    * pl_a8 (brute candidates) and pl_a13 (hier-IVF-SQ8 candidates) so
+    * the greedy semantics cannot drift between candidate sources.
+    */
+  private def mmrTailSql(k: Int): String =
+    s"""sims AS (
+          SELECT a.probe_id, a.cand_id AS a_id, b.cand_id AS b_id,
+                 ${dotSql("va.iv", "vb.iv")}::DOUBLE
+                   / (sqrt(va.norm2::DOUBLE) * sqrt(vb.norm2::DOUBLE)) AS sim
+          FROM cand a
+               JOIN cand b ON a.probe_id = b.probe_id
+                          AND a.cand_id <> b.cand_id
+               JOIN v va ON va.vec_id = a.cand_id
+               JOIN v vb ON vb.vec_id = b.cand_id),
+        rec AS (
+          SELECT 1 AS step, probe_id, [cand_id] AS sel FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY rel DESC, cand_id ASC) AS rk
+            FROM cand)
+          WHERE rk = 1
+          UNION ALL
+          SELECT r.step + 1, r.probe_id, list_append(r.sel,
+            (SELECT c.cand_id
+             FROM cand c JOIN sims s
+               ON s.probe_id = c.probe_id AND s.a_id = c.cand_id
+                  AND list_contains(r.sel, s.b_id)
+             WHERE c.probe_id = r.probe_id
+               AND NOT list_contains(r.sel, c.cand_id)
+             GROUP BY c.cand_id, c.rel
+             ORDER BY 0.7 * c.rel - 0.3 * max(s.sim) DESC, c.cand_id ASC
+             LIMIT 1))
+          FROM rec r WHERE r.step < $k)
+        SELECT probe_id, CAST(i + 1 AS BIGINT) AS rank,
+               sel[i + 1] AS neighbor_id
+        FROM (SELECT probe_id, sel, unnest(range(len(sel))) AS i
+              FROM rec WHERE step = $k) t"""
 
   /** Token → (register, rho) CTE chain for the p=8 HLL — shared by
     * pl_k4's one-row summary and the streaming register-table twin
@@ -807,6 +858,15 @@ object PipelineQueries {
     // flat composition at k ∝ corpus (full Lloyd, N·k assignment).
     "pl_a12_ann_ivf_sq8_hier" -> ((s, d) =>
       Ann.annIvfSq8Hier(Tables.embeddings(s, d), probeF, K, 8, 3, 2,
+        600000L, 2, trainedCoarse = true, listProbes = 2)),
+
+    // MMR diversification over SUBLINEAR candidates: the pl_a8 greedy
+    // tail fed by the pl_a12 hier-IVF-SQ8 index (top-10 per probe from
+    // its 2 lists' SQ8 codes, exact-reranked to an unrounded rel)
+    // instead of the brute P×corpus scan — retrieval + diversification
+    // end-to-end sublinear in the corpus.
+    "pl_a13_mmr_hier" -> ((s, d) =>
+      Ann.mmrTopKHier(Tables.embeddings(s, d), probeF, 10, K, 8, 3, 2,
         600000L, 2, trainedCoarse = true, listProbes = 2)),
 
     // The composed corpus filter: quality ∧ exact-keeper ∧ not a
@@ -2297,37 +2357,21 @@ object PipelineQueries {
                           ORDER BY rel DESC, cand_id ASC) AS rk
               FROM scored)
             WHERE rk <= 10),
-          sims AS (
-            SELECT a.probe_id, a.cand_id AS a_id, b.cand_id AS b_id,
-                   ${dotSql("va.iv", "vb.iv")}::DOUBLE
-                     / (sqrt(va.norm2::DOUBLE) * sqrt(vb.norm2::DOUBLE)) AS sim
-            FROM cand a
-                 JOIN cand b ON a.probe_id = b.probe_id
-                            AND a.cand_id <> b.cand_id
-                 JOIN v va ON va.vec_id = a.cand_id
-                 JOIN v vb ON vb.vec_id = b.cand_id),
-          rec AS (
-            SELECT 1 AS step, probe_id, [cand_id] AS sel FROM (
-              SELECT *, row_number() OVER (PARTITION BY probe_id
-                          ORDER BY rel DESC, cand_id ASC) AS rk
-              FROM cand)
-            WHERE rk = 1
-            UNION ALL
-            SELECT r.step + 1, r.probe_id, list_append(r.sel,
-              (SELECT c.cand_id
-               FROM cand c JOIN sims s
-                 ON s.probe_id = c.probe_id AND s.a_id = c.cand_id
-                    AND list_contains(r.sel, s.b_id)
-               WHERE c.probe_id = r.probe_id
-                 AND NOT list_contains(r.sel, c.cand_id)
-               GROUP BY c.cand_id, c.rel
-               ORDER BY 0.7 * c.rel - 0.3 * max(s.sim) DESC, c.cand_id ASC
-               LIMIT 1))
-            FROM rec r WHERE r.step < $K)
-          SELECT probe_id, CAST(i + 1 AS BIGINT) AS rank,
-                 sel[i + 1] AS neighbor_id
-          FROM (SELECT probe_id, sel, unnest(range(len(sel))) AS i
-                FROM rec WHERE step = $K) t""",
+          ${mmrTailSql(K)}""",
+
+    // MMR over the hier-IVF-SQ8 index's candidates: the same greedy
+    // tail, but cand = each probe's top-10 in-list SQ8 ranking (the
+    // pl_a12 chain) exact-reranked to an UNROUNDED rel.
+    "pl_a13_mmr_hier" ->
+      s"""WITH RECURSIVE ${ivfSq8HierCtes(2, trained = true, 2)},
+          cand AS (
+            SELECT r.probe_id, r.vec_id AS cand_id,
+                   ${dotSql("vv.iv", "r.p_iv")}::DOUBLE
+                     / (sqrt(r.p_norm2::DOUBLE) * sqrt(vv.norm2::DOUBLE))
+                     AS rel
+            FROM ranked r JOIN v vv ON vv.vec_id = r.vec_id
+            WHERE r.rank <= 10),
+          ${mmrTailSql(K)}""",
 
     "pl_a2_ann_lsh" ->
       s"""WITH $lshBandRowsSql,

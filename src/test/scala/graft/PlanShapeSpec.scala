@@ -86,9 +86,19 @@ class PlanShapeSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(0))
     val ref = docs.exceptAll(corpus)
     val (out, cs, rs, _) = Dedup.crossCorpusPlan(corpus, ref, 0.7, 0)
-    try assertNoAllPairs(plan(out), "crossCorpusMatches")
-    finally {
-      cs.unpersist(blocking = false); rs.unpersist(blocking = false)
+    try {
+      val p = plan(out)
+      assertNoAllPairs(p, "crossCorpusMatches")
+      // r16 (VERDICT r15 #6): both signature sides are MATERIALIZED,
+      // so the match plan reads the two narrow checkpoints — zero
+      // parquet re-scans of either corpus, composition-safe by
+      // construction (persist() would not substitute into composed
+      // plans; the keptPlan lesson).
+      assert(!p.contains("FileScan"),
+        s"crossCorpus match re-scans a corpus instead of its signature checkpoint:\n$p")
+    } finally {
+      graft.pipeline.Caches.release(cs)
+      graft.pipeline.Caches.release(rs)
     }
   }
 
