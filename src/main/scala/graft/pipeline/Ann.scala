@@ -974,6 +974,19 @@ object Ann {
     * replayable end to end. This fixes both walls the AnnProbe grid
     * measures on the flat composition at k ∝ corpus: full-train
     * Lloyd (sampled) and the N·k assignment (hier routing).
+    *
+    * RECALL CONTRACT (the deployment rule, measured at 100×/k=800 in
+    * DESIGN.md "wall-fix ladder"): `listProbes` is the recall knob
+    * and must be SIZED TO THE RECALL SLA, not defaulted — hier-routed
+    * list quality inherits the coarse-routing agreement decay, so at
+    * k ∝ corpus the default listProbes=2 finds near-zero recall@5
+    * while listProbes=32 (scanning 4 % of the corpus) measured 0.275
+    * at +25 % wall; per-probed-list cost stays bounded
+    * (~corpus/k rows, zero exchanges) at ANY listProbes, which is the
+    * property this operator guarantees. The fixture-scale entry runs
+    * listProbes=2 of k=8 lists (25 % of the corpus — a high-recall
+    * regime at small k); a 10⁹-vector deployment starts its SLA sweep
+    * at listProbes ≈ k/25 and tunes on measured recall.
     * Returns (probe_id, assigned_cluster, rank, neighbor_id, sqd, cos).
     */
   def annIvfSq8Hier(vectors: DataFrame, probeFilter: Column, topk: Int,
@@ -1297,12 +1310,14 @@ object Ann {
       trainPpm, routeProbes, trainedCoarse)
     val (minsL, rngsL) = sq8Grid(v)
     // static side: compressed lists keyed by cluster, carrying the raw
-    // iv/norm2 the exact rerank needs
-    val lists = v.select(col("vec_id").as("neighbor_id"),
-        sq8Cr(minsL, rngsL).as("cr"), col("iv"), col("norm2"))
+    // iv/norm2 the exact rerank needs — composed ON TOP of the
+    // router's corpus projection (r16: no corpus self-join; the batch
+    // twin's list-build discipline)
+    val lists = assigned
+      .select(col("vec_id").as("neighbor_id"),
+        sq8Cr(minsL, rngsL).as("cr"), col("iv"), col("norm2"),
+        col("cluster"))
       .withColumn("crn", doti(col("cr"), col("cr")))
-      .join(assigned.select(col("vec_id").as("neighbor_id"),
-        col("cluster")), "neighbor_id")
     def candP(id: Int, qv: Array[Long]): Column = {
       val qq = qv.map(x => x * x).sum
       struct(
