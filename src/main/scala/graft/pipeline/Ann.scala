@@ -615,10 +615,13 @@ object Ann {
   /** Product-quantization model: per subspace m (PqSubDim dims), a
     * deterministic k-means (seeds by hash, `rounds` Lloyd iterations,
     * exact rational distances — the [[kmeansModel]] contract) trains
-    * PqCodes centroids. ALL subspaces train in the SAME
-    * broadcast+aggregate passes, keyed by m — the codebook table is
-    * M×K rows, so each Lloyd round is one broadcast join + one
-    * partial-aggregated groupBy regardless of M.
+    * PqCodes centroids. ALL subspaces assign in the SAME projection
+    * (r16): the M×K codebook collects driver-side per round and every
+    * subspace's code is a literal-argmin ([[assignLiteral]]) over its
+    * K candidates — zero exchanges per Lloyd round except the
+    * (m, code, d)-keyed centroid recompute aggregation, and the
+    * compressed-corpus output is a pure projection (no
+    * groupBy(vec_id) round-trip).
     *
     * Returns (codes, codebook): codes = (vec_id, codes array<int>
     * ordered by m — the compressed corpus, M small ints per vector);
@@ -644,30 +647,51 @@ object Ann {
       .select(col("m"), (col("_rk") - 1).as("c_id"),
         lit(1L).as("n"), col("siv").as("sv"))
 
-    var assigned: DataFrame = null
     var lastCent = cent
     // same round-over-round checkpoint release as kmeansModel
     var prevCkpt: DataFrame = null
-    val subsN = subs.withColumn("_ivn", doti(col("siv"), col("siv")))
+    // per-subspace slices + self-dots staged ONCE per row (the r15
+    // expression-shape rules: each candidate references them, so they
+    // must be named columns, never re-inlined slices)
+    val vS = (0 until PqSubspaces).foldLeft(v) { (df, m) =>
+      df.withColumn(s"_siv$m", slice(col("iv"), m * PqSubDim + 1, PqSubDim))
+        .withColumn(s"_sivn$m", doti(col(s"_siv$m"), col(s"_siv$m")))
+    }
+    // the collected codebook, split by subspace — feeds assignLiteral
+    def byM(cent: DataFrame): Map[Int, Array[(Int, Long, Array[Long])]] =
+      cent.select("m", "c_id", "n", "sv").collect()
+        .map(r => (r.getInt(0),
+          (r.getInt(1), r.getLong(2), r.getSeq[Long](3).toArray)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    var codebook: Map[Int, Array[(Int, Long, Array[Long])]] = null
     for (rd <- 0 until rounds) {
       lastCent = cent
-      // assignment via partial-aggregated min(struct(d2, c_id)) —
-      // lexicographic min = (d2 asc, c_id asc), the same tie rule as
-      // kmeansModel's window, without a per-round sort.
-      val centN = cent.withColumn("_svn", doti(col("sv"), col("sv")))
-      val dist = subsN.join(broadcast(centN), Seq("m"))
-        .withColumn("d2", ratD2Pre(col("siv"), col("sv"), col("n"),
-          col("_ivn"), col("_svn")))
-      assigned = dist.groupBy("vec_id", "m")
-        .agg(min(struct(col("d2"), col("c_id"))).as("mc"),
-          first(col("siv")).as("siv")) // identical across the group
-        .select(col("vec_id"), col("m"), col("mc.c_id").as("code"),
-          col("siv"))
+      // assignment is a PURE PROJECTION (r16 — the kmeansModel
+      // literal-argmin discipline, per subspace): the M×K codebook
+      // collects driver-side and each subspace's code is an
+      // array_min over K literal (d2, c_id) candidates — the same
+      // lexicographic (d2 asc, c_id asc) rule the old
+      // partial-aggregated min(struct) used, with the SAME ratD2Pre
+      // distances, so codes are bit-identical; the per-round
+      // N×M-row groupBy exchange is gone.
+      codebook = byM(cent)
       // intermediate codebooks checkpoint (M×K tiny rows) — same
       // rationale as kmeansModel: downstream branches (codes AND the
       // probe LUT) share one training pass instead of re-running it.
       if (rd < rounds - 1) {
-        cent = Caches.materialize(assigned
+        val enc = vS.select(col("vec_id") +: (0 until PqSubspaces).map { m =>
+          struct(
+            assignLiteral(codebook(m), col(s"_siv$m"), col(s"_sivn$m"))
+              .as("code"),
+            col(s"_siv$m").as("siv")).as(s"_e$m")
+        }: _*)
+          .select(col("vec_id"), explode(array((0 until PqSubspaces).map {
+            m => struct(lit(m).as("m"), col(s"_e$m.code").as("code"),
+              col(s"_e$m.siv").as("siv"))
+          }: _*)).as("e"))
+          .select(col("e.m").as("m"), col("e.code").as("code"),
+            col("e.siv").as("siv"))
+        cent = Caches.materialize(enc
           .select(col("m"), col("code"), posexplode(col("siv")).as(Seq("d", "x")))
           .groupBy("m", "code", "d")
           .agg(sum("x").as("s"), count(lit(1)).as("cn"))
@@ -679,9 +703,12 @@ object Ann {
         prevCkpt = cent
       }
     }
-    val codes = assigned.groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-        r => r("code").cast("int")).as("codes"))
+    // the compressed corpus: one projection, codes in m order — the
+    // old groupBy(vec_id)+collect_list round-trip is gone too
+    val codes = vS.select(col("vec_id"),
+      array((0 until PqSubspaces).map { m =>
+        assignLiteral(codebook(m), col(s"_siv$m"), col(s"_sivn$m"))
+      }: _*).as("codes"))
     (codes, lastCent)
   }
 
@@ -1248,8 +1275,12 @@ object Ann {
           .as("bb"): _*)
         .select(col(idAs) +: extra.map(e => col(e._2)) :+
           col("bb.band_id") :+ col("bb.bucket"): _*)
-    val candB = bandRows(withLshBuckets(withScaled(corpus)), "neighbor_id",
-      Seq("iv" -> "iv", "norm2" -> "norm2"))
+    // the corpus band-row index is the static side of a stream-static
+    // join — materialized once (r16, same rationale as the SQ8 serve
+    // path: an unmaterialized static side re-executes per micro-batch)
+    val candB = Caches.materialize(
+      bandRows(withLshBuckets(withScaled(corpus)), "neighbor_id",
+        Seq("iv" -> "iv", "norm2" -> "norm2")))
     val probeB = bandRows(withLshBuckets(withScaled(probeStream)), "probe_id",
       Seq("iv" -> "p_iv", "norm2" -> "p_norm2"))
     val scored = probeB.join(candB, Seq("band_id", "bucket"))
@@ -1312,12 +1343,20 @@ object Ann {
     // static side: compressed lists keyed by cluster, carrying the raw
     // iv/norm2 the exact rerank needs — composed ON TOP of the
     // router's corpus projection (r16: no corpus self-join; the batch
-    // twin's list-build discipline)
-    val lists = assigned
+    // twin's list-build discipline) and MATERIALIZED once: a
+    // stream-static join re-executes the static plan EVERY micro-batch,
+    // so an unmaterialized list table re-paid the full corpus
+    // routing+encode per batch (StreamServeProbe at 100×: ~11–19 s per
+    // 2–3-probe batch, all rebuild). The checkpoint pins the serve
+    // index in executor storage (~1 KB/vector — the in-RAM budget any
+    // served ANN index pays) for the lifetime of the query, dropping
+    // steady-state batches to the candidate-volume term
+    // (~listProbes·corpus/k rows per probe).
+    val lists = Caches.materialize(assigned
       .select(col("vec_id").as("neighbor_id"),
         sq8Cr(minsL, rngsL).as("cr"), col("iv"), col("norm2"),
         col("cluster"))
-      .withColumn("crn", doti(col("cr"), col("cr")))
+      .withColumn("crn", doti(col("cr"), col("cr"))))
     def candP(id: Int, qv: Array[Long]): Column = {
       val qq = qv.map(x => x * x).sum
       struct(

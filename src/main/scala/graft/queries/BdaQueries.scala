@@ -22,7 +22,8 @@ import graft.ops.Bda
 object BdaQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val MS = "/root/repo/fixtures/ms"
+  private val MS = sys.env.getOrElse("GRAFT_MS_ROOT",
+    "/root/repo/fixtures/ms") // scale-probe override, see MsQueries
   private def rp(t: String) = s"read_parquet('$MS/$t/*.parquet')"
 
   val sizingArgs = Bda.Args(decorrelation = 0.99, maxFovDeg = 0.056,

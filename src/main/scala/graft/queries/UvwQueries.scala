@@ -15,7 +15,8 @@ import graft.ops.{Timechannel, Uvw}
 object UvwQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val MS = "/root/repo/fixtures/ms"
+  private val MS = sys.env.getOrElse("GRAFT_MS_ROOT",
+    "/root/repo/fixtures/ms") // scale-probe override, see MsQueries
   private def rp(t: String) = s"read_parquet('$MS/$t/*.parquet')"
 
   /** SQL fragment: (u,v,w) of (lx,ly,lz) toward (ra,dec) at mjd-sec t —

@@ -279,6 +279,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"kmeans assignment reads the corpus $scans times:\n$p")
   }
 
+  test("PQ codes are a zero-exchange literal-argmin projection") {
+    // r16: the per-round N×M-row groupBy(vec_id, m) assignment and the
+    // final groupBy(vec_id) collect_list round-trip are gone — the
+    // compressed corpus is one projection over one scan, codes via
+    // array_min over the collected M×K codebook's literal candidates.
+    val p = plan(Ann.pqModel(embs, 2)._1)
+    assert(!p.contains("Exchange"),
+      s"PQ codes plan an Exchange (literal-argmin contract broken):\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"PQ codes plan a window/join:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"PQ codes read the corpus $scans times:\n$p")
+  }
+
   test("trained IVF (kmeans lists): one shuffle total — the per-probe top-k") {
     // the list table composes on top of the model's assignment
     // projection (no corpus self-join on vec_id), probe assignment is
