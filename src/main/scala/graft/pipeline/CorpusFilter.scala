@@ -102,4 +102,53 @@ object CorpusFilter {
     try Caches.materialize(plan.select("doc_id", "n_tokens"))
     finally Caches.release(sigs)
   }
+
+  /** The per-source corpus report card — the "data card" a curation
+    * run ships with the corpus: one row per `source` with its doc and
+    * token mass, how much each filter stage would remove (quality
+    * fail, exact-dup copies, near-dup losers), the surviving `n_kept`
+    * under exactly the [[keptPlan]] keep rule, and language spread.
+    * Every column is an integer count (sums of int64, count-distinct),
+    * so the card is combine-order-independent and hash-gated with no
+    * tolerance.
+    *
+    * Near-dup losers are counted AMONG EXACT KEEPERS (the LSH stage
+    * runs over the keeper subset, as in [[keptPlan]]): a byte-copy is
+    * already accounted under `n_exact_dup`, and counting it again as a
+    * Jaccard-1.0 "near-dup" of its keeper would double-book the same
+    * mass — the card's stages partition the drop reasons the way the
+    * pipeline actually applies them.
+    *
+    * Scale: the same bounded stages as [[keptPlan]] (one md5 groupBy,
+    * one banded bucket join over the materialized narrow signatures)
+    * plus two corpus-keyed flag joins and ONE final groupBy on
+    * `source` — a key domain of dozens, aggregated map-side to almost
+    * nothing before the exchange.
+    */
+  def dataCard(docs: DataFrame, minJaccard: Double = 0.7): DataFrame = {
+    val exactKeepers = Dedup.exactClusters(docs)
+      .select(col("keeper").as("doc_id")).distinct()
+    val sigs = Caches.materialize(
+      Dedup.signatures(docs.join(exactKeepers, Seq("doc_id"), "semi")))
+    try {
+      val (pairs, _) = Dedup.pairsFromSigs(sigs, minJaccard,
+        Dedup.DefaultMaxBucketSize)
+      val losers = pairs.select(col("doc2").as("doc_id")).distinct()
+      val flagged = TextOps.withQuality(docs)
+        .join(exactKeepers.withColumn("_k", lit(true)), Seq("doc_id"), "left")
+        .join(losers.withColumn("_l", lit(true)), Seq("doc_id"), "left")
+        .withColumn("is_keeper", col("_k").isNotNull)
+        .withColumn("is_loser", col("_l").isNotNull)
+      val card = flagged.groupBy("source").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_quality_fail"),
+        sum(when(!col("is_keeper"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("is_loser"), 1L).otherwise(0L)).as("n_neardup_loser"),
+        sum(when(col("keep") && col("is_keeper") && !col("is_loser"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        count_distinct(col("lang")).as("n_langs"))
+      Caches.materialize(card)
+    } finally Caches.release(sigs)
+  }
 }

@@ -148,4 +148,60 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("n_terms_matched"), round(col("score"), 6).as("score"))
   }
+
+  /** Reciprocal-rank fusion of two per-query rank lists — the hybrid
+    * retrieval a curation pipeline runs when neither keyword (BM25)
+    * nor embedding (ANN) ranking alone is trustworthy: decontamination
+    * probes want the union of "shares rare tokens with the benchmark"
+    * and "is semantically close to the benchmark", and RRF is the
+    * standard score-free way to fuse them (Cormack et al., SIGIR'09:
+    * rank positions only, so the two systems' incomparable score
+    * scales never meet).
+    *
+    * Inputs are (query_id, doc_id, rank) frames — rank 1-based within
+    * each query. The fused score is
+    *
+    *   rrf(q, d) = 1/(c + rank_a(q, d)) + 1/(c + rank_b(q, d))
+    *
+    * with a missing side contributing 0. Determinism: each reciprocal
+    * is ONE correctly-rounded IEEE division of exact small integers and
+    * the sum is two doubles in fixed (a + b) order, so the ranking —
+    * ties broken by doc_id — is bit-identical on any engine; the output
+    * carries the unrounded-ranked score rounded to 6 for display and
+    * the per-side ranks (0 = absent from that side's list, ranks being
+    * 1-based) so every row shows its own provenance.
+    *
+    * Scale: both inputs are per-query top-k lists — |queries|·k rows,
+    * broadcast-sized by construction no matter how large the corpus
+    * the upstream rankers scanned — so the fusion is a full-outer join
+    * of two tiny frames plus one per-query top-k window. All the
+    * 100 TB cost lives upstream in the rankers (BM25's single postings
+    * scan, the ANN index's bounded per-list serve); fusing their
+    * outputs is free by comparison.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Long = 60L)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(c >= 1L, s"rrf constant must be >= 1: $c")
+    def side(df: DataFrame, as: String) = df.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as(as))
+    val fused = side(a, "r_a").join(side(b, "r_b"),
+        Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("r_a")).cast("double"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c) + col("r_b")).cast("double"),
+            lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        coalesce(col("r_a"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_b"), lit(0L)).as("r_dense"),
+        round(col("rrf"), 6).as("rrf"))
+  }
 }

@@ -572,6 +572,57 @@ object PipelineQueries {
   /** Brute-force verified near-dup pairs (ground truth for d2/d3). */
   private val truthPairsSql = truthPairsSqlFor("")
 
+  /** The rational-idf BM25 scoring chain (qt → stats → tf → dfq → c →
+    * sc → bm25r), generated from [[Bm25Queries]] and
+    * `Retrieval.MaxTerms` — ONE definition shared by pl_r1's oracle and
+    * the pl_r2 hybrid's sparse side so the scoring can never drift.
+    * `bm25r` carries (query_id, doc_id, n_terms_matched, score, rk);
+    * callers apply their own rk cut.
+    */
+  private def bm25CtesSql: String = {
+    val vals = Bm25Queries.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (t, i) => s"($q, $i, '$t')" }
+    }.mkString(", ")
+    val termList =
+      Bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    val foldSum = (0 until graft.pipeline.Retrieval.MaxTerms)
+      .map(i => s"coalesce(max(CASE WHEN ti = $i THEN cc END), " +
+        "CAST(0 AS DOUBLE))")
+      .mkString("\n                   + ")
+    s"""qt(query_id, ti, term) AS (VALUES $vals),
+          stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len($toksSql)) AS BIGINT) AS total
+            FROM documents),
+          p AS (
+            SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl,
+                   unnest($toksSql) AS term
+            FROM documents),
+          tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+                   any_value(dl) AS dl
+            FROM p WHERE term IN ($termList) GROUP BY 1, 2),
+          dfq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          c AS (
+            SELECT qt.query_id, tf.doc_id, qt.ti,
+                   (CAST(2 * s.n - 2 * dfq.df + 1 AS DOUBLE)
+                      / CAST(2 * dfq.df + 1 AS DOUBLE))
+                   * (CAST(22 * tf.tf * s.total AS DOUBLE)
+                      / CAST(10 * tf.tf * s.total + 3 * s.total
+                             + 9 * tf.dl * s.n AS DOUBLE)) AS cc
+            FROM tf JOIN dfq USING (term) JOIN qt USING (term), stats s),
+          sc AS (
+            SELECT query_id, doc_id,
+                   CAST(count(*) AS BIGINT) AS n_terms_matched,
+                   $foldSum AS score
+            FROM c GROUP BY 1, 2),
+          bm25r AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC) AS rk
+            FROM sc)"""
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -872,6 +923,13 @@ object PipelineQueries {
     // The composed corpus filter: quality ∧ exact-keeper ∧ not a
     // near-dup pair loser — the operators chained as a real pretraining
     // data run would chain them.
+    // The per-source data card: doc/token mass, per-stage drop counts
+    // (quality / exact-dup / near-dup loser), survivors under the
+    // pl_p1 keep rule, and language spread — pure integer counts, one
+    // tiny groupBy on source (see CorpusFilter.dataCard).
+    "pl_p4_data_card" -> ((s, d) =>
+      graft.pipeline.CorpusFilter.dataCard(Tables.documents(s, d), 0.7)),
+
     "pl_p1_corpus_filter" -> ((s, d) =>
       graft.pipeline.CorpusFilter.kept(Tables.documents(s, d), 0.7)),
 
@@ -909,6 +967,35 @@ object PipelineQueries {
     "pl_r1_bm25" -> ((s, d) =>
       graft.pipeline.Retrieval.bm25TopK(
         Tables.documents(s, d), Bm25Queries, 10)),
+
+    // Hybrid retrieval: BM25 keyword ranks ⊕ exact-cosine dense ranks
+    // for the same query ids (query_id doubles as the probe vec_id),
+    // fused by reciprocal-rank (c=60), top-10 per query — the
+    // two-channel decontamination probe. Each side contributes its
+    // top-20; the fusion is rank-only so the two scoring scales never
+    // meet (see Retrieval.rrfFuse for the bit-determinism contract).
+    "pl_r2_hybrid_rrf" -> ((s, d) => {
+      val sparse = graft.pipeline.Retrieval.bm25TopK(
+        Tables.documents(s, d), Bm25Queries, 20)
+      val dense = Ann.knnBrute(Tables.embeddings(s, d),
+          col("vec_id").isin(Bm25Queries.map(_._1): _*), 20)
+        .select(col("probe_id").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      graft.pipeline.Retrieval.rrfFuse(sparse, dense, 10)
+    }),
+
+    // Graph centrality over the near-dup graph: integer-exact damped
+    // PageRank (3 iterations, 17/20 damping, 1e9 scale) on the
+    // verified ≥0.7-Jaccard pair list — the canonical-doc picker /
+    // boilerplate-hub detector (a doc near-duplicate to many others is
+    // template mass; its rank concentrates). Edges come from the same
+    // banded-LSH pipeline as pl_d2, so the graph costs one bounded
+    // bucket join no matter the corpus size; the rank iterations touch
+    // only the edge list (see Graph.pagerankScaled).
+    "pl_g1_pagerank" -> ((s, d) =>
+      graft.pipeline.Graph.pagerankScaled(
+        Dedup.nearDupPairs(Tables.documents(s, d)).select("doc1", "doc2"),
+        3, 1000000000L)),
 
     // Count-min-sketch heavy hitters over the token stream: top-20
     // tokens by CMS estimate (d=3, w=1024), exact count alongside so
@@ -1738,6 +1825,41 @@ object PipelineQueries {
     // Composes the pl_t2 quality CTE, the pl_d1 keeper rule, and the
     // brute-force verified-pair ground truth (LSH recall is 100% on
     // this corpus, so the greedy pairwise drop matches exactly).
+    // Data-card mirror: the pl_p1 quality/keeper rules, verified pairs
+    // over the KEEPER subset (the loser convention documented on
+    // CorpusFilter.dataCard), all-integer per-source aggregates.
+    "pl_p4_data_card" ->
+      s"""WITH ek AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          ${truthPairsSqlFor("WHERE doc_id IN (SELECT doc_id FROM ek)")},
+          q AS (
+            SELECT doc_id, source, lang,
+                   CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter($toksSql, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+            FROM documents),
+          f AS (
+            SELECT q.*,
+                   (n_tokens >= 20 AND n_tokens <= 95
+                    AND n_distinct::DOUBLE / n_tokens >= 0.45
+                    AND n_stop::DOUBLE / n_tokens <= 0.25) AS keep,
+                   doc_id IN (SELECT doc_id FROM ek) AS is_keeper,
+                   doc_id IN (SELECT doc2 FROM verified) AS is_loser
+            FROM q)
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality_fail,
+                 CAST(sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_dup,
+                 CAST(sum(CASE WHEN is_loser THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_neardup_loser,
+                 CAST(sum(CASE WHEN keep AND is_keeper AND NOT is_loser
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM f GROUP BY 1""",
+
     "pl_p1_corpus_filter" ->
       s"""WITH $truthPairsSql,
           q AS (
@@ -1980,52 +2102,92 @@ object PipelineQueries {
 
     // Rational-idf BM25 mirror: same exact-int64 numerator/denominator
     // per term, same fixed-order c0+c1+c2+c3 fold, same top-10 cut.
-    "pl_r1_bm25" -> {
-      val vals = Bm25Queries.flatMap { case (q, ts) =>
-        ts.zipWithIndex.map { case (t, i) => s"($q, $i, '$t')" }
-      }.mkString(", ")
-      val termList =
-        Bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
-      val foldSum = (0 until graft.pipeline.Retrieval.MaxTerms)
-        .map(i => s"coalesce(max(CASE WHEN ti = $i THEN cc END), " +
-          "CAST(0 AS DOUBLE))")
-        .mkString("\n                   + ")
-      s"""WITH qt(query_id, ti, term) AS (VALUES $vals),
-          stats AS (
-            SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(len($toksSql)) AS BIGINT) AS total
-            FROM documents),
-          p AS (
-            SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl,
-                   unnest($toksSql) AS term
-            FROM documents),
-          tf AS (
-            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
-                   any_value(dl) AS dl
-            FROM p WHERE term IN ($termList) GROUP BY 1, 2),
-          dfq AS (
-            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-          c AS (
-            SELECT qt.query_id, tf.doc_id, qt.ti,
-                   (CAST(2 * s.n - 2 * dfq.df + 1 AS DOUBLE)
-                      / CAST(2 * dfq.df + 1 AS DOUBLE))
-                   * (CAST(22 * tf.tf * s.total AS DOUBLE)
-                      / CAST(10 * tf.tf * s.total + 3 * s.total
-                             + 9 * tf.dl * s.n AS DOUBLE)) AS cc
-            FROM tf JOIN dfq USING (term) JOIN qt USING (term), stats s),
-          sc AS (
-            SELECT query_id, doc_id,
-                   CAST(count(*) AS BIGINT) AS n_terms_matched,
-                   $foldSum AS score
-            FROM c GROUP BY 1, 2),
-          r AS (
-            SELECT *, row_number() OVER (PARTITION BY query_id
-                        ORDER BY score DESC, doc_id ASC) AS rk
-            FROM sc)
+    "pl_r1_bm25" ->
+      s"""WITH $bm25CtesSql
           SELECT CAST(query_id AS BIGINT) AS query_id,
                  CAST(rk AS BIGINT) AS rank, doc_id, n_terms_matched,
                  round(score, 6) AS score
-          FROM r WHERE rk <= 10"""
+          FROM bm25r WHERE rk <= 10""",
+
+    // Hybrid RRF mirror: the SHARED bm25r chain (pl_r1's scoring, cut
+    // at 20) fused with the pl_a1 exact-cosine ranking (probes = the
+    // query ids, cut at 20); the reciprocal terms are single IEEE
+    // divisions of exact integers summed in fixed (sparse + dense)
+    // order, so the fused ranking hashes bit-for-bit.
+    "pl_r2_hybrid_rrf" -> {
+      val qids = Bm25Queries.map(_._1).mkString(", ")
+      s"""WITH $bm25CtesSql,
+          $vSql,
+          dsc AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS doc_id,
+                   ${dotSql("c.iv", "p.iv")}::DOUBLE
+                     / (sqrt(p.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+            FROM v c JOIN v p
+              ON p.vec_id IN ($qids) AND c.vec_id <> p.vec_id),
+          dtop AS (
+            SELECT query_id, doc_id, rk FROM (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, doc_id ASC) AS rk
+              FROM dsc)
+            WHERE rk <= 20),
+          sptop AS (
+            SELECT query_id, doc_id, rk FROM bm25r WHERE rk <= 20),
+          fused AS (
+            SELECT coalesce(s.query_id, d.query_id) AS query_id,
+                   coalesce(s.doc_id, d.doc_id) AS doc_id,
+                   s.rk AS rs, d.rk AS rd
+            FROM sptop s FULL OUTER JOIN dtop d
+              ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+          rrfd AS (
+            SELECT query_id, doc_id, rs, rd,
+                   coalesce(CAST(1 AS DOUBLE) / CAST(60 + rs AS DOUBLE),
+                            CAST(0 AS DOUBLE))
+                   + coalesce(CAST(1 AS DOUBLE) / CAST(60 + rd AS DOUBLE),
+                              CAST(0 AS DOUBLE)) AS rrf
+            FROM fused),
+          rr AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf DESC, doc_id ASC) AS rk2
+            FROM rrfd)
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(rk2 AS BIGINT) AS rank,
+                 CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(coalesce(rs, 0) AS BIGINT) AS r_sparse,
+                 CAST(coalesce(rd, 0) AS BIGINT) AS r_dense,
+                 round(rrf, 6) AS rrf
+          FROM rr WHERE rk2 <= 10"""
+    },
+
+    // Integer-exact PageRank mirror: the brute-truth pair CTE as the
+    // edge list (both directions), then 3 unrolled iterations of
+    // base + Σ (r·17) // (20·outdeg) — pure int64 floor division and
+    // integer sums, so combine order cannot matter on either engine.
+    "pl_g1_pagerank" -> {
+      val scale = 1000000000L
+      val base = 3L * scale / 20L
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+            SELECT e.dst AS id,
+                   CAST($base + sum(($prev.r * 17) // (20 * deg.outdeg))
+                     AS BIGINT) AS r
+            FROM e JOIN $prev ON $prev.id = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY 1)"""
+      s"""WITH $truthPairsSql,
+          e AS (SELECT doc1 AS src, doc2 AS dst FROM verified
+                UNION ALL
+                SELECT doc2 AS src, doc1 AS dst FROM verified),
+          deg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY 1),
+          r0 AS (SELECT src AS id, CAST($scale AS BIGINT) AS r FROM deg),
+          ${iter("r0", "r1")},
+          ${iter("r1", "r2")},
+          ${iter("r2", "r3")}
+          SELECT deg.src AS doc_id, deg.outdeg, r3.r AS pr_scaled,
+                 round(CAST(r3.r AS DOUBLE) / $scale, 6) AS pr
+          FROM r3 JOIN deg ON deg.src = r3.id"""
     },
 
     // pl_p1's kept population (same truth-pairs CTE) chunked with the

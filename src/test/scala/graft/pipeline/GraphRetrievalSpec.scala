@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed exact cases for the graph-centrality and hybrid
+  * retrieval operators (pl_g1 / pl_r2), plus their plan-shape claims.
+  */
+class GraphRetrievalSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  test("pagerank: hand-computed 3-iteration path graph, exact int64") {
+    // path 1 — 2 — 3; outdeg 1/2/1; scale 1e6, base = 150000.
+    // iter1: r = (575000, 1850000, 575000)
+    // iter2: r = (936250, 1127500, 936250)   (floor at 488750, 786250)
+    // iter3: r = (629187, 1741624, 629187)   (floors of x.5 quotients)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
+    val r = Graph.pagerankScaled(pairs, 3, 1000000L)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(r.map(_.getAs[Long]("outdeg")).toSeq == Seq(1L, 2L, 1L))
+    assert(r.map(_.getAs[Long]("pr_scaled")).toSeq ==
+      Seq(629187L, 1741624L, 629187L))
+    assert(r.map(_.getAs[Double]("pr")).toSeq ==
+      Seq(0.629187, 1.741624, 0.629187))
+  }
+
+  test("pagerank: damping conserves bounded mass on a clique") {
+    // 4-clique: perfectly symmetric, so every node must hold exactly
+    // base + 3 · (r·17 div (20·3)) and all four ranks stay equal;
+    // the fixed point of the int recurrence from r=scale.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("doc1", "doc2")
+    val r = Graph.pagerankScaled(pairs, 5, 1000000L).collect()
+    assert(r.length == 4)
+    assert(r.map(_.getAs[Long]("pr_scaled")).distinct.length == 1)
+    val v = r.head.getAs[Long]("pr_scaled")
+    // symmetric fixed point ≈ scale; 5 rounds of floor loss only ever
+    // shave single units (3 floors per round)
+    assert(v <= 1000000L && v > 999900L, s"clique rank drifted: $v")
+  }
+
+  test("pagerank: int64 overflow guard fails loudly") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pagerankScaled(pairs, 1, Long.MaxValue / 20L)
+    }
+    assert(e.getMessage.contains("int64 bound"))
+  }
+
+  test("rrfFuse: hand-computed fusion, missing sides contribute zero") {
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val r = Retrieval.rrfFuse(a, b, 3).orderBy("rank").collect()
+    // doc20: 1/62 + 1/61 wins; doc10: 1/61; doc30: 1/62
+    assert(r.map(x => (x.getAs[Long]("rank"), x.getAs[Long]("doc_id"))).toSeq
+      == Seq((1L, 20L), (2L, 10L), (3L, 30L)))
+    assert(r.map(x => (x.getAs[Long]("r_sparse"), x.getAs[Long]("r_dense")))
+      .toSeq == Seq((2L, 1L), (1L, 0L), (0L, 2L)))
+    val exp20 = BigDecimal(1.0 / 62.0 + 1.0 / 61.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getAs[Double]("rrf") == exp20)
+  }
+
+  test("rrfFuse: equal scores tie-break by doc_id ascending") {
+    val a = Seq((1L, 5L, 3L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 4L, 3L)).toDF("query_id", "doc_id", "rank")
+    val r = Retrieval.rrfFuse(a, b, 2).orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L, 5L))
+  }
+
+  test("pagerank plan: zero corpus scans — iterations ride the " +
+      "materialized edge list only") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val pr = Graph.pagerankScaled(
+      Dedup.nearDupPairs(docs).select("doc1", "doc2"), 3, 1000000000L)
+    val p = pr.queryExecution.executedPlan.toString()
+    assert(!p.contains("FileScan"),
+      s"pagerank iterations must not re-scan the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pagerank plans an all-pairs join")
+  }
+}

@@ -712,6 +712,26 @@ class PipelineSpec extends SparkSpec {
       s"expected quality+keeper survivors {0, 4}, got $kept")
   }
 
+  test("data card: per-source stage counts partition the drop reasons") {
+    val good = (1 to 25).map(i => s"w$i").mkString(" ")
+    val near = good.replace("w25", "w99") // near-dup loser vs doc 0
+    val short = "w1 w2 w3"                // fails n_tokens >= 20
+    val other = (1 to 25).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, good, "a", "en"), (1L, near, "a", "en"),
+      (2L, good, "b", "en"), // exact copy of 0 → non-keeper, NOT a loser
+      (3L, short, "b", "de"), (4L, other, "b", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val card = CorpusFilter.dataCard(docs, 0.7).orderBy("source").collect()
+    def row(i: Int) = (card(i).getAs[String]("source"),
+      card(i).getAs[Long]("n_docs"), card(i).getAs[Long]("n_tokens"),
+      card(i).getAs[Long]("n_quality_fail"), card(i).getAs[Long]("n_exact_dup"),
+      card(i).getAs[Long]("n_neardup_loser"), card(i).getAs[Long]("n_kept"),
+      card(i).getAs[Long]("n_langs"))
+    assert(row(0) == ("a", 2L, 50L, 0L, 0L, 1L, 1L, 1L))
+    assert(row(1) == ("b", 3L, 53L, 1L, 1L, 0L, 1L, 2L))
+  }
+
   test("trained IVF: probe quantization agrees with its own corpus list") {
     // probes are corpus members, so each probe's assigned cluster must
     // equal the k-means assignment of that same vector, and every
