@@ -66,6 +66,7 @@ object GraphProbe {
       (pr.getLong(0), w, c, pr.getLong(1), pr.getLong(2), pr.getLong(3))
     }
 
+    run(1) // discarded: absorbs JIT + codegen warmup
     val (n1, w1, c1, _, _, _) = run(1)
     val (n, w, c, maxDeg, mass, maxPr) = run(iters)
     println(f"[graphprobe] edges=$nEdges nodes=$n maxdeg=$maxDeg " +

@@ -510,4 +510,38 @@ object TextOps {
       .select(col("doc_id"), col("p_lang").as("pred_lang"))
       .join(docs.select("doc_id", "lang"), "doc_id")
   }
+
+  /** Relative (distribution-adaptive) quality gating — the
+    * FineWeb-style move where the cutoff is not a fixed constant but a
+    * per-group quantile of the corpus's own distribution ("keep docs
+    * at or above their language's median length"): fixed thresholds
+    * tuned on English prose misfire on languages and registers whose
+    * distributions sit elsewhere. The threshold per group is the
+    * `q = num/den` quantile of `value` read off the integer histogram
+    * sketch ([[Sketches.histogramGroupedQuantiles]] — deterministic,
+    * mergeable, no per-group sort), and the output is one row per
+    * group: (grp, thr, n_docs, n_kept) with `n_kept` = rows whose
+    * value reaches the group's own threshold. All counts int64; the
+    * threshold is a histogram bin edge (exact integer) — nothing to
+    * round, hash-gated with no tolerance.
+    *
+    * Scale: the sketch is one group-keyed aggregation over (group,
+    * bin) — at most groups×nbins rows — and the threshold table is
+    * groups-sized, so the gate join broadcasts; the final card is a
+    * second group-keyed aggregation. Two corpus scans (sketch +
+    * gate), both scan-speed projections; no corpus-scale shuffle ever
+    * carries more than groups×nbins rows.
+    */
+  def relativeThresholdCard(df: DataFrame, group: Column, value: Column,
+      lo: Long, hi: Long, nbins: Int, q: (Int, Int) = (1, 2)): DataFrame = {
+    val thr = Sketches.histogramGroupedQuantiles(
+        df, group, value, lo, hi, nbins, Seq(q))
+      .select(col("grp"), col("q_est").as("thr"))
+    df.select(group.as("grp"), value.as("v"))
+      .join(thr, "grp")
+      .groupBy("grp")
+      .agg(max(col("thr")).as("thr"),
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("v") >= col("thr"), 1L).otherwise(0L)).as("n_kept"))
+  }
 }

@@ -1039,6 +1039,18 @@ object PipelineQueries {
           col("hll_raw_est"), col("exact_distinct"))
     }),
 
+    // Relative quality gating: per-language median doc length read off
+    // the grouped histogram sketch, then each doc gated against ITS
+    // OWN language's median — the FineWeb-style adaptive threshold
+    // (fixed cutoffs tuned on one language misfire on others). One
+    // card row per language, all-integer (see
+    // TextOps.relativeThresholdCard).
+    "pl_t13_relative_quality" -> ((s, d) =>
+      TextOps.relativeThresholdCard(Tables.documents(s, d), col("lang"),
+        col("n_chars"), 0L, 640L, 16)
+        .select(col("grp").as("lang"), col("thr").as("len_thr"),
+          col("n_docs"), col("n_kept"))),
+
     // Per-language doc-length quantiles (p50/p90) read off a grouped
     // histogram sketch — per-group percentiles with NO per-group sort;
     // rational quantile targets keep the rank integer-exact cross-engine.
@@ -2027,6 +2039,37 @@ object PipelineQueries {
 
     // Grouped-quantile mirror: same clamped binning, same per-group
     // cumulative, same integer ceil(num·N/den) rank target.
+    // Relative-gate mirror: the pl_k7 histogram chain at q=1/2 only,
+    // thresholds joined back and counted — integer bin edges and int64
+    // counts end to end.
+    "pl_t13_relative_quality" ->
+      s"""WITH b AS (
+            SELECT lang AS grp,
+                   least(greatest(CAST(floor(n_chars / 40) AS BIGINT),
+                                  0), 15) AS bin
+            FROM documents WHERE n_chars IS NOT NULL),
+          h AS (SELECT grp, bin, CAST(count(*) AS BIGINT) AS cnt
+                FROM b GROUP BY 1, 2),
+          w AS (SELECT grp, bin, CAST(bin * 40 AS BIGINT) AS lo_edge,
+                       CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS cum_cnt
+                FROM h),
+          n AS (SELECT *, max(cum_cnt) OVER (PARTITION BY grp) AS n
+                FROM w),
+          thr AS (
+            SELECT grp, min(lo_edge) AS len_thr
+            FROM (SELECT grp, lo_edge, cum_cnt,
+                         greatest((1 * n + 2 - 1) // 2, 1) AS target
+                  FROM n)
+            WHERE cum_cnt >= target GROUP BY 1)
+          SELECT d.lang, max(t.len_thr) AS len_thr,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN d.n_chars >= t.len_thr
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM documents d JOIN thr t ON t.grp = d.lang
+          GROUP BY 1""",
+
     "pl_k7_quantile_grouped" ->
       s"""WITH b AS (
             SELECT lang AS grp,

@@ -712,6 +712,20 @@ class PipelineSpec extends SparkSpec {
       s"expected quality+keeper survivors {0, 4}, got $kept")
   }
 
+  test("relative threshold: per-group histogram median gates each group " +
+      "against its own distribution") {
+    // en lengths 10/50/90/130 → bins 0/1/2/3, N=4, target ceil(4/2)=2,
+    // cum hits 2 at bin 1 → thr = 40; kept = {50, 90, 130} = 3.
+    // de lengths 200/280 → bins 5/7, N=2, target 1 → thr = 200; kept 2.
+    val df = Seq(("en", 10L), ("en", 50L), ("en", 90L), ("en", 130L),
+      ("de", 200L), ("de", 280L)).toDF("lang", "n_chars")
+    val r = TextOps.relativeThresholdCard(df, col("lang"), col("n_chars"),
+      0L, 640L, 16).orderBy("grp").collect()
+    assert(r.map(x => (x.getAs[String]("grp"), x.getAs[Long]("thr"),
+      x.getAs[Long]("n_docs"), x.getAs[Long]("n_kept"))).toSeq ==
+      Seq(("de", 200L, 2L, 2L), ("en", 40L, 4L, 3L)))
+  }
+
   test("data card: per-source stage counts partition the drop reasons") {
     val good = (1 to 25).map(i => s"w$i").mkString(" ")
     val near = good.replace("w25", "w99") // near-dup loser vs doc 0
