@@ -58,10 +58,11 @@ object GraphProbe {
 
     def run(it: Int): (Long, Double, Double, Long, Long, Long) = {
       val (pr, w, c) = timed {
-        graft.pipeline.Graph.pagerankScaled(pairs, it, scale)
-          .agg(count(lit(1)), max(col("outdeg")), sum(col("pr_scaled")),
-            max(col("pr_scaled")))
-          .head()
+        val res = graft.pipeline.Graph.pagerankScaled(pairs, it, scale)
+        val row = res.agg(count(lit(1)), max(col("outdeg")),
+          sum(col("pr_scaled")), max(col("pr_scaled"))).head()
+        graft.pipeline.Caches.release(res)
+        row
       }
       (pr.getLong(0), w, c, pr.getLong(1), pr.getLong(2), pr.getLong(3))
     }

@@ -116,8 +116,11 @@ object CorpusFilter {
     * runs over the keeper subset, as in [[keptPlan]]): a byte-copy is
     * already accounted under `n_exact_dup`, and counting it again as a
     * Jaccard-1.0 "near-dup" of its keeper would double-book the same
-    * mass — the card's stages partition the drop reasons the way the
-    * pipeline actually applies them.
+    * mass — so the two DUP columns never overlap. `n_quality_fail` is
+    * an independent axis, not a partition cell: a doc can fail quality
+    * AND be a byte-copy (or a pair loser), so the four columns need
+    * not sum to `n_docs` — reconcile with
+    * `n_kept = |keep ∧ keeper ∧ ¬loser|`, not by column addition.
     *
     * Scale: the same bounded stages as [[keptPlan]] (one md5 groupBy,
     * one banded bucket join over the materialized narrow signatures)

@@ -63,6 +63,22 @@ object Graph {
     */
   def pagerankScaled(pairs: DataFrame, iterations: Int = 3,
                      scale: Long = 1000000000L): DataFrame = {
+    val (plan, edges) = pagerankPlan(pairs, iterations, scale)
+    // materialize the node-sized result so the edge checkpoint can
+    // release NOW (the Caches discipline: the only storage a call
+    // leaves behind is its own result, which Verify/Bench sweep)
+    try Caches.materialize(plan)
+    finally Caches.release(edges)
+  }
+
+  /** The LAZY rank plan plus the MATERIALIZED edge checkpoint it rides
+    * (callers of [[pagerankScaled]] never see either — the public
+    * wrapper materializes the result and releases the edges; this
+    * split exists so plan-shape tests can inspect the iteration plan
+    * before checkpointing truncates it to a LogicalRDD scan).
+    */
+  private[graft] def pagerankPlan(pairs: DataFrame, iterations: Int,
+      scale: Long): (DataFrame, DataFrame) = {
     require(iterations >= 1 && iterations <= 16,
       s"iterations out of range: $iterations")
     require(scale >= 1000L, s"scale too coarse: $scale")
@@ -95,10 +111,11 @@ object Graph {
         .groupBy(col("dst").as("id"))
         .agg((lit(base) + sum(col("contrib"))).as("r"))
     }
-    r.join(deg, col("id") === col("src"))
+    val out = r.join(deg, col("id") === col("src"))
       .select(col("id").as("doc_id"), col("outdeg"),
         col("r").as("pr_scaled"),
         round(col("r").cast("double") / lit(scale).cast("double"), 6)
           .as("pr"))
+    (out, edges)
   }
 }

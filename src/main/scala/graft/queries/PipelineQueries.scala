@@ -992,10 +992,14 @@ object PipelineQueries {
     // banded-LSH pipeline as pl_d2, so the graph costs one bounded
     // bucket join no matter the corpus size; the rank iterations touch
     // only the edge list (see Graph.pagerankScaled).
-    "pl_g1_pagerank" -> ((s, d) =>
-      graft.pipeline.Graph.pagerankScaled(
-        Dedup.nearDupPairs(Tables.documents(s, d)).select("doc1", "doc2"),
-        3, 1000000000L)),
+    "pl_g1_pagerank" -> ((s, d) => {
+      // pagerankScaled is eager (materialized result), so the pair
+      // checkpoint releases here and the entry leaves only its result
+      val pairs = Dedup.nearDupPairs(Tables.documents(s, d))
+      try graft.pipeline.Graph.pagerankScaled(
+        pairs.select("doc1", "doc2"), 3, 1000000000L)
+      finally graft.pipeline.Caches.release(pairs)
+    }),
 
     // Count-min-sketch heavy hitters over the token stream: top-20
     // tokens by CMS estimate (d=3, w=1024), exact count alongside so

@@ -76,13 +76,16 @@ class GraphRetrievalSpec extends SparkSpec {
       "materialized edge list only") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
-    val pr = Graph.pagerankScaled(
-      Dedup.nearDupPairs(docs).select("doc1", "doc2"), 3, 1000000000L)
-    val p = pr.queryExecution.executedPlan.toString()
-    assert(!p.contains("FileScan"),
-      s"pagerank iterations must not re-scan the corpus:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "pagerank plans an all-pairs join")
+    val pairs = Dedup.nearDupPairs(docs)
+    val (plan, edges) = Graph.pagerankPlan(
+      pairs.select("doc1", "doc2"), 3, 1000000000L)
+    try {
+      val p = plan.queryExecution.executedPlan.toString()
+      assert(!p.contains("FileScan"),
+        s"pagerank iterations must not re-scan the corpus:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "pagerank plans an all-pairs join")
+    } finally { Caches.release(edges); Caches.release(pairs) }
   }
 }

@@ -726,7 +726,8 @@ class PipelineSpec extends SparkSpec {
       Seq(("de", 200L, 2L, 2L), ("en", 40L, 4L, 3L)))
   }
 
-  test("data card: per-source stage counts partition the drop reasons") {
+  test("data card: dup columns never double-book; quality is an " +
+      "independent axis") {
     val good = (1 to 25).map(i => s"w$i").mkString(" ")
     val near = good.replace("w25", "w99") // near-dup loser vs doc 0
     val short = "w1 w2 w3"                // fails n_tokens >= 20
@@ -734,7 +735,8 @@ class PipelineSpec extends SparkSpec {
     val docs = Seq(
       (0L, good, "a", "en"), (1L, near, "a", "en"),
       (2L, good, "b", "en"), // exact copy of 0 → non-keeper, NOT a loser
-      (3L, short, "b", "de"), (4L, other, "b", "en"))
+      (3L, short, "b", "de"), (4L, other, "b", "en"),
+      (5L, short, "b", "de")) // copy of 3 AND quality-fail: both columns
       .toDF("doc_id", "text", "source", "lang")
     val card = CorpusFilter.dataCard(docs, 0.7).orderBy("source").collect()
     def row(i: Int) = (card(i).getAs[String]("source"),
@@ -743,7 +745,9 @@ class PipelineSpec extends SparkSpec {
       card(i).getAs[Long]("n_neardup_loser"), card(i).getAs[Long]("n_kept"),
       card(i).getAs[Long]("n_langs"))
     assert(row(0) == ("a", 2L, 50L, 0L, 0L, 1L, 1L, 1L))
-    assert(row(1) == ("b", 3L, 53L, 1L, 1L, 0L, 1L, 2L))
+    // doc 5 sits in BOTH n_quality_fail and n_exact_dup (2+2+0+1 > 4):
+    // the dup columns are disjoint, quality is an independent axis
+    assert(row(1) == ("b", 4L, 56L, 2L, 2L, 0L, 1L, 2L))
   }
 
   test("trained IVF: probe quantization agrees with its own corpus list") {
@@ -919,6 +923,23 @@ class PipelineSpec extends SparkSpec {
     assert(persisted == 1, "corpus filter should hold only its result")
     Caches.release(kept)
     assert(persisted == 0, "corpus filter result blocks not releasable")
+    // the data card: staging + flag frames released, card materialized
+    val card = CorpusFilter.dataCard(docs, 0.7)
+    assert(card.count() > 0)
+    assert(persisted == 1, "data card should hold only its result")
+    Caches.release(card)
+    assert(persisted == 0, "data card result blocks not releasable")
+    // the pl_g1 composition shape: pagerank is eager and releases its
+    // edge checkpoint internally; pairs release once ranks exist
+    val pr = {
+      val pairs = Dedup.nearDupPairs(docs, 0.7)
+      try Graph.pagerankScaled(pairs.select("doc1", "doc2"), 3, 1000000L)
+      finally Caches.release(pairs)
+    }
+    assert(pr.count() > 0)
+    assert(persisted == 1, "pl_g1 shape should hold only the rank result")
+    Caches.release(pr)
+    assert(persisted == 0, "pagerank result blocks not releasable")
     // the pl_d3 composition shape: pairs released once clusters exist
     val clusters = {
       val pairs = Dedup.nearDupPairs(docs, 0.7)
