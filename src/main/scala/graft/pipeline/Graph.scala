@@ -71,6 +71,79 @@ object Graph {
     finally Caches.release(edges)
   }
 
+  /** Personalized (seeded) PageRank — same integer-exact recurrence as
+    * [[pagerankScaled]], but mass originates at and teleports back to
+    * a SEED set instead of uniformly:
+    *
+    *   r0(v)  = scale · [v ∈ seeds]
+    *   r'(v)  = (3·scale) div 20 · [v ∈ seeds]
+    *            + Σ_{u→v} (r(u)·17) div (20·outdeg(u))
+    *
+    * The curation reading: seeds = the decontamination hit list, edges
+    * = the near-dup graph, and the rank measures TRANSITIVE
+    * contamination risk — a doc that near-duplicates a doc that
+    * near-duplicates a benchmark hit picks up mass even though its own
+    * n-gram overlap check came back clean (the "paraphrase of a
+    * paraphrase" leak the direct gram guard cannot see). Nodes
+    * unreachable from any seed hold rank exactly 0 — integer zero, not
+    * epsilon — so "risk > 0" is a crisp reachability statement.
+    *
+    * `seeds` is a (doc_id)-keyed frame; seed membership is resolved
+    * with one left join against the node set. Returns (doc_id,
+    * outdeg, is_seed, pr_scaled, pr). The int64 bound tightens to
+    * 17·|seeds ∩ nodes|·scale ≤ Long.Max (total mass is conserved
+    * below the SEED mass, not the node mass — personalization makes
+    * the guard cheaper, not dearer). Same two edge-list shuffles per
+    * iteration; the result is materialized and the edge checkpoint
+    * released, as in [[pagerankScaled]].
+    */
+  def personalizedPagerank(pairs: DataFrame, seeds: DataFrame,
+      iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations out of range: $iterations")
+    require(scale >= 1000L, s"scale too coarse: $scale")
+    val fwd = pairs.select(col("doc1").cast("long").as("src"),
+      col("doc2").cast("long").as("dst"))
+    val edges = Caches.materialize(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    try {
+      val deg = edges.groupBy("src")
+        .agg(count(lit(1)).cast("long").as("outdeg"))
+      val seedIds = seeds.select(col("doc_id").cast("long").as("id"))
+        .distinct()
+      val nodes = deg.select(col("src").as("id"), col("outdeg"))
+        .join(seedIds.withColumn("_s", lit(true)), Seq("id"), "left")
+        .withColumn("is_seed", col("_s").isNotNull).drop("_s")
+
+      val nSeeds = nodes.filter(col("is_seed")).count()
+      require(BigInt(DampNum) * math.max(nSeeds, 1L) * scale <= Long.MaxValue,
+        s"ppr int64 bound exceeded (seeds=$nSeeds, scale=$scale): " +
+          "lower scale — rank resolution degrades gracefully")
+
+      val base = (3L * scale) / DampDen
+      val degEdges = edges.join(deg, "src")
+      var r = nodes.select(col("id"),
+        when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r"))
+      for (_ <- 1 to iterations) {
+        val inbound = degEdges.join(r, col("id") === col("src"))
+          .select(col("dst"),
+            expr(s"(r * $DampNum) div (${DampDen}L * outdeg)").as("contrib"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("contrib")).as("s"))
+        r = nodes.join(inbound, Seq("id"), "left")
+          .select(col("id"),
+            (when(col("is_seed"), lit(base)).otherwise(lit(0L))
+              + coalesce(col("s"), lit(0L))).as("r"))
+      }
+      Caches.materialize(
+        r.join(nodes, "id")
+          .select(col("id").as("doc_id"), col("outdeg"), col("is_seed"),
+            col("r").as("pr_scaled"),
+            round(col("r").cast("double") / lit(scale).cast("double"), 6)
+              .as("pr")))
+    } finally Caches.release(edges)
+  }
+
   /** The LAZY rank plan plus the MATERIALIZED edge checkpoint it rides
     * (callers of [[pagerankScaled]] never see either — the public
     * wrapper materializes the result and releases the edges; this

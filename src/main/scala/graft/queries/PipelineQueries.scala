@@ -1001,6 +1001,22 @@ object PipelineQueries {
       finally graft.pipeline.Caches.release(pairs)
     }),
 
+    // Personalized PageRank from the decontamination seed slice
+    // (doc_id % 37 == 0, the pl_p3 bench convention) over the near-dup
+    // graph: TRANSITIVE contamination risk — a doc near-duplicating a
+    // doc that near-duplicates a benchmark doc picks up mass the
+    // direct n-gram guard cannot see; unreachable docs hold integer
+    // zero (see Graph.personalizedPagerank).
+    "pl_g2_ppr_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.nearDupPairs(docs)
+      try graft.pipeline.Graph.personalizedPagerank(
+        pairs.select("doc1", "doc2"),
+        docs.filter(pmod(col("doc_id"), lit(37L)) === 0L).select("doc_id"),
+        3, 1000000000L)
+      finally graft.pipeline.Caches.release(pairs)
+    }),
+
     // Count-min-sketch heavy hitters over the token stream: top-20
     // tokens by CMS estimate (d=3, w=1024), exact count alongside so
     // every row shows the one-sided estimate against the truth.
@@ -2235,6 +2251,44 @@ object PipelineQueries {
           SELECT deg.src AS doc_id, deg.outdeg, r3.r AS pr_scaled,
                  round(CAST(r3.r AS DOUBLE) / $scale, 6) AS pr
           FROM r3 JOIN deg ON deg.src = r3.id"""
+    },
+
+    // Personalized-PageRank mirror: seeded teleport (seed = the %37
+    // bench slice), LEFT-joined inbound sums so seeds with no inbound
+    // still hold base and unreachable nodes hold integer 0.
+    "pl_g2_ppr_decontam" -> {
+      val scale = 1000000000L
+      val base = 3L * scale / 20L
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+            SELECT n.id,
+                   CAST(CASE WHEN n.is_seed THEN $base ELSE 0 END
+                        + coalesce(s.s, 0) AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS id,
+                     sum(($prev.r * 17) // (20 * deg.outdeg)) AS s
+              FROM e JOIN $prev ON $prev.id = e.src
+                     JOIN deg ON deg.src = e.src
+              GROUP BY 1) s ON s.id = n.id)"""
+      s"""WITH $truthPairsSql,
+          e AS (SELECT doc1 AS src, doc2 AS dst FROM verified
+                UNION ALL
+                SELECT doc2 AS src, doc1 AS dst FROM verified),
+          deg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY 1),
+          nodes AS (
+            SELECT src AS id, outdeg, src % 37 = 0 AS is_seed FROM deg),
+          r0 AS (
+            SELECT id, CAST(CASE WHEN is_seed THEN $scale ELSE 0 END
+                       AS BIGINT) AS r
+            FROM nodes),
+          ${iter("r0", "r1")},
+          ${iter("r1", "r2")},
+          ${iter("r2", "r3")}
+          SELECT n.id AS doc_id, n.outdeg, n.is_seed, r3.r AS pr_scaled,
+                 round(CAST(r3.r AS DOUBLE) / $scale, 6) AS pr
+          FROM r3 JOIN nodes n ON n.id = r3.id"""
     },
 
     // pl_p1's kept population (same truth-pairs CTE) chunked with the

@@ -41,6 +41,37 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(v <= 1000000L && v > 999900L, s"clique rank drifted: $v")
   }
 
+  test("personalized pagerank: hand-computed seeded path, exact int64") {
+    // path 1 — 2 — 3 (outdeg 1/2/1), seed {1}, scale 1e6, base 150000:
+    // r1 = (150000, 850000, 0)
+    // r2 = (511250, 127500, 361250)
+    // r3(1) = 150000 + (127500·17) div 40           = 204187
+    // r3(2) = (511250·17) div 20 + (361250·17) div 20 = 434562 + 307062
+    // r3(3) = (127500·17) div 40                    = 54187
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
+    val seeds = Seq(1L).toDF("doc_id")
+    val r = Graph.personalizedPagerank(pairs, seeds, 3, 1000000L)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("pr_scaled")).toSeq ==
+      Seq(204187L, 741624L, 54187L))
+    assert(r.map(_.getAs[Boolean]("is_seed")).toSeq ==
+      Seq(true, false, false))
+  }
+
+  test("personalized pagerank: nodes unreachable from seeds hold " +
+      "integer zero") {
+    // two components 1—2 and 3—4; seed {1}: component {3,4} gets 0
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc1", "doc2")
+    val seeds = Seq(1L).toDF("doc_id")
+    val r = Graph.personalizedPagerank(pairs, seeds, 3, 1000000L)
+      .orderBy("doc_id").collect()
+    assert(r.length == 4)
+    assert(r.filter(_.getAs[Long]("doc_id") >= 3L)
+      .forall(_.getAs[Long]("pr_scaled") == 0L))
+    assert(r.filter(_.getAs[Long]("doc_id") <= 2L)
+      .forall(_.getAs[Long]("pr_scaled") > 0L))
+  }
+
   test("pagerank: int64 overflow guard fails loudly") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
     val e = intercept[IllegalArgumentException] {
