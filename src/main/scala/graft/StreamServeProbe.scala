@@ -101,8 +101,9 @@ object StreamServeProbe {
       val src = spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(streamDir.getAbsolutePath)
-      val served = pipeline.Ann.annIvfSq8HierStreamed(src, emb, 5, kk, b,
-        2, 100000L, 2, trainedCoarse = true, listProbes = lp)
+      val (served, serveIndex) = pipeline.Ann.annIvfSq8HierStreamedIndexed(
+        src, emb, 5, kk, b, 2, 100000L, 2, trainedCoarse = true,
+        listProbes = lp)
       val sink = new File(tmp, "sink")
       val ckpt = new File(tmp, "ckpt")
       val t0 = System.nanoTime()
@@ -114,6 +115,7 @@ object StreamServeProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       val progress = q.recentProgress
       q.stop()
+      pipeline.Caches.release(serveIndex)
       val rows = spark.read.parquet(sink.getAbsolutePath).count()
       progress.filter(_.numInputRows > 0).zipWithIndex.foreach {
         case (pr, i) =>

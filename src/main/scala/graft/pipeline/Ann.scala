@@ -127,14 +127,34 @@ object Ann {
     * literal n, so the value is bit-identical to the join form on
     * every row.
     */
+  /** Plan-size bound for the literal candidate family: the assignment
+    * expression holds k×Dim literal cells plus a branch pair per
+    * centroid, so its cost is paid at plan/codegen time, per plan. The
+    * r16 100× grid ran k=800 × Dim=64 (51k cells) comfortably; the
+    * bound is set a decade above that and exists to fail LOUDLY with
+    * the remedy — at k ∝ corpus the flat literal form is the wrong
+    * rung, [[hierAssign]]'s b ≈ √k two-stage routing bounds the
+    * literal count at (b + k/b)×Dim ≈ 2√k·Dim for any k.
+    */
+  val LiteralAssignMaxCells = 1 << 19
+
   private def centCands(cents: Array[(Int, Long, Array[Long])],
-                        iv: Column, ivNorm: Column): Seq[Column] =
+                        iv: Column, ivNorm: Column): Seq[Column] = {
+    val cells = cents.length.toLong *
+      cents.headOption.map(_._3.length.toLong).getOrElse(0L)
+    require(cells <= LiteralAssignMaxCells,
+      s"literal-argmin assignment over ${cents.length} centroids × " +
+        s"${cents.headOption.map(_._3.length).getOrElse(0)} dims = " +
+        s"$cells literal cells exceeds $LiteralAssignMaxCells — at " +
+        "k ∝ corpus route hierarchically (hierAssign: b ≈ √k bounds " +
+        "the inline table at ~2√k·Dim cells)")
     cents.toIndexedSeq.map { case (cid, n, sv) =>
       struct(
         ratD2Pre(iv, typedLit(sv.toSeq), lit(n), ivNorm,
           lit(sv.map(x => x * x).sum)).as("d"),
         lit(cid).as("id"))
     }
+  }
 
   /** Literal-argmin centroid assignment — the shared replacement (r16)
     * for `crossJoin(broadcast(cent))` +
@@ -171,6 +191,33 @@ object Ann {
   private def probeCells(cents: Array[(Int, Long, Array[Long])],
                          iv: Column, ivNorm: Column, p: Int): Column =
     slice(array_sort(array(centCands(cents, iv, ivNorm): _*)),
+      1, math.min(p, cents.length))
+
+  /** QUANTIZED-centroid candidate struct (d2, id) for a row carrying
+    * `iv`/`norm2` columns: d2 = norm2 − 2·⟨iv,qv⟩ + ⟨qv,qv⟩ =
+    * Σ(iv−qv)², pure int64, with ⟨qv,qv⟩ folded to a driver-side
+    * literal. ONE definition for every quantized routing stage —
+    * hierAssignModel's coarse/fine argmins, the batch hier-IVF probe
+    * cells, and the streaming serve router: the st16 contract (batch
+    * oracle gates the stream) requires these to stay bit-identical,
+    * so they must share the expression (r16 review #8), the same
+    * single-definition rule [[centCands]] plays for the unquantized
+    * family.
+    */
+  private def quantCand(id: Int, qv: Array[Long]): Column = {
+    val qq = qv.map(x => x * x).sum
+    struct(
+      (col("norm2") - lit(2L) * doti(col("iv"), typedLit(qv.toSeq))
+        + lit(qq)).as("d"),
+      lit(id).as("id"))
+  }
+
+  /** The sorted top-`p` quantized cells ([[quantCand]] over the whole
+    * table, array_sort, slice) — [[probeCells]]' quantized twin.
+    */
+  private def quantCells(cents: Seq[(Int, Array[Long])], p: Int): Column =
+    slice(array_sort(
+      array(cents.map { case (id, qv) => quantCand(id, qv) }: _*)),
       1, math.min(p, cents.length))
 
   /** Deterministic hyperplane coefficients in [-1000, 1000], computed
@@ -330,8 +377,13 @@ object Ann {
     * of the exploded N×k-row frame EVERY round, in every trained path:
     * pl_a4/a5/a10/a11 and pl_d14's clustering. VERDICT r15 #1.)
     */
-  def kmeansClusters(vectors: DataFrame, k: Int, rounds: Int): DataFrame =
-    kmeansModel(vectors, k, rounds)._1.select("vec_id", "cluster")
+  def kmeansClusters(vectors: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // the assignment is a literal projection (r16) — the centroid
+    // checkpoint has no consumer once training returns, release it
+    val (assigned, cent, _) = kmeansModelRows(vectors, k, rounds)
+    Caches.releaseQuiet(cent)
+    assigned.select("vec_id", "cluster")
+  }
 
   /** The trainable form: returns BOTH the final assignment (vec_id, iv,
     * cluster) and the centroid table that produced it (c_id, n, sv) —
@@ -339,6 +391,22 @@ object Ann {
     * consistent, see [[annIvfKmeans]]).
     */
   def kmeansModel(vectors: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val (assigned, cent, _) = kmeansModelRows(vectors, k, rounds)
+    (assigned, cent)
+  }
+
+  /** [[kmeansModel]] plus the final centroid table ALREADY collected —
+    * the rows the last Lloyd round's literal assignment inlined.
+    * Callers that only need driver-side centroids (every r16
+    * literal-argmin path) take the rows and `releaseQuiet` the frame
+    * instead of re-collecting it: the re-collect was a redundant k-row
+    * job for rounds ≥ 2 and, for rounds = 1, re-ran the corpus-wide
+    * TakeOrdered seed scan (the returned frame is the un-materialized
+    * seed plan in that case — which also makes releaseQuiet a safe
+    * no-op on it).
+    */
+  private[graft] def kmeansModelRows(vectors: DataFrame, k: Int,
+      rounds: Int): (DataFrame, DataFrame, Array[(Int, Long, Array[Long])]) = {
     val v = withScaled(vectors).select("vec_id", "iv")
     // seed centroids: n = 1, sv = iv. orderBy+limit compiles to
     // TakeOrderedAndProject (per-partition top-k, k-row merge on the
@@ -355,6 +423,7 @@ object Ann {
 
     var assigned: DataFrame = null
     var lastCent = cent
+    var lastRows: Array[(Int, Long, Array[Long])] = null
     // storage hygiene: each round's checkpoint supersedes the previous
     // one — once the new k-row frame is materialized (eager, lineage
     // truncated) the prior round's blocks are unreachable from any
@@ -369,6 +438,16 @@ object Ann {
       // checkpoint — either way k tiny rows on the driver, and the
       // assignment is a zero-exchange literal-argmin projection
       val centRows = collectCent(cent)
+      // the train-then-assign CONTRACT (r16 review #6): an empty
+      // training input fails loudly here, with a domain message —
+      // never an unclustered corpus or a cryptic literal-arity error
+      // (the pre-r16 join form silently produced an empty result;
+      // emptiness at train time is an upstream bug, not a state to
+      // propagate). Spec-pinned in PipelineSpec.
+      require(centRows.nonEmpty,
+        s"k-means training input is empty (k=$k): filter upstream or " +
+          "check the train sample rate")
+      lastRows = centRows
       assigned = vN
         .withColumn("cluster",
           assignLiteral(centRows, col("iv"), col("_ivn")))
@@ -394,7 +473,7 @@ object Ann {
         prevCkpt = cent
       }
     }
-    (assigned, lastCent)
+    (assigned, lastCent, lastRows)
   }
 
   /** Hierarchical (coarse → fine) cluster assignment — the SemDeDup
@@ -447,16 +526,15 @@ object Ann {
       if (trainPpm >= 1000000L) vectors
       else graft.pipeline.Sampling.uniform(
         vectors, col("vec_id"), trainPpm, salt = "kmt")
-    val (_, cent) = kmeansModel(train, k, rounds)
+    val (_, cent, centRows) = kmeansModelRows(train, k, rounds)
     // integer round-half-away-from-zero of s/n — the oracle replays
     // the same div formula, so no double ever enters the quantizer
     def qRound(s: Long, n: Long): Long = {
       val q = (2L * math.abs(s) + n) / (2L * n)
       if (s >= 0) q else -q
     }
-    val cents = cent.select("c_id", "n", "sv").collect().map { r =>
-      val n = r.getLong(1)
-      (r.getInt(0), r.getSeq[Long](2).map(s => qRound(s, n)).toArray)
+    val cents = centRows.map { case (cid, n, sv) =>
+      (cid, sv.map(s => qRound(s, n)))
     }
     Caches.releaseQuiet(cent)
     val coarse0 = cents.sortBy { case (id, _) =>
@@ -516,14 +594,8 @@ object Ann {
     // c_id tie-break the window gave — bit-identical assignments,
     // zero exchanges, one corpus scan for BOTH stages.
     // Σ(iv−qv)² = norm2 − 2·⟨iv,qv⟩ + ⟨qv,qv⟩; ⟨qv,qv⟩ folds to a
-    // driver-side literal per centroid.
-    def cand(id: Int, qv: Array[Long]): Column = {
-      val qq = qv.map(x => x * x).sum
-      struct(
-        (col("norm2") - lit(2L) * doti(col("iv"), typedLit(qv.toSeq))
-          + lit(qq)).as("d"),
-        lit(id).as("id"))
-    }
+    // driver-side literal per centroid ([[quantCand]] — the shared
+    // definition every quantized routing stage uses).
     // Stage 1 generalizes to MULTI-PROBE (r15): the `probes` nearest
     // coarse cells are the first p elements of the sorted candidate
     // array (array_sort on structs = ascending (d2, id), so element 0
@@ -538,14 +610,12 @@ object Ann {
     // condition — measured 3× wall at 10×/p=2. CollapseProject keeps
     // a non-cheap multi-referenced alias staged, so `_shc` is
     // computed once per row and the conditions are O(1) array reads.
-    val probed = slice(array_sort(
-      array(routable.toSeq.map { case (id, qv) => cand(id, qv) }: _*)),
-      1, nProbes)
+    val probed = quantCells(routable.toSeq, nProbes)
     val byParent = cents.groupBy { case (id, _) => parentOf(id) }
     // struct-valued per-cell best: min (d2, id) among the cell's children
     val branchStruct = routable.toSeq.map { case (hc, _) =>
-      hc -> array_min(
-        array(byParent(hc).toSeq.map { case (id, qv) => cand(id, qv) }: _*))
+      hc -> array_min(array(
+        byParent(hc).toSeq.map { case (id, qv) => quantCand(id, qv) }: _*))
     }
     // a probed id ranges over exactly the routable coarse ids (each
     // has >=1 child by construction), so the last branch is the
@@ -587,14 +657,15 @@ object Ann {
   def annIvfKmeans(vectors: DataFrame, probeFilter: Column, topk: Int,
                    k: Int = 8, rounds: Int = 2): DataFrame = {
     val v = withScaled(vectors)
-    val (assigned, cent) = kmeansModel(vectors, k, rounds)
+    val (assigned, cent, centRows) = kmeansModelRows(vectors, k, rounds)
+    // centroids live on as literals only — release the checkpoint
+    Caches.releaseQuiet(cent)
     // the model's assignment is itself a pure projection over the
     // corpus (vec_id, iv, cluster) — compose the list table ON TOP of
     // it instead of self-joining the corpus on vec_id (r16: the join
     // was a corpus-sized shuffle for columns a projection already
     // carries; norm2 re-derives from iv as the same doti expression)
     val lists = assigned.withColumn("norm2", doti(col("iv"), col("iv")))
-    val centRows = collectCent(cent)
     val probes = v.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
         col("norm2").as("p_norm2"))
@@ -675,6 +746,11 @@ object Ann {
       // distances, so codes are bit-identical; the per-round
       // N×M-row groupBy exchange is gone.
       codebook = byM(cent)
+      // same train-then-assign contract as kmeansModelRows
+      require(codebook.size == PqSubspaces,
+        s"PQ training input is empty or degenerate " +
+          s"(${codebook.size}/$PqSubspaces subspaces seeded): " +
+          "filter upstream")
       // intermediate codebooks checkpoint (M×K tiny rows) — same
       // rationale as kmeansModel: downstream branches (codes AND the
       // probe LUT) share one training pass instead of re-running it.
@@ -934,7 +1010,6 @@ object Ann {
       if (trainPpm >= 1000000L) vectors
       else graft.pipeline.Sampling.uniform(
         vectors, col("vec_id"), trainPpm, salt = "kmt")
-    val (_, cent) = kmeansModel(train, k, rounds)
     // One assignment form for BOTH train regimes (r16): the final
     // centroid table collects driver-side (k tiny rows) and the
     // full corpus assigns against it as a zero-exchange literal
@@ -943,7 +1018,8 @@ object Ann {
     // train it extends the sample's contract to every corpus row.
     // r15 shipped crossJoin(broadcast)+window here — the N×k-row
     // Exchange VERDICT r15 #1 named as the last shipped scale-killer.
-    val centRows = collectCent(cent)
+    val (_, cent, centRows) = kmeansModelRows(train, k, rounds)
+    Caches.releaseQuiet(cent)
     val (minsL, rngsL) = sq8Grid(v)
     // the list table is a single corpus projection: vec_id, SQ8 codes
     // (dequantized coords + self-dot) and the assigned list — no
@@ -1054,22 +1130,14 @@ object Ann {
       .select(col("vec_id"), sq8Cr(minsL, rngsL).as("cr"), col("cluster"))
       .withColumn("crn", doti(col("cr"), col("cr")))
     // probe cells: (d2, id) structs over the quantized centroids,
-    // sorted and sliced — the hierAssign stage-1 pattern; d2 =
-    // norm2 − 2·⟨iv,qv⟩ + ⟨qv,qv⟩ is the same integer as Σ(iv−qv)².
-    def candP(id: Int, qv: Array[Long]): Column = {
-      val qq = qv.map(x => x * x).sum
-      struct(
-        (col("norm2") - lit(2L) * doti(col("iv"), typedLit(qv.toSeq))
-          + lit(qq)).as("d"),
-        lit(id).as("id"))
-    }
-    val np = math.min(listProbes, cents.length)
+    // sorted and sliced — the hierAssign stage-1 pattern via the
+    // SHARED [[quantCand]]/[[quantCells]] definition (st16's
+    // batch-oracle-gates-the-stream contract rides on the three
+    // routing sites never drifting).
     val pcells = v.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
         col("norm2").as("p_norm2"), sq8Pm(minsL).as("pm"),
-        slice(array_sort(
-          array(cents.toSeq.map { case (id, qv) => candP(id, qv) }: _*)),
-          1, np).as("_pc"))
+        quantCells(cents.toSeq, listProbes).as("_pc"))
       .withColumn("pmn", doti(col("pm"), col("pm")))
       .withColumn("_pce", explode(col("_pc")))
       .withColumn("assigned_cluster", col("_pce").getField("id"))
@@ -1261,7 +1329,17 @@ object Ann {
     * (band_id, bucket).
     */
   def annLshStreamed(probeStream: DataFrame, corpus: DataFrame,
-                     k: Int): DataFrame = {
+                     k: Int): DataFrame =
+    annLshStreamedIndexed(probeStream, corpus, k)._1
+
+  /** [[annLshStreamed]] plus the MATERIALIZED corpus band-row index —
+    * the static side of the stream-static join, i.e. the long-lived
+    * serve artifact. Callers that stop the query hand the index to
+    * [[Caches.release]] (r16 review: without the handle every
+    * invocation pinned a corpus-scale checkpoint for the session).
+    */
+  private[graft] def annLshStreamedIndexed(probeStream: DataFrame,
+      corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val s = corpus.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -1289,7 +1367,7 @@ object Ann {
       .withColumn("cos", cosine(col("dot_scaled"), col("p_norm2"), col("norm2")))
       .select("probe_id", "neighbor_id", "dot_scaled", "cos")
       .as[StreamCand]
-    scored
+    val out = scored
       .groupByKey(_.probe_id)
       .flatMapGroupsWithState[Long, StreamHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -1306,6 +1384,7 @@ object Ann {
           }.iterator
       }
       .toDF()
+    (out, candB)
   }
 
   case class Sq8Cand(probe_id: Long, assigned_cluster: Int,
@@ -1332,7 +1411,19 @@ object Ann {
                             topk: Int, k: Int, b: Int, rounds: Int = 2,
                             trainPpm: Long = 600000L, routeProbes: Int = 2,
                             trainedCoarse: Boolean = true,
-                            listProbes: Int = 2): DataFrame = {
+                            listProbes: Int = 2): DataFrame =
+    annIvfSq8HierStreamedIndexed(probeStream, corpus, topk, k, b, rounds,
+      trainPpm, routeProbes, trainedCoarse, listProbes)._1
+
+  /** [[annIvfSq8HierStreamed]] plus the MATERIALIZED serve index (the
+    * compressed list table) — hand it to [[Caches.release]] when the
+    * query stops, same contract as [[annLshStreamedIndexed]].
+    */
+  private[graft] def annIvfSq8HierStreamedIndexed(probeStream: DataFrame,
+      corpus: DataFrame, topk: Int, k: Int, b: Int, rounds: Int = 2,
+      trainPpm: Long = 600000L, routeProbes: Int = 2,
+      trainedCoarse: Boolean = true,
+      listProbes: Int = 2): (DataFrame, DataFrame) = {
     val s = corpus.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -1357,20 +1448,10 @@ object Ann {
         sq8Cr(minsL, rngsL).as("cr"), col("iv"), col("norm2"),
         col("cluster"))
       .withColumn("crn", doti(col("cr"), col("cr"))))
-    def candP(id: Int, qv: Array[Long]): Column = {
-      val qq = qv.map(x => x * x).sum
-      struct(
-        (col("norm2") - lit(2L) * doti(col("iv"), typedLit(qv.toSeq))
-          + lit(qq)).as("d"),
-        lit(id).as("id"))
-    }
-    val np = math.min(listProbes, cents.length)
     val probes = withScaled(probeStream)
       .select(col("vec_id").as("probe_id"), col("iv").as("p_iv"),
         col("norm2").as("p_norm2"), sq8Pm(minsL).as("pm"),
-        slice(array_sort(
-          array(cents.toSeq.map { case (id, qv) => candP(id, qv) }: _*)),
-          1, np).as("_pc"))
+        quantCells(cents.toSeq, listProbes).as("_pc"))
       .withColumn("pmn", doti(col("pm"), col("pm")))
       .withColumn("_pce", explode(col("_pc")))
       .withColumn("cluster", col("_pce").getField("id"))
@@ -1385,7 +1466,7 @@ object Ann {
       .select(col("probe_id"), col("cluster").as("assigned_cluster"),
         col("neighbor_id"), col("sqd"), col("cos"))
       .as[Sq8Cand]
-    scored
+    val out = scored
       .groupByKey(_.probe_id)
       .flatMapGroupsWithState[Long, Sq8Hit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -1401,5 +1482,6 @@ object Ann {
             }.iterator
       }
       .toDF()
+    (out, lists)
   }
 }

@@ -598,7 +598,10 @@ object Dedup {
     */
   def semanticDedupPairs(vectors: DataFrame, k: Int, rounds: Int,
                          minCos: Double): DataFrame = {
-    val (assigned, _) = Ann.kmeansModel(vectors, k, rounds)
+    // the assignment is a literal projection — the centroid checkpoint
+    // has no consumer in the pair plan, release it (r16 review)
+    val (assigned, kmCent) = Ann.kmeansModel(vectors, k, rounds)
+    Caches.releaseQuiet(kmCent)
     val av = assigned
       .withColumn("norm2", Ann.doti(col("iv"), col("iv")))
       .select(col("cluster"), col("vec_id"), col("iv"), col("norm2"))

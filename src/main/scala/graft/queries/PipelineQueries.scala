@@ -460,6 +460,15 @@ object PipelineQueries {
     * pl_a8 (brute candidates) and pl_a13 (hier-IVF-SQ8 candidates) so
     * the greedy semantics cannot drift between candidate sources.
     */
+  /** The greedy MMR tail as a recursive CTE. A probe with fewer than
+    * `k` candidates (reachable via pl_a13's hier lists — a sparse
+    * probed cell) exhausts them: the correlated pick returns NULL and
+    * every later append stays NULL (once `sel` holds a NULL, 3VL
+    * list_contains drops all candidate rows), so NULL picks form a
+    * strict SUFFIX of `sel` — the final `IS NOT NULL` filter drops
+    * exactly those, matching the engine's greedy loop which stops
+    * emitting rows when the candidate pool runs dry (r16 review #2).
+    */
   private def mmrTailSql(k: Int): String =
     s"""sims AS (
           SELECT a.probe_id, a.cand_id AS a_id, b.cand_id AS b_id,
@@ -491,7 +500,8 @@ object PipelineQueries {
         SELECT probe_id, CAST(i + 1 AS BIGINT) AS rank,
                sel[i + 1] AS neighbor_id
         FROM (SELECT probe_id, sel, unnest(range(len(sel))) AS i
-              FROM rec WHERE step = $k) t"""
+              FROM rec WHERE step = $k) t
+        WHERE sel[i + 1] IS NOT NULL"""
 
   /** Token → (register, rho) CTE chain for the p=8 HLL — shared by
     * pl_k4's one-row summary and the streaming register-table twin

@@ -887,9 +887,16 @@ object StreamingQueries {
       val emb = Tables.embeddings(s, d)
       val (src, cleanup) = stagedFileStream(s, emb.filter(col("vec_id") < 8), 3)
       val nParts = graft.streaming.StateSizing.partitions(8L * 64)
-      try withStatePartitions(s, nParts)(sinkToLocal(s, "graft_st15_sink",
-        graft.pipeline.Ann.annLshStreamed(src, emb, 5), "append"))
-      finally cleanup()
+      val (served, index) =
+        graft.pipeline.Ann.annLshStreamedIndexed(src, emb, 5)
+      try withStatePartitions(s, nParts)(
+        sinkToLocal(s, "graft_st15_sink", served, "append"))
+      finally {
+        cleanup()
+        // the serve index outlives the query only in a real serving
+        // deployment; the entry stops the query, so release it
+        graft.pipeline.Caches.release(index)
+      }
     }),
 
     // Streaming hier-IVF-SQ8 serve (pl_a12's twin): the quantized
@@ -902,10 +909,15 @@ object StreamingQueries {
       val emb = Tables.embeddings(s, d)
       val (src, cleanup) = stagedFileStream(s, emb.filter(col("vec_id") < 8), 3)
       val nParts = graft.streaming.StateSizing.partitions(8L * 64)
-      try withStatePartitions(s, nParts)(sinkToLocal(s, "graft_st16_sink",
-        graft.pipeline.Ann.annIvfSq8HierStreamed(src, emb, 5, 8, 3, 2,
-          600000L, 2, trainedCoarse = true, listProbes = 2), "append"))
-      finally cleanup()
+      val (served, index) = graft.pipeline.Ann.annIvfSq8HierStreamedIndexed(
+        src, emb, 5, 8, 3, 2, 600000L, 2, trainedCoarse = true,
+        listProbes = 2)
+      try withStatePartitions(s, nParts)(
+        sinkToLocal(s, "graft_st16_sink", served, "append"))
+      finally {
+        cleanup()
+        graft.pipeline.Caches.release(index)
+      }
     })
   )
 

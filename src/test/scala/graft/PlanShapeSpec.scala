@@ -322,8 +322,25 @@ class PlanShapeSpec extends SparkSpec {
         l.contains("Exchange SinglePartition"))
     assert(shuffles <= 1,
       s"annIvfSq8 (sampled train) plans $shuffles shuffle exchanges:\n$p")
-    assert(!p.contains("Window.*vec_id"),
-      s"annIvfSq8 re-grew a corpus-keyed window argmin:\n$p")
+    // a regrown corpus-keyed argmin would plan a Window PARTITIONED by
+    // vec_id alone — match the partition-spec list exactly (the legit
+    // per-probe top-k window partitions by probe_id and only ORDERS by
+    // vec_id, which this pattern does not touch). The old guard here
+    // was `contains("Window.*vec_id")` — a literal substring that can
+    // never occur in a plan dump, i.e. vacuously green (r16 review #3).
+    val winByVecId = "\\], \\[vec_id#\\d+L?\\], \\[".r
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && winByVecId.findFirstIn(l).isDefined),
+      s"annIvfSq8 re-grew a corpus-keyed (vec_id-partitioned) window argmin:\n$p")
+    // prove the guard is NOT vacuous: a deliberately-built
+    // vec_id-partitioned window must match the pattern
+    val bad = plan(embs.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy("label"))))
+    assert(bad.linesIterator.exists(l =>
+        l.contains("Window") && winByVecId.findFirstIn(l).isDefined),
+      s"the vec_id-window guard no longer matches the shape it forbids:\n$bad")
   }
 
   test("per-probe/per-stratum top-k plans WindowGroupLimit (partial top-k before the shuffle)") {

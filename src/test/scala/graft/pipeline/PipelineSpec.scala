@@ -750,6 +750,19 @@ class PipelineSpec extends SparkSpec {
     assert(row(1) == ("b", 4L, 56L, 2L, 2L, 0L, 1L, 2L))
   }
 
+  test("train-then-assign contract: empty training input fails loudly " +
+      "with a domain message") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.kmeansClusters(empty, 4, 2)
+    }
+    assert(e.getMessage.contains("training input is empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.pqModel(empty, 1)
+    }
+    assert(e2.getMessage.contains("empty or degenerate"))
+  }
+
   test("trained IVF: probe quantization agrees with its own corpus list") {
     // probes are corpus members, so each probe's assigned cluster must
     // equal the k-means assignment of that same vector, and every
