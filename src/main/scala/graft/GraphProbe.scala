@@ -74,8 +74,11 @@ object GraphProbe {
       f"iters=$iters wall=$w%.2f cpu=$c%.1f wall_1iter=$w1%.2f " +
       f"marginal_per_iter=${(w - w1) / math.max(iters - 1, 1)}%.2f " +
       f"mass=$mass mass_bound=${n * scale} maxpr_x=${maxPr.toDouble / scale}%.1f")
-    assert(n == n1, "node set must not depend on iteration count")
-    assert(mass <= n * scale, "mass bound violated — damping argument broken")
+    // require, not assert (ADVICE r16): -Xelide-below strips assert,
+    // and a stripped build silently skipping the conservation sanity
+    // is exactly the failure mode the probe exists to report
+    require(n == n1, "node set must not depend on iteration count")
+    require(mass <= n * scale, "mass bound violated — damping argument broken")
     spark.stop()
   }
 }

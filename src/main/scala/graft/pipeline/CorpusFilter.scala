@@ -68,28 +68,59 @@ object CorpusFilter {
     * full-corpus path, 0 on this one) — the m²/2 guard now only has
     * to police genuinely-distinct-but-similar text.
     */
-  private[graft] def keptPlan(docs: DataFrame,
-      minJaccard: Double): (DataFrame, DataFrame) = {
+  /** The shared stage sets — ONE definition consumed by [[keptPlan]]
+    * and both data cards (ADVICE r16: dataCard re-implemented the
+    * staging, so a future keep-rule edit could silently ship a card
+    * that disagrees with [[kept]]): exact-dup keepers, the
+    * MATERIALIZED narrow signature checkpoint over the keeper subset,
+    * and the near-dup pair losers (the greedy doc2 rule). The caller
+    * must hand `sigs` to [[Caches.release]] once its derived result is
+    * materialized.
+    *
+    * The signature frame — the ONE corpus-scale intermediate of the
+    * composition — is localCheckpoint'ed, not persist()ed: a persisted
+    * frame only substitutes into plans that reference the SAME Dataset
+    * object, and the composed pipeline demonstrably re-inlined the
+    * minhash subtree up to 12× (r13/r14 PlanShapeSpec red). The
+    * checkpoint truncates lineage to a LogicalRDD, so every downstream
+    * reference — both sides of the bucket self-join and both
+    * verification lookups — replays the narrow rows, never the
+    * raw-corpus shingle plan.
+    */
+  private def staging(docs: DataFrame, minJaccard: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     val exactKeepers = Dedup.exactClusters(docs)
       .select(col("keeper").as("doc_id")).distinct()
-    // The ONE corpus-scale intermediate of the composition — the narrow
-    // (doc_id, _sh, mh*) signature frame over the keeper subset — is
-    // MATERIALIZED here (localCheckpoint), not persist()ed: a persisted
-    // frame only substitutes into plans that reference the SAME Dataset
-    // object, and the composed pipeline demonstrably re-inlined the
-    // minhash subtree up to 12× (r13/r14 PlanShapeSpec red). The
-    // checkpoint truncates lineage to a LogicalRDD, so every downstream
-    // reference — both sides of the bucket self-join and both
-    // verification lookups — replays the narrow rows, never the
-    // raw-corpus shingle plan. This makes keptPlan run one eager job
-    // (keeper semi-join + shingle/minhash, the work the caller's
-    // materialize paid anyway); the kept-documents plan itself stays
-    // lazy.
     val sigs = Caches.materialize(
       Dedup.signatures(docs.join(exactKeepers, Seq("doc_id"), "semi")))
     val (pairs, _) = Dedup.pairsFromSigs(sigs, minJaccard,
       Dedup.DefaultMaxBucketSize)
     val nearDupLosers = pairs.select(col("doc2").as("doc_id")).distinct()
+    (exactKeepers, sigs, nearDupLosers)
+  }
+
+  /** The keeper/loser flag columns over [[TextOps.withQuality]] — the
+    * flag-join phrasing of [[keptPlan]]'s semi/anti joins, shared by
+    * both data cards so the counted keep rule
+    * (keep ∧ is_keeper ∧ ¬is_loser) has one definition.
+    */
+  private def flagged(docs: DataFrame, exactKeepers: DataFrame,
+      losers: DataFrame): DataFrame =
+    TextOps.withQuality(docs)
+      .join(exactKeepers.withColumn("_k", lit(true)), Seq("doc_id"), "left")
+      .join(losers.withColumn("_l", lit(true)), Seq("doc_id"), "left")
+      .withColumn("is_keeper", col("_k").isNotNull)
+      .withColumn("is_loser", col("_l").isNotNull)
+
+  private def keepRule =
+    col("keep") && col("is_keeper") && !col("is_loser")
+
+  private[graft] def keptPlan(docs: DataFrame,
+      minJaccard: Double): (DataFrame, DataFrame) = {
+    // keptPlan runs one eager job (keeper semi-join + shingle/minhash
+    // inside staging — the work the caller's materialize paid anyway);
+    // the kept-documents plan itself stays lazy.
+    val (exactKeepers, sigs, nearDupLosers) = staging(docs, minJaccard)
     val out = TextOps.withQuality(docs).filter(col("keep"))
       .join(exactKeepers, Seq("doc_id"), "semi")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
@@ -129,28 +160,53 @@ object CorpusFilter {
     * nothing before the exchange.
     */
   def dataCard(docs: DataFrame, minJaccard: Double = 0.7): DataFrame = {
-    val exactKeepers = Dedup.exactClusters(docs)
-      .select(col("keeper").as("doc_id")).distinct()
-    val sigs = Caches.materialize(
-      Dedup.signatures(docs.join(exactKeepers, Seq("doc_id"), "semi")))
+    val (exactKeepers, sigs, losers) = staging(docs, minJaccard)
     try {
-      val (pairs, _) = Dedup.pairsFromSigs(sigs, minJaccard,
-        Dedup.DefaultMaxBucketSize)
-      val losers = pairs.select(col("doc2").as("doc_id")).distinct()
-      val flagged = TextOps.withQuality(docs)
-        .join(exactKeepers.withColumn("_k", lit(true)), Seq("doc_id"), "left")
-        .join(losers.withColumn("_l", lit(true)), Seq("doc_id"), "left")
-        .withColumn("is_keeper", col("_k").isNotNull)
-        .withColumn("is_loser", col("_l").isNotNull)
-      val card = flagged.groupBy("source").agg(
+      val card = flagged(docs, exactKeepers, losers).groupBy("source").agg(
         count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(when(!col("keep"), 1L).otherwise(0L)).as("n_quality_fail"),
         sum(when(!col("is_keeper"), 1L).otherwise(0L)).as("n_exact_dup"),
         sum(when(col("is_loser"), 1L).otherwise(0L)).as("n_neardup_loser"),
-        sum(when(col("keep") && col("is_keeper") && !col("is_loser"), 1L)
-          .otherwise(0L)).as("n_kept"),
+        sum(when(keepRule, 1L).otherwise(0L)).as("n_kept"),
         count_distinct(col("lang")).as("n_langs"))
+      Caches.materialize(card)
+    } finally Caches.release(sigs)
+  }
+
+  /** [[dataCard]] at (source, lang) grain with per-stage TOKEN mass —
+    * the columns a mixture decision actually reads (r16 VERDICT #8):
+    * documents are not the unit a token budget spends, so the card
+    * carries, per cell, how many TOKENS each filter stage would remove
+    * (quality fail / exact-dup copies / near-dup losers — same
+    * no-double-booking and independent-axis conventions as
+    * [[dataCard]], in token units) and the surviving token budget
+    * `tok_kept` that a pl_s7-style mixture rule draws on. All columns
+    * are int64 sums over exact token counts — combine-order-
+    * independent, hash-gated with no tolerance.
+    *
+    * Scale: identical staging to [[keptPlan]] (shared — see
+    * [[staging]]), two corpus-keyed flag joins, and ONE final groupBy
+    * on (source, lang) — a key domain of |sources|·|langs| (hundreds
+    * at web scale), collapsed map-side before the exchange.
+    */
+  def dataCardByLang(docs: DataFrame,
+      minJaccard: Double = 0.7): DataFrame = {
+    val (exactKeepers, sigs, losers) = staging(docs, minJaccard)
+    try {
+      val card = flagged(docs, exactKeepers, losers)
+        .groupBy("source", "lang").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(!col("keep"), col("n_tokens")).otherwise(0L))
+            .as("tok_quality_fail"),
+          sum(when(!col("is_keeper"), col("n_tokens")).otherwise(0L))
+            .as("tok_exact_dup"),
+          sum(when(col("is_loser"), col("n_tokens")).otherwise(0L))
+            .as("tok_neardup_loser"),
+          sum(when(keepRule, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keepRule, col("n_tokens")).otherwise(0L))
+            .as("tok_kept"))
       Caches.materialize(card)
     } finally Caches.release(sigs)
   }

@@ -187,6 +187,12 @@ object Retrieval {
       col("query_id").cast("long").as("query_id"),
       col("doc_id").cast("long").as("doc_id"),
       col("rank").cast("long").as(as))
+      // enforce the documented 1-based contract (ADVICE r16): this
+      // operator's own output encodes "absent from this side" as rank
+      // 0, so a fused frame fed back in — or any 0/negative rank —
+      // must read as ABSENT (contribute 0), not as 1/(c+0) mass or a
+      // sign-flipped blowup at rank ≤ −c
+      .where(col(as) >= 1L)
     val fused = side(a, "r_a").join(side(b, "r_b"),
         Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",

@@ -405,7 +405,8 @@ object PipelineQueries {
     * diversification.
     */
   private def ivfSq8HierCtes(routeProbes: Int, trained: Boolean,
-                             listProbes: Int): String =
+                             listProbes: Int,
+                             probeWhere: String = "vec_id < 8"): String =
     s"""$vSql,
         ${hierChainCtesSql(routeProbes, trained)},
         dims AS (SELECT unnest(range(1, ${Ann.Dim + 1})) AS d),
@@ -426,7 +427,7 @@ object PipelineQueries {
           SELECT vec_id AS probe_id, iv AS p_iv, norm2 AS p_norm2,
                  list_transform(range(1, ${Ann.Dim + 1}), d ->
                    (v.iv[d] - g.mns[d]) * 255) AS pm
-          FROM v, mml g WHERE vec_id < 8),
+          FROM v, mml g WHERE $probeWhere),
         pcells AS (
           SELECT probe_id, p_iv, p_norm2, pm, c_id AS assigned_cluster
           FROM (
@@ -581,6 +582,74 @@ object PipelineQueries {
 
   /** Brute-force verified near-dup pairs (ground truth for d2/d3). */
   private val truthPairsSql = truthPairsSqlFor("")
+
+  /** The engine's banded-LSH candidate generation mirrored in SQL —
+    * same minhash family (a_i/b_i inlined as literals from the same
+    * driver-side hash60 the engine uses), same 6-band × 2-row md5
+    * banding, same >10k bucket-cap exclusion, then the exact-Jaccard
+    * verify over candidates only. Ends with the same
+    * verified(doc1, doc2, n_inter, n1, n2, jaccard) shape as
+    * [[truthPairsSqlFor]].
+    *
+    * Used by the PAIR-CONSUMING oracles (pl_p3/p4/p5, pl_g1/g2, st17 —
+    * entries about curation cards and graph ranks, not about LSH
+    * recall): the brute all-pairs CTE is quadratic by construction and
+    * DuckDB died at sf1's 48.6 k kept docs (1.18 G candidates, killed
+    * at 2 h — r16 VERDICT #4), while this mirror pays candidate cost.
+    * The DEDUP oracles (pl_d2/d3/d11/d12, pl_s5) deliberately keep the
+    * brute ground truth — they are the recall gate that proves the
+    * banding finds every ≥0.7 pair on these corpora, which is exactly
+    * the property that makes this mirror's `verified` equal theirs.
+    *
+    * Zero-shingle docs (< 3 tokens) are excluded up front: they can
+    * never pass verification (n_inter = 0 on every pair), and carrying
+    * their NULL minhashes through the band md5 would need engine-
+    * faithful NULL folding for rows the verify filter discards anyway.
+    */
+  private def lshPairsSqlFor(where: String): String = {
+    val P = 4294967291L // largest prime < 2^32, as in Dedup.withMinhash
+    val mhExprs = (0 until Dedup.NumHashes).map { i =>
+      val a = TextOps.hash60(s"mha|$i") % (1L << 29) | 1L
+      val b = TextOps.hash60(s"mhb|$i") % (1L << 32)
+      s"list_min(list_transform(h32, h -> ($a * h + $b) % $P)) AS mh$i"
+    }.mkString(",\n                 ")
+    val r = Dedup.NumHashes / Dedup.Bands
+    val bandRows = (0 until Dedup.Bands).map { bi =>
+      val folded = (0 until r).map(j => s"CAST(mh${bi * r + j} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $bi AS band_id, md5($folded) AS band_hash FROM mh"
+    }.mkString("\n            UNION ALL ")
+    s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM documents${
+      if (where.isEmpty) "" else " " + where}),
+        hsh AS (
+          SELECT doc_id, s,
+                 list_transform(s, x -> ${h60("x")} % ${1L << 32}) AS h32
+          FROM sh WHERE len(s) > 0),
+        mh AS (SELECT doc_id, $mhExprs FROM hsh),
+        br AS ($bandRows),
+        bsz AS (
+          SELECT band_id, band_hash, count(*) AS bn
+          FROM br GROUP BY 1, 2),
+        bok AS (
+          SELECT br.* FROM br JOIN bsz USING (band_id, band_hash)
+          WHERE bsz.bn <= ${Dedup.DefaultMaxBucketSize}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+          FROM bok x JOIN bok y USING (band_id, band_hash)
+          WHERE x.doc_id < y.doc_id),
+        cpairs AS (
+          SELECT c.doc1, c.doc2,
+                 CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+                 CAST(len(a.s) AS BIGINT) AS n1,
+                 CAST(len(b.s) AS BIGINT) AS n2
+          FROM cand c JOIN hsh a ON a.doc_id = c.doc1
+               JOIN hsh b ON b.doc_id = c.doc2),
+        verified AS (
+          SELECT doc1, doc2, n_inter, n1, n2,
+                 n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard
+          FROM cpairs
+          WHERE n_inter::DOUBLE / (n1 + n2 - n_inter) >= 0.7)"""
+  }
 
   /** The rational-idf BM25 scoring chain (qt → stats → tf → dfq → c →
     * sc → bm25r), generated from [[Bm25Queries]] and
@@ -940,6 +1009,16 @@ object PipelineQueries {
     "pl_p4_data_card" -> ((s, d) =>
       graft.pipeline.CorpusFilter.dataCard(Tables.documents(s, d), 0.7)),
 
+    // The mixture-grade card (r16 VERDICT #8): (source, lang) grain
+    // with per-stage TOKEN mass — tokens are the unit a training
+    // budget spends, so the card carries what each filter stage
+    // removes and what survives (tok_kept) in token units. Same
+    // shared staging as pl_p4 (one keep-rule definition), one bounded
+    // groupBy.
+    "pl_p5_data_card_tokens" -> ((s, d) =>
+      graft.pipeline.CorpusFilter.dataCardByLang(
+        Tables.documents(s, d), 0.7)),
+
     "pl_p1_corpus_filter" -> ((s, d) =>
       graft.pipeline.CorpusFilter.kept(Tables.documents(s, d), 0.7)),
 
@@ -989,6 +1068,26 @@ object PipelineQueries {
         Tables.documents(s, d), Bm25Queries, 20)
       val dense = Ann.knnBrute(Tables.embeddings(s, d),
           col("vec_id").isin(Bm25Queries.map(_._1): _*), 20)
+        .select(col("probe_id").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      graft.pipeline.Retrieval.rrfFuse(sparse, dense, 10)
+    }),
+
+    // The PRODUCTION shape of the hybrid probe (r16 VERDICT #3): the
+    // dense channel served by the pl_a12 hier-IVF-SQ8 index instead of
+    // pl_r2's brute P×N scan — at 10⁹ vectors the brute side is
+    // unrunnable, while the index serves each probe from its
+    // listProbes lists (~listProbes·N/k candidate rows, zero
+    // exchanges). Dense ranks are the index's own serving order (the
+    // integer SQ8 asymmetric distance, ties by vec_id — pl_a12's rank
+    // column); BM25 side and the rank-only RRF fusion are unchanged
+    // from pl_r2, so the entry isolates exactly the brute→index swap.
+    "pl_r3_hybrid_rrf_hier" -> ((s, d) => {
+      val sparse = graft.pipeline.Retrieval.bm25TopK(
+        Tables.documents(s, d), Bm25Queries, 20)
+      val dense = Ann.annIvfSq8Hier(Tables.embeddings(s, d),
+          col("vec_id").isin(Bm25Queries.map(_._1): _*), 20, 8, 3, 2,
+          600000L, 2, trainedCoarse = true, listProbes = 2)
         .select(col("probe_id").as("query_id"),
           col("neighbor_id").as("doc_id"), col("rank"))
       graft.pipeline.Retrieval.rrfFuse(sparse, dense, 10)
@@ -1873,7 +1972,7 @@ object PipelineQueries {
     "pl_p4_data_card" ->
       s"""WITH ek AS (
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-          ${truthPairsSqlFor("WHERE doc_id IN (SELECT doc_id FROM ek)")},
+          ${lshPairsSqlFor("WHERE doc_id IN (SELECT doc_id FROM ek)")},
           q AS (
             SELECT doc_id, source, lang,
                    CAST(len($toksSql) AS BIGINT) AS n_tokens,
@@ -1901,6 +2000,42 @@ object PipelineQueries {
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
           FROM f GROUP BY 1""",
+
+    // Token-mass card mirror: the SAME keeper/loser/quality CTEs as
+    // pl_p4 at (source, lang) grain, CASE sums carrying n_tokens
+    // instead of 1 — pure int64 token mass per stage.
+    "pl_p5_data_card_tokens" ->
+      s"""WITH ek AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          ${lshPairsSqlFor("WHERE doc_id IN (SELECT doc_id FROM ek)")},
+          q AS (
+            SELECT doc_id, source, lang,
+                   CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter($toksSql, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+            FROM documents),
+          f AS (
+            SELECT q.*,
+                   (n_tokens >= 20 AND n_tokens <= 95
+                    AND n_distinct::DOUBLE / n_tokens >= 0.45
+                    AND n_stop::DOUBLE / n_tokens <= 0.25) AS keep,
+                   doc_id IN (SELECT doc_id FROM ek) AS is_keeper,
+                   doc_id IN (SELECT doc2 FROM verified) AS is_loser
+            FROM q)
+          SELECT source, lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN NOT keep THEN n_tokens ELSE 0 END)
+                   AS BIGINT) AS tok_quality_fail,
+                 CAST(sum(CASE WHEN NOT is_keeper THEN n_tokens ELSE 0 END)
+                   AS BIGINT) AS tok_exact_dup,
+                 CAST(sum(CASE WHEN is_loser THEN n_tokens ELSE 0 END)
+                   AS BIGINT) AS tok_neardup_loser,
+                 CAST(sum(CASE WHEN keep AND is_keeper AND NOT is_loser
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(sum(CASE WHEN keep AND is_keeper AND NOT is_loser
+                          THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_kept
+          FROM f GROUP BY 1, 2""",
 
     "pl_p1_corpus_filter" ->
       s"""WITH $truthPairsSql,
@@ -2232,6 +2367,46 @@ object PipelineQueries {
           FROM rr WHERE rk2 <= 10"""
     },
 
+    // Hybrid-over-index mirror: the SHARED bm25r chain fused with the
+    // SHARED pl_a12 hier-IVF-SQ8 CTE chain (probes = the query ids,
+    // rank cut at 20 in the index's own integer sqd order) — both
+    // channels reuse their standalone entries' SQL verbatim, so the
+    // fusion can never drift from pl_r1/pl_a12.
+    "pl_r3_hybrid_rrf_hier" -> {
+      val qids = Bm25Queries.map(_._1).mkString(", ")
+      s"""WITH $bm25CtesSql,
+          ${ivfSq8HierCtes(2, trained = true, 2, s"vec_id IN ($qids)")},
+          dtop AS (
+            SELECT probe_id AS query_id, vec_id AS doc_id, rank AS rk
+            FROM ranked WHERE rank <= 20),
+          sptop AS (
+            SELECT query_id, doc_id, rk FROM bm25r WHERE rk <= 20),
+          fused AS (
+            SELECT coalesce(s.query_id, d.query_id) AS query_id,
+                   coalesce(s.doc_id, d.doc_id) AS doc_id,
+                   s.rk AS rs, d.rk AS rd
+            FROM sptop s FULL OUTER JOIN dtop d
+              ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+          rrfd AS (
+            SELECT query_id, doc_id, rs, rd,
+                   coalesce(CAST(1 AS DOUBLE) / CAST(60 + rs AS DOUBLE),
+                            CAST(0 AS DOUBLE))
+                   + coalesce(CAST(1 AS DOUBLE) / CAST(60 + rd AS DOUBLE),
+                              CAST(0 AS DOUBLE)) AS rrf
+            FROM fused),
+          rr AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf DESC, doc_id ASC) AS rk2
+            FROM rrfd)
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(rk2 AS BIGINT) AS rank,
+                 CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(coalesce(rs, 0) AS BIGINT) AS r_sparse,
+                 CAST(coalesce(rd, 0) AS BIGINT) AS r_dense,
+                 round(rrf, 6) AS rrf
+          FROM rr WHERE rk2 <= 10"""
+    },
+
     // Integer-exact PageRank mirror: the brute-truth pair CTE as the
     // edge list (both directions), then 3 unrolled iterations of
     // base + Σ (r·17) // (20·outdeg) — pure int64 floor division and
@@ -2247,7 +2422,7 @@ object PipelineQueries {
             FROM e JOIN $prev ON $prev.id = e.src
                    JOIN deg ON deg.src = e.src
             GROUP BY 1)"""
-      s"""WITH $truthPairsSql,
+      s"""WITH ${lshPairsSqlFor("")},
           e AS (SELECT doc1 AS src, doc2 AS dst FROM verified
                 UNION ALL
                 SELECT doc2 AS src, doc1 AS dst FROM verified),
@@ -2280,7 +2455,7 @@ object PipelineQueries {
               FROM e JOIN $prev ON $prev.id = e.src
                      JOIN deg ON deg.src = e.src
               GROUP BY 1) s ON s.id = n.id)"""
-      s"""WITH $truthPairsSql,
+      s"""WITH ${lshPairsSqlFor("")},
           e AS (SELECT doc1 AS src, doc2 AS dst FROM verified
                 UNION ALL
                 SELECT doc2 AS src, doc1 AS dst FROM verified),
@@ -2311,7 +2486,7 @@ object PipelineQueries {
     "pl_p3_full_curation" -> {
       val cases = MixBudgets.toSeq.sortBy(_._1)
         .map { case (g, b) => s"WHEN '$g' THEN $b" }.mkString(" ")
-      s"""WITH ${truthPairsSqlFor("WHERE doc_id % 37 <> 0")},
+      s"""WITH ${lshPairsSqlFor("WHERE doc_id % 37 <> 0")},
           q AS (
             SELECT doc_id, text, source,
                    CAST(len($toksSql) AS BIGINT) AS n_tokens,

@@ -918,6 +918,56 @@ object StreamingQueries {
         cleanup()
         graft.pipeline.Caches.release(index)
       }
+    }),
+
+    // Streaming personalized PageRank (pl_g2's twin, r16 VERDICT #5):
+    // decontamination hits arrive as a stream; the near-dup EDGE
+    // INDEX is static and built ONCE (the st16 build-once-serve-many
+    // pattern), and each micro-batch re-scores TRANSITIVE risk for
+    // the accumulated seed set with the exact batch operator —
+    // iterative rank joins are not expressible inside one streaming
+    // plan, so the serve loop is foreachBatch over the static index:
+    // the production shape for "new benchmark hits landed, refresh
+    // the risk scores". Cross-batch state = the seed set only
+    // (node-sized, held as a materialized frame — the external
+    // equivalent of a state store keyed by doc_id); the edge index
+    // never re-derives. The LAST re-score (all seeds arrived) is the
+    // entry's output; oracle: pl_g2's SQL verbatim.
+    "st17_stream_ppr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.pipeline.Dedup.nearDupPairs(docs)
+      val ix =
+        try graft.pipeline.Graph.buildIndex(pairs.select("doc1", "doc2"))
+        finally graft.pipeline.Caches.release(pairs)
+      try {
+        val seeds = docs
+          .filter(pmod(col("doc_id"), lit(37L)) === 0L).select("doc_id")
+        val (src, cleanup) = stagedFileStream(s, seeds, 3)
+        try {
+          val accSeeds =
+            new java.util.concurrent.atomic.AtomicReference[DataFrame]
+          val latest =
+            new java.util.concurrent.atomic.AtomicReference[DataFrame]
+          val q = src.writeStream.foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              val prev = accSeeds.get()
+              val merged = graft.pipeline.Caches.materialize(
+                Option(prev).map(_.union(batch)).getOrElse(batch)
+                  .select("doc_id").distinct())
+              Option(prev).foreach(graft.pipeline.Caches.release)
+              accSeeds.set(merged)
+              val scored = graft.pipeline.Graph.pprOnIndex(
+                ix, merged, 3, 1000000000L)
+              Option(latest.getAndSet(scored))
+                .foreach(graft.pipeline.Caches.release)
+              ()
+          }.outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          Option(accSeeds.get()).foreach(graft.pipeline.Caches.release)
+          require(latest.get() != null, "seed stream produced no batches")
+          latest.get()
+        } finally cleanup()
+      } finally ix.release()
     })
   )
 
@@ -1042,6 +1092,12 @@ object StreamingQueries {
     // Identical to the batch pl_a12 oracle — the streamed quantized
     // index serve must return the batch composition's exact rows.
     "st16_stream_ann_sq8" ->
-      PipelineQueries.oracleSql("pl_a12_ann_ivf_sq8_hier")
+      PipelineQueries.oracleSql("pl_a12_ann_ivf_sq8_hier"),
+
+    // Identical to the batch pl_g2 oracle — the final streamed
+    // re-score (all seed batches arrived) must equal the one-shot
+    // personalized PageRank on the full seed set, integer for integer.
+    "st17_stream_ppr" ->
+      PipelineQueries.oracleSql("pl_g2_ppr_decontam")
   )
 }

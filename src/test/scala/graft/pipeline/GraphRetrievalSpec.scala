@@ -96,6 +96,21 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(r(0).getAs[Double]("rrf") == exp20)
   }
 
+  test("rrfFuse: rank-0 'absent' encodings read as absent, so a fused " +
+      "output fed back in adds no phantom mass") {
+    // doc 20 carries this operator's own absent-encoding (rank 0) on
+    // side a — it must contribute nothing there, not 1/(60+0)
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 0L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1L)).toDF("query_id", "doc_id", "rank")
+    val r = Retrieval.rrfFuse(a, b, 3).orderBy("rank").collect()
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("r_sparse"),
+      x.getAs[Long]("r_dense"))).toSeq ==
+      Seq((10L, 1L, 0L), (20L, 0L, 1L)))
+    // both at 1/61: the tie broke by doc_id and neither got 0-rank mass
+    assert(r(0).getAs[Double]("rrf") == r(1).getAs[Double]("rrf"))
+  }
+
   test("rrfFuse: equal scores tie-break by doc_id ascending") {
     val a = Seq((1L, 5L, 3L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 4L, 3L)).toDF("query_id", "doc_id", "rank")
@@ -104,11 +119,11 @@ class GraphRetrievalSpec extends SparkSpec {
   }
 
   test("pagerank plan: zero corpus scans — iterations ride the " +
-      "materialized edge list only") {
+      "materialized edge index only") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.nearDupPairs(docs)
-    val (plan, edges) = Graph.pagerankPlan(
+    val (plan, ix) = Graph.pagerankPlan(
       pairs.select("doc1", "doc2"), 3, 1000000000L)
     try {
       val p = plan.queryExecution.executedPlan.toString()
@@ -117,6 +132,46 @@ class GraphRetrievalSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
         "pagerank plans an all-pairs join")
-    } finally { Caches.release(edges); Caches.release(pairs) }
+      // the degree aggregation (`count(1)` over the edge list) must
+      // live in the materialized index, NOT replay inside the
+      // iteration lineage (r16 VERDICT #6) — non-vacuity: the same
+      // signature IS present in the index build plan below
+      assert(!p.contains("count(1)"),
+        s"degree aggregation replays inside the iterations:\n$p")
+      val buildPlan = pairs.select(col("doc1").cast("long").as("src"),
+          col("doc2").cast("long").as("dst"))
+        .groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .queryExecution.executedPlan.toString()
+      assert(buildPlan.contains("count(1)"),
+        "non-vacuity probe broken: count(1) signature not in a plain " +
+          "degree aggregation plan")
+    } finally { ix.release(); Caches.release(pairs) }
+  }
+
+  test("ppr on a prebuilt index: serve calls with revised seed sets " +
+      "match the one-shot operator exactly") {
+    // the st17 serve contract: build once, re-score per seed revision;
+    // the final revision must equal personalizedPagerank on the same
+    // full seed set, bit for bit
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc1", "doc2")
+    val ix = Graph.buildIndex(pairs)
+    try {
+      val partial = Graph.pprOnIndex(ix, Seq(1L).toDF("doc_id"), 3, 1000000L)
+      val full = Graph.pprOnIndex(ix, Seq(1L, 4L).toDF("doc_id"), 3, 1000000L)
+      try {
+        val oneShot = Graph.personalizedPagerank(pairs,
+          Seq(1L, 4L).toDF("doc_id"), 3, 1000000L)
+        try {
+          assert(full.orderBy("doc_id").collect().toSeq ==
+            oneShot.orderBy("doc_id").collect().toSeq)
+          // the partial revision is a genuinely different scoring (the
+          // re-score per batch is not a no-op)
+          assert(partial.filter(col("doc_id") === 4L)
+            .head().getAs[Long]("pr_scaled") <
+            full.filter(col("doc_id") === 4L)
+              .head().getAs[Long]("pr_scaled"))
+        } finally Caches.release(oneShot)
+      } finally { Caches.release(partial); Caches.release(full) }
+    } finally ix.release()
   }
 }

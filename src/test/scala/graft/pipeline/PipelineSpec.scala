@@ -750,6 +750,48 @@ class PipelineSpec extends SparkSpec {
     assert(row(1) == ("b", 4L, 56L, 2L, 2L, 0L, 1L, 2L))
   }
 
+  test("token-mass card: per-stage token columns, and kept totals " +
+      "reconcile with kept() exactly") {
+    val good = (1 to 25).map(i => s"w$i").mkString(" ")
+    val near = good.replace("w25", "w99") // near-dup loser vs doc 0
+    val short = "w1 w2 w3"                // fails n_tokens >= 20
+    val other = (1 to 25).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, good, "a", "en"), (1L, near, "a", "en"),
+      (2L, good, "b", "en"), // exact copy of 0
+      (3L, short, "b", "de"), (4L, other, "b", "en"),
+      (5L, short, "b", "de")) // copy of 3 AND quality-fail
+      .toDF("doc_id", "text", "source", "lang")
+    val card = CorpusFilter.dataCardByLang(docs, 0.7)
+    val kept = CorpusFilter.kept(docs, 0.7)
+    try {
+      // the one keep-rule definition: card cell sums must equal the
+      // kept() population in BOTH units (docs and tokens)
+      val tot = card.agg(sum("n_kept"), sum("tok_kept")).head()
+      val keptTot = kept.agg(count(lit(1)), sum("n_tokens")).head()
+      assert(tot.getLong(0) == keptTot.getLong(0))
+      assert(tot.getLong(1) == keptTot.getLong(1))
+      // hand check (a, en): doc 0 kept (25 tokens), doc 1 a 25-token
+      // near-dup loser — token masses land in the right stage columns
+      val aEn = card.filter(col("source") === "a").collect()
+      assert(aEn.length == 1)
+      assert(aEn.head.getAs[String]("lang") == "en")
+      assert(aEn.head.getAs[Long]("n_tokens") == 50L)
+      assert(aEn.head.getAs[Long]("tok_quality_fail") == 0L)
+      assert(aEn.head.getAs[Long]("tok_exact_dup") == 0L)
+      assert(aEn.head.getAs[Long]("tok_neardup_loser") == 25L)
+      assert(aEn.head.getAs[Long]("n_kept") == 1L)
+      assert(aEn.head.getAs[Long]("tok_kept") == 25L)
+      // (b, de): doc 5 is a byte-copy AND a quality fail — its 3
+      // tokens sit in BOTH token columns (independent axes, like pl_p4)
+      val bDe = card.filter(col("source") === "b" && col("lang") === "de")
+        .head()
+      assert(bDe.getAs[Long]("tok_quality_fail") == 6L)
+      assert(bDe.getAs[Long]("tok_exact_dup") == 3L)
+      assert(bDe.getAs[Long]("tok_kept") == 0L)
+    } finally { Caches.release(card); Caches.release(kept) }
+  }
+
   test("train-then-assign contract: empty training input fails loudly " +
       "with a domain message") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
