@@ -758,18 +758,15 @@ object Dedup {
     // unpersist works); later rounds are localCheckpoint'd, whose blocks
     // live on the RDD the checkpoint persisted — Dataset.unpersist is a
     // no-op on those; Caches.persistedRdd finds the storage-levelled
-    // node on the dependency walk. Superseded rounds release ONLY after
-    // a convergence count has materialized a round built on top of them
-    // (an unchecked round's checkpoint is lazy — dropping its parent's
-    // blocks first would recompute from the cached edge list).
-    def releaseOf(df: DataFrame): () => Unit = () => {
+    // node on the dependency walk. A superseded round releases right
+    // after the convergence count, which has materialized the round
+    // built on top of it.
+    def release(df: DataFrame): Unit = {
       df.unpersist()
       Caches.persistedRdd(df, quiet = true)
         .foreach(_.unpersist(blocking = false))
     }
-    var pending = List.empty[() => Unit]
     var changed = 1L
-    var round = 0
     while (changed > 0) {
       val nbMin = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("nb_rep")), "dst")
@@ -785,31 +782,30 @@ object Dedup {
           least(col("rep"), coalesce(col("nb_rep"), col("rep")),
             coalesce(col("hop_rep"), col("rep"))).as("rep"))
         // localCheckpoint truncates the per-round lineage chain so plan
-        // size stays O(1) across rounds; it materializes under the next
-        // convergence count's job (every 2nd round)
+        // size stays O(1) across rounds; it materializes under this
+        // round's convergence count job
         .localCheckpoint(false)
-      round += 1
       val old = labels
-      pending ::= releaseOf(old)
       labels = next
-      // Convergence is checked every OTHER round (r16, VERDICT r15 #7):
-      // the per-round count() was one driver-synchronized action per
-      // round — a declared accepted cost at O(log diameter) rounds,
-      // halved here. A propagation round at the fixed point is
-      // idempotent (min over own/neighbor/hop labels of an already-
-      // stable labeling), so deferring the check can only run one
-      // harmless extra round; the fixed point — hence pl_d3 — is
-      // bit-unchanged.
-      if (round % 2 == 0) {
-        changed = next.withColumnRenamed("rep", "new_rep")
-          .join(old, "id")
-          .filter(col("new_rep") =!= col("rep"))
-          .count()
-        // `next` is materialized now — every prior round's storage is
-        // unreachable from any live plan
-        pending.foreach(_.apply())
-        pending = Nil
-      }
+      // Convergence is checked EVERY round — r17 reverts the r16
+      // every-2-rounds batching after measuring it: deferring the
+      // check leaves the odd round's checkpoint LAZY while the even
+      // round's plan references it THREE times (self, neighbor-min,
+      // hop), and those three parent stages race to compute the
+      // uncached partitions — the suite-context CPU rose 13 → ~19 s
+      // (three independent readings) for a saving of O(log diameter)/2
+      // driver-synchronized counts, i.e. ~10 sub-second actions per
+      // call even on a 10⁶-long chain. The per-round count
+      // materializes each round's checkpoint BEFORE the next round's
+      // stages read it, so every round computes exactly once; the
+      // fixed point — hence pl_d3 — is bit-identical either way.
+      changed = next.withColumnRenamed("rep", "new_rep")
+        .join(old, "id")
+        .filter(col("new_rep") =!= col("rep"))
+        .count()
+      // `next` is materialized now — the superseded round's storage is
+      // unreachable from any live plan
+      release(old)
     }
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     val out = labels.join(sizes, "rep")
