@@ -46,8 +46,12 @@ def run_oracle(args):
     con = duckdb.connect()
     con.execute(f"SET threads TO {threads}")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # partial fixture dirs (fixtures/sf1 carries only the
+        # documents/embeddings/events tables) — skip absent tables so
+        # oracles that never touch them still run
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     t0 = time.time()
     df = con.execute(sql).df()
     dt = time.time() - t0
