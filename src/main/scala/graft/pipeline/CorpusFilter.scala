@@ -190,6 +190,55 @@ object CorpusFilter {
     * on (source, lang) — a key domain of |sources|·|langs| (hundreds
     * at web scale), collapsed map-side before the exchange.
     */
+  /** Canonical-document pick by CENTRALITY (VERDICT r17 #5 — the use
+    * [[Graph]]'s scaladoc promises, composed into curation): resolve
+    * the verified near-dup pairs to connected-component clusters
+    * ([[Dedup.dupClusters]]) and pick, per cluster, the member with
+    * the highest integer PageRank over the SAME pair graph
+    * ([[Graph.pagerankScaled]]) — ties broken by min doc_id. The
+    * centrality keeper beats min-id for template/boilerplate families:
+    * the member most-connected to the rest of its cluster is the one
+    * whose text best represents the family (min-id is an accident of
+    * crawl order). Both inputs are integer-exact, the argmax is an
+    * order-independent `max(struct(pr_scaled, -doc_id))`, so the pick
+    * is deterministic and hash-gated with no tolerance.
+    *
+    * Returns one row per CLUSTERED doc: (doc_id, cluster_rep,
+    * cluster_size, canonical_id, canonical_pr_scaled, is_canonical) —
+    * the per-doc labels double as the sf1-scale hash gate for the
+    * cluster resolution itself (VERDICT r17 #8: pl_d3's own oracle is
+    * the deliberately-quadratic brute recall gate, so its hash lives
+    * at ≤ sf0.1; this entry's oracle replays the banded-LSH mirror +
+    * recursive CC, feasible at sf1).
+    *
+    * Scale: [[Dedup.dupClusters]]'s pointer-jumping CC and the rank's
+    * two edge-list shuffles per iteration, plus one cluster-keyed
+    * argmax aggregation and a cluster-sized broadcast-able join —
+    * everything is edge-list- or cluster-sized, never corpus-scale.
+    */
+  def canonicalByCentrality(pairs: DataFrame): DataFrame = {
+    val clusters = Dedup.dupClusters(pairs)
+    try {
+      val ranks = Graph.pagerankScaled(pairs.select("doc1", "doc2"),
+        3, 1000000000L)
+      try {
+        val canon = clusters
+          .join(ranks.select(col("doc_id"), col("pr_scaled")), "doc_id")
+          .groupBy("cluster_rep")
+          .agg(max(struct(col("pr_scaled").as("p"),
+            (-col("doc_id")).as("nid"))).as("m"))
+          .select(col("cluster_rep"),
+            (-col("m.nid")).as("canonical_id"),
+            col("m.p").as("canonical_pr_scaled"))
+        Caches.materialize(
+          clusters.join(canon, "cluster_rep")
+            .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+              col("canonical_id"), col("canonical_pr_scaled"),
+              (col("doc_id") === col("canonical_id")).as("is_canonical")))
+      } finally Caches.release(ranks)
+    } finally Caches.release(clusters)
+  }
+
   def dataCardByLang(docs: DataFrame,
       minJaccard: Double = 0.7): DataFrame = {
     val (exactKeepers, sigs, losers) = staging(docs, minJaccard)

@@ -76,15 +76,24 @@ object Graph {
       col("doc2").cast("long").as("dst"))
     val edges = Caches.materialize(
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    // error path releases whatever was materialized before rethrowing
+    // (ADVICE r17 #3: a failure between the nodes and degEdges
+    // materializations previously leaked the nodes checkpoint)
+    var nodes: DataFrame = null
+    var degEdges: DataFrame = null
     try {
-      val nodes = Caches.materialize(
+      nodes = Caches.materialize(
         edges.groupBy("src")
           .agg(count(lit(1)).cast("long").as("outdeg"))
           .select(col("src").as("id"), col("outdeg")))
-      val degEdges = Caches.materialize(
+      degEdges = Caches.materialize(
         edges.join(nodes.select(col("id").as("src"), col("outdeg")),
           "src"))
       EdgeIndex(degEdges, nodes, nodes.count())
+    } catch { case e: Throwable =>
+      Option(nodes).foreach(Caches.release)
+      Option(degEdges).foreach(Caches.release)
+      throw e
     } finally Caches.release(edges)
   }
 
@@ -216,6 +225,128 @@ object Graph {
               .as("pr")))
     } finally Caches.release(nodes)
   }
+
+  /** The standing state of an INCREMENTAL personalized-PageRank serve
+    * (the st18 streaming twin's cross-batch state): one MATERIALIZED
+    * node-sized frame carrying, per node, `outdeg`, the accumulated
+    * seed flag, and the rank value of EVERY iteration layer
+    * (`r0 … r<iterations>`) — not just the final scores. The full
+    * trajectory is what makes delta re-scoring EXACT: iteration t of
+    * the floor-divided recurrence reads r_{t-1}, so composing a new
+    * seed batch onto standing scores needs the old r_{t-1}(u) at every
+    * frontier node, per layer (the final-scores-only shortcut would
+    * have to re-derive them from scratch — the full re-score st17
+    * performs).
+    */
+  final case class PprState(layers: DataFrame, iterations: Int,
+      scale: Long) {
+    def release(): Unit = Caches.release(layers)
+  }
+
+  /** Empty [[PprState]] over an index: no seeds, every layer integer 0
+    * (the PPR of the empty seed set). Node-sized, materialized.
+    */
+  def pprInit(ix: EdgeIndex, iterations: Int = 3,
+      scale: Long = 1000000000L): PprState = {
+    checkIterScale(iterations, scale)
+    val zeros = (0 to iterations).map(t => lit(0L).as(s"r$t"))
+    PprState(Caches.materialize(
+      ix.nodes.select(col("id") +: col("outdeg") +:
+        lit(false).as("is_seed") +: zeros: _*)), iterations, scale)
+  }
+
+  /** Fold a NEW seed batch into the standing state by DELTA
+    * propagation — bit-exact equal to re-running [[pprOnIndex]] on the
+    * accumulated seed set, at the cost of the delta-REACHABLE frontier
+    * only (st17's per-batch full re-score touches every edge every
+    * iteration; this touches edges leaving nodes whose rank actually
+    * changed).
+    *
+    * Exactness argument (the floor division makes naive linearity
+    * FALSE — floor((a+b)/d) ≠ floor(a/d) + floor(b/d) — so the delta
+    * is NOT "run PPR on the new seeds alone and add"): per layer t and
+    * edge u→v the update carries the exact difference
+    *
+    *   Δcontrib(u→v) = ((r+Δ)·17) div (20·outdeg) − (r·17) div (20·outdeg)
+    *
+    * with r = the standing r_{t-1}(u) and Δ = the layer-(t-1) delta at
+    * u, so the new per-edge term is reconstructed exactly, not
+    * approximated; the per-node combine is an int64 SUM of those
+    * differences plus the base-teleport delta `base·[v ∈ newSeeds]`.
+    * By induction r_t(new) = r_t(old) + Δ_t per node, layer by layer —
+    * the identity GraphRetrievalSpec locks against the one-shot
+    * operator. All deltas are ≥ 0 (seeds only add mass and the floor
+    * difference of a monotone step is ≥ 0), so `div` (truncation) and
+    * the oracle's `//` (floor) agree, as everywhere in this family.
+    *
+    * Seeds not present in the node set drop (same membership rule as
+    * [[pprOnIndex]]); seeds already folded in are ignored (their delta
+    * is zero by construction). Returns the NEW materialized state; the
+    * caller releases the old one (foreachBatch does exactly that).
+    */
+  def pprAddSeeds(ix: EdgeIndex, st: PprState,
+      newSeeds: DataFrame): PprState = {
+    val scale = st.scale
+    val base = (3L * scale) / DampDen
+    val seedIds = newSeeds.select(col("doc_id").cast("long").as("id"))
+      .distinct()
+    // frontier 0: genuinely-new seeds that exist in the graph
+    val delta0 = Caches.materialize(
+      st.layers.join(seedIds, "id").filter(!col("is_seed"))
+        .select(col("id"), lit(scale).as("d")))
+    val deltas = scala.collection.mutable.ArrayBuffer[DataFrame](delta0)
+    try {
+      val nSeeds = st.layers.filter(col("is_seed")).count() + delta0.count()
+      require(
+        BigInt(DampNum) * math.max(nSeeds, 1L) * scale <= Long.MaxValue,
+        s"ppr int64 bound exceeded (seeds=$nSeeds, scale=$scale): " +
+          "lower scale — rank resolution degrades gracefully")
+      for (t <- 1 to st.iterations) {
+        val prev = deltas(t - 1)
+        // frontier rows with the OLD layer-(t-1) value at each node
+        val f = prev.join(
+          st.layers.select(col("id"), col(s"r${t - 1}").as("rprev")), "id")
+        val inboundDiff = ix.degEdges
+          .join(f, col("id") === col("src"))
+          .select(col("dst"), expr(
+            s"((rprev + d) * $DampNum) div (${DampDen}L * outdeg)" +
+              s" - (rprev * $DampNum) div (${DampDen}L * outdeg)")
+            .as("cd"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("cd")).as("s"))
+        deltas += Caches.materialize(
+          delta0.select(col("id"), lit(base).as("b"))
+            .join(inboundDiff, Seq("id"), "full_outer")
+            .select(col("id"),
+              (coalesce(col("b"), lit(0L)) + coalesce(col("s"), lit(0L)))
+                .as("d"))
+            .filter(col("d") =!= 0L))
+      }
+      // fold every layer's delta into the standing frame in ONE pass
+      var merged = st.layers
+      for (t <- 0 to st.iterations)
+        merged = merged.join(
+          deltas(t).select(col("id"), col("d").as(s"_d$t")), Seq("id"), "left")
+      val rCols = (0 to st.iterations).map(t =>
+        (col(s"r$t") + coalesce(col(s"_d$t"), lit(0L))).as(s"r$t"))
+      val newLayers = Caches.materialize(merged.select(
+        col("id") +: col("outdeg") +:
+          (col("is_seed") || col("_d0").isNotNull).as("is_seed") +:
+          rCols: _*))
+      PprState(newLayers, st.iterations, scale)
+    } finally deltas.foreach(Caches.release)
+  }
+
+  /** The standing scores in [[pprOnIndex]]'s exact output shape
+    * (doc_id, outdeg, is_seed, pr_scaled, pr) — a LAZY projection over
+    * the state's materialized layers (materialize it before releasing
+    * the state).
+    */
+  def pprScores(st: PprState): DataFrame =
+    st.layers.select(col("id").as("doc_id"), col("outdeg"),
+      col("is_seed"), col(s"r${st.iterations}").as("pr_scaled"),
+      round(col(s"r${st.iterations}").cast("double")
+        / lit(st.scale).cast("double"), 6).as("pr"))
 
   /** The LAZY rank plan plus the MATERIALIZED [[EdgeIndex]] it rides
     * (callers of [[pagerankScaled]] never see either — the public

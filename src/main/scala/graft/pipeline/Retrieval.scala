@@ -178,6 +178,15 @@ object Retrieval {
     * 100 TB cost lives upstream in the rankers (BM25's single postings
     * scan, the ANN index's bounded per-list serve); fusing their
     * outputs is free by comparison.
+    *
+    * CALL-SITE HAZARD (ADVICE r17 #4): the rank-contract filter below
+    * SILENTLY drops rank ≤ 0 rows — correct for this operator's own
+    * fused output fed back in (rank 0 = absent by encoding), but a
+    * caller that accidentally supplies a 0-BASED rank column loses
+    * exactly its top-ranked doc per query with no error. Rankers
+    * feeding this must emit 1-based ranks (every in-repo producer —
+    * bm25TopK, the ANN serve paths — does; the spec locks the drop
+    * semantics so the hazard at least stays documented-true).
     */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Long = 60L)
       : DataFrame = {

@@ -560,7 +560,20 @@ object PipelineQueries {
     // an 8-term probe — the width of a real decontamination prompt
     // (VERDICT r12 #3: exercise the full MaxTerms fold)
     4L -> Seq("window", "sort", "merge", "group",
-      "stream", "batch", "table", "data"))
+      "stream", "batch", "table", "data"),
+    // sf1-visible probes (VERDICT r17 #3): the sf1 fixture is
+    // vocabulary-disjoint by construction — ScaleFixtures.scaledDocs
+    // prefixes copy i's tokens with "c<i>", a bijective per-copy
+    // renaming — so queries 1-4's literals match NOTHING at sf1 and
+    // the sparse channel's sf1 verdict was vacuous (hash-equal at 0
+    // rows). Queries 5-6 carry copy-0's image of queries 1 and 3
+    // under that mapping: at sf1 they hit copy 0's full term mass
+    // (measured 54 k token occurrences), while at the real SFs no
+    // "c0…" token exists (measured 0 at sf0.01/0.1), so there they
+    // are empty on both engines — and their probe ids still exercise
+    // the dense-only RRF path in pl_r2/r3 at every SF.
+    5L -> Seq("c0join", "c0hash"),
+    6L -> Seq("c0customer", "c0order", "c0slow", "c0fast"))
 
   /** Brute-force verified near-dup pairs (ground truth for d2/d3),
     * optionally over a doc subset (pl_p3 restricts to the non-bench
@@ -606,7 +619,8 @@ object PipelineQueries {
     * their NULL minhashes through the band md5 would need engine-
     * faithful NULL folding for rows the verify filter discards anyway.
     */
-  private def lshPairsSqlFor(where: String): String = {
+  private def lshPairsSqlFor(where: String,
+      minJaccard: Double = 0.7): String = {
     val P = 4294967291L // largest prime < 2^32, as in Dedup.withMinhash
     val mhExprs = (0 until Dedup.NumHashes).map { i =>
       val a = TextOps.hash60(s"mha|$i") % (1L << 29) | 1L
@@ -648,7 +662,7 @@ object PipelineQueries {
           SELECT doc1, doc2, n_inter, n1, n2,
                  n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard
           FROM cpairs
-          WHERE n_inter::DOUBLE / (n1 + n2 - n_inter) >= 0.7)"""
+          WHERE n_inter::DOUBLE / (n1 + n2 - n_inter) >= $minJaccard)"""
   }
 
   /** The rational-idf BM25 scoring chain (qt → stats → tf → dfq → c →
@@ -1123,6 +1137,20 @@ object PipelineQueries {
         pairs.select("doc1", "doc2"),
         docs.filter(pmod(col("doc_id"), lit(37L)) === 0L).select("doc_id"),
         3, 1000000000L)
+      finally graft.pipeline.Caches.release(pairs)
+    }),
+
+    // Canonical-doc pick by centrality (VERDICT r17 #5): near-dup
+    // clusters resolved by connected components, keeper = the member
+    // of highest integer PageRank over the same pair graph (ties →
+    // min doc_id) — the graph family composed INTO curation instead
+    // of adjacent to it. The per-doc cluster labels in the output
+    // also hash-gate the CC resolution at sf1 via the banded-LSH
+    // mirror oracle (VERDICT r17 #8 — pl_d3's own oracle is the
+    // deliberately-quadratic brute recall gate, ≤ sf0.1 only).
+    "pl_p6_canonical_pick" -> ((s, d) => {
+      val pairs = Dedup.nearDupPairs(Tables.documents(s, d))
+      try graft.pipeline.CorpusFilter.canonicalByCentrality(pairs)
       finally graft.pipeline.Caches.release(pairs)
     }),
 
@@ -2474,6 +2502,62 @@ object PipelineQueries {
           SELECT n.id AS doc_id, n.outdeg, n.is_seed, r3.r AS pr_scaled,
                  round(CAST(r3.r AS DOUBLE) / $scale, 6) AS pr
           FROM r3 JOIN nodes n ON n.id = r3.id"""
+    },
+
+    // Canonical-by-centrality mirror: the banded-LSH pair mirror, the
+    // pl_d3 recursive-CC labeling over it, the pl_g1 integer PageRank
+    // chain over the SAME verified pairs, then the per-cluster argmax
+    // (pr DESC, doc_id ASC) — every piece shared verbatim with the
+    // stage it mirrors, so the composition cannot drift. Recursive
+    // CC + LSH-mirror pairs (not the brute CTE) is what makes this
+    // the cluster-label hash gate that RUNS at sf1.
+    "pl_p6_canonical_pick" -> {
+      val scale = 1000000000L
+      val base = 3L * scale / 20L
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+            SELECT e.dst AS id,
+                   CAST($base + sum(($prev.r * 17) // (20 * deg.outdeg))
+                     AS BIGINT) AS r
+            FROM e JOIN $prev ON $prev.id = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY 1)"""
+      s"""WITH RECURSIVE ${lshPairsSqlFor("")},
+          edges AS (
+            SELECT doc1 AS s, doc2 AS d FROM verified
+            UNION SELECT doc2, doc1 FROM verified),
+          reach(id, r) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+          labeled AS (
+            SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+          sized AS (
+            SELECT doc_id, cluster_rep,
+                   CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+                     AS cluster_size
+            FROM labeled),
+          e AS (SELECT doc1 AS src, doc2 AS dst FROM verified
+                UNION ALL
+                SELECT doc2 AS src, doc1 AS dst FROM verified),
+          deg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY 1),
+          r0 AS (SELECT src AS id, CAST($scale AS BIGINT) AS r FROM deg),
+          ${iter("r0", "r1")},
+          ${iter("r1", "r2")},
+          ${iter("r2", "r3")},
+          canon AS (
+            SELECT s.cluster_rep, s.doc_id AS canonical_id,
+                   r3.r AS canonical_pr_scaled,
+                   row_number() OVER (PARTITION BY s.cluster_rep
+                     ORDER BY r3.r DESC, s.doc_id ASC) AS rk
+            FROM sized s JOIN r3 ON r3.id = s.doc_id)
+          SELECT s.doc_id, s.cluster_rep, s.cluster_size,
+                 c.canonical_id, c.canonical_pr_scaled,
+                 s.doc_id = c.canonical_id AS is_canonical
+          FROM sized s JOIN canon c
+            ON c.cluster_rep = s.cluster_rep AND c.rk = 1"""
     },
 
     // pl_p1's kept population (same truth-pairs CTE) chunked with the

@@ -968,6 +968,48 @@ object StreamingQueries {
           latest.get()
         } finally cleanup()
       } finally ix.release()
+    }),
+
+    // Incremental streaming PPR (st17 v2 — VERDICT r17 #7): same
+    // static edge index, same 3 staged seed batches, but each batch
+    // folds its NEW seeds into standing per-iteration rank layers by
+    // exact DELTA propagation (Graph.pprAddSeeds) instead of st17's
+    // full re-score — per-batch cost drops from O(edges·iters) to the
+    // delta-REACHABLE frontier's out-edges. The floor-divided
+    // recurrence is not naively linear, so the delta carries the
+    // exact per-edge floor DIFFERENCE at the standing value (see
+    // pprAddSeeds' exactness argument); the final standing scores
+    // equal the one-shot full re-score integer for integer, which is
+    // why this entry shares pl_g2's oracle verbatim. Cross-batch
+    // state = ONE node-sized layers frame (iterations+1 int64 columns
+    // + the seed flag), materialized and released per batch.
+    "st18_stream_ppr_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.pipeline.Dedup.nearDupPairs(docs)
+      val ix =
+        try graft.pipeline.Graph.buildIndex(pairs.select("doc1", "doc2"))
+        finally graft.pipeline.Caches.release(pairs)
+      try {
+        val seeds = docs
+          .filter(pmod(col("doc_id"), lit(37L)) === 0L).select("doc_id")
+        val (src, cleanup) = stagedFileStream(s, seeds, 3)
+        try {
+          val state = new java.util.concurrent.atomic.AtomicReference(
+            graft.pipeline.Graph.pprInit(ix, 3, 1000000000L))
+          try {
+            val q = src.writeStream.foreachBatch {
+              (batch: DataFrame, _: Long) =>
+                val prev = state.get()
+                state.set(graft.pipeline.Graph.pprAddSeeds(ix, prev, batch))
+                prev.release()
+                ()
+            }.outputMode("append").start()
+            try q.processAllAvailable() finally q.stop()
+            graft.pipeline.Caches.materialize(
+              graft.pipeline.Graph.pprScores(state.get()))
+          } finally state.get().release()
+        } finally cleanup()
+      } finally ix.release()
     })
   )
 
@@ -1098,6 +1140,13 @@ object StreamingQueries {
     // re-score (all seed batches arrived) must equal the one-shot
     // personalized PageRank on the full seed set, integer for integer.
     "st17_stream_ppr" ->
+      PipelineQueries.oracleSql("pl_g2_ppr_decontam"),
+
+    // Identical to the batch pl_g2 oracle — the delta-composed
+    // standing scores must equal the one-shot personalized PageRank
+    // on the full seed set, integer for integer (the linear-identity
+    // claim pprAddSeeds makes, gated end to end).
+    "st18_stream_ppr_delta" ->
       PipelineQueries.oracleSql("pl_g2_ppr_decontam")
   )
 }

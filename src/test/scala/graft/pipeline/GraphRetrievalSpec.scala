@@ -174,4 +174,85 @@ class GraphRetrievalSpec extends SparkSpec {
       } finally { Caches.release(partial); Caches.release(full) }
     } finally ix.release()
   }
+
+  test("incremental ppr: delta composition equals the one-shot operator " +
+      "bit for bit, batch by batch") {
+    // the st18 serve contract. Graph chosen dense + asymmetric and the
+    // scale ODD so the floor divisions are ragged: a naive "PPR(new
+    // seeds alone) + standing scores" composition — which floor makes
+    // WRONG (floor((a+b)x) != floor(ax)+floor(bx)) — fails this test;
+    // the exact per-edge floor-difference propagation passes it.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L))
+      .toDF("doc1", "doc2")
+    val ix = Graph.buildIndex(pairs)
+    try {
+      var st = Graph.pprInit(ix, 3, 1000003L)
+      // batch 1: seed {1} — delta from the empty state IS the full
+      // recurrence, so this also gates the from-zero path
+      val st1 = Graph.pprAddSeeds(ix, st, Seq(1L).toDF("doc_id"))
+      st.release(); st = st1
+      val oneShot1 = Graph.pprOnIndex(ix, Seq(1L).toDF("doc_id"),
+        3, 1000003L)
+      try assert(Graph.pprScores(st).orderBy("doc_id").collect().toSeq ==
+        oneShot1.orderBy("doc_id").collect().toSeq)
+      finally Caches.release(oneShot1)
+      // batch 2: seed {3}, plus a duplicate of seed 1 (must be a
+      // no-op) and a seed absent from the graph (must drop, same
+      // membership rule as pprOnIndex)
+      val st2 = Graph.pprAddSeeds(ix, st,
+        Seq(3L, 1L, 99L).toDF("doc_id"))
+      st.release(); st = st2
+      val oneShot2 = Graph.pprOnIndex(ix, Seq(1L, 3L).toDF("doc_id"),
+        3, 1000003L)
+      try assert(Graph.pprScores(st).orderBy("doc_id").collect().toSeq ==
+        oneShot2.orderBy("doc_id").collect().toSeq)
+      finally Caches.release(oneShot2)
+      st.release()
+    } finally ix.release()
+  }
+
+  test("incremental ppr: a batch of already-seen / off-graph seeds " +
+      "leaves the standing scores bit-identical") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
+    val ix = Graph.buildIndex(pairs)
+    try {
+      val st0 = Graph.pprInit(ix, 3, 1000000L)
+      val st1 = Graph.pprAddSeeds(ix, st0, Seq(2L).toDF("doc_id"))
+      st0.release()
+      val before = Graph.pprScores(st1).orderBy("doc_id").collect().toSeq
+      val st2 = Graph.pprAddSeeds(ix, st1,
+        Seq(2L, 77L).toDF("doc_id"))
+      st1.release()
+      try assert(
+        Graph.pprScores(st2).orderBy("doc_id").collect().toSeq == before)
+      finally st2.release()
+    } finally ix.release()
+  }
+
+  test("canonicalByCentrality: per-cluster argmax by rank, ties to min " +
+      "doc_id, labels cover exactly the clustered docs") {
+    // cluster A = path 5—6—7 (center 6 holds the rank max); cluster
+    // B = pair 10—11 (symmetric ranks TIE — canonical must be 10)
+    val pairs = Seq((5L, 6L), (6L, 7L), (10L, 11L))
+      .map { case (a, b) => (a, b, 1.0) }
+      .toDF("doc1", "doc2", "jaccard")
+    val r = CorpusFilter.canonicalByCentrality(pairs)
+    try {
+      val rows = r.orderBy("doc_id").collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+        Seq(5L, 6L, 7L, 10L, 11L))
+      assert(rows.map(_.getAs[Long]("canonical_id")).toSeq ==
+        Seq(6L, 6L, 6L, 10L, 10L))
+      assert(rows.map(_.getAs[Long]("cluster_size")).toSeq ==
+        Seq(3L, 3L, 3L, 2L, 2L))
+      assert(rows.map(_.getAs[Boolean]("is_canonical")).count(identity) == 2)
+      // exactly one canonical per cluster, and it is a cluster member
+      assert(rows.groupBy(_.getAs[Long]("cluster_rep")).forall {
+        case (_, members) =>
+          val canon = members.map(_.getAs[Long]("canonical_id")).distinct
+          canon.length == 1 &&
+            members.exists(_.getAs[Long]("doc_id") == canon.head)
+      })
+    } finally Caches.release(r)
+  }
 }

@@ -21,8 +21,16 @@ is comparable since JIT runs on spare threads):
   jitter) independent of entry size, so sub-second entries otherwise
   false-flag on noise a multiplicative pad cannot absorb (t5/t9/t10
   case-4 churn, round-9 run 8).
-- wall_hi = max over {qualifying suite warms} ∪ {probe warms}, padded
-  the same way plus 0.15 s absolute slack.
+- wall_hi = max over qualifying SUITE warms only, padded the same way
+  plus 0.15 s absolute slack. Probe walls are NOT pooled into the wall
+  band (r18 policy fix, VERDICT r17 #3): the old rationale ("wall is
+  JIT-insensitive so probe walls pool") breaks when the probe pays an
+  index build / JVM+Spark startup the suite amortizes — pooled probe
+  walls inflated pl_r3's hi to 21.5 s against suite readings of
+  2.6-6.0 s, a ceiling that would let a 3x real regression ride
+  in_band. Probe walls/CPUs stay recorded as the separate probe_wall /
+  probe_cpu fields; the probe-basis FALLBACK (below) still applies
+  when an entry has no suite reading at all.
 - When an entry has NO qualifying reading, fall back to min over all
   readings * 1.35 — the least-contended reading observed, padded.
 - lo bounds are informational (min * 0.6): verdicts only compare hi.
@@ -84,12 +92,12 @@ def main():
         pw = [w for w, _ in probes.get(k, [])]
         if low:
             cpus = [c for _, c, _ in low]
-            walls = [w for w, _, _ in low] + pw
+            walls = [w for w, _, _ in low]
             pad = 1.30 if len(low) >= 2 else 1.45
             cpu_hi = max(cpus) * pad + 0.4
             wall_hi = max(walls) * (1.30 if len(walls) >= 2 else 1.45) + 0.15
             cpu_lo, wall_lo = min(cpus) * 0.6, min(walls) * 0.6
-            basis = f"suite({len(low)} @load<{BAND_LOAD_CUT:g})" + (f"+probe({len(pw)})" if pw else "")
+            basis = f"suite({len(low)} @load<{BAND_LOAD_CUT:g})" + (f"+probe({len(pw)}: recorded, not pooled)" if pw else "")
         else:
             cpus = [c for _, c, _ in rs]
             walls = [w for w, _, _ in rs] + pw
@@ -113,10 +121,12 @@ def main():
         # contributing runs' suite-start readings (min = cleanest
         # environment observed; the case-5 rule flags >= 1.35x this)
         **({"calib_sec": round(min(calibs), 3)} if calibs else {}),
-        "policy": ("suite-context basis; hi = max(low-load readings) * pad; "
-                   "probe walls pooled into wall band (wall is JIT-insensitive), "
-                   "probe CPUs recorded separately (an isolated JVM charges all "
-                   "JIT to one entry, so probe cpu >> suite cpu is expected); "
+        "policy": ("suite-context basis; hi = max(low-load SUITE readings) * pad; "
+                   "probe walls and CPUs recorded separately, NOT pooled "
+                   "(a probe pays index builds / JVM startup the suite "
+                   "amortizes, so pooled probe walls inflate ceilings — r18 "
+                   "fix; probes only set the band as a fallback when an "
+                   "entry has no suite reading); "
                    "verdicts compare warm/cpu_warm against the hi bounds only"),
         "entries": entries,
     }

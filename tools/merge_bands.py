@@ -51,14 +51,18 @@ def main():
         pw = [w for w, _ in probes.get(k, [])]
         assert low or pw, f"{k}: no readings at all"
         if low:
+            # probe walls are NOT pooled into the wall band (r18 policy
+            # fix, same as build_bands.py: a probe pays index builds /
+            # JVM startup the suite amortizes, so pooling inflates the
+            # ceiling); probes stay recorded as probe_wall/probe_cpu
             cpus = [c for _, c, _ in low]
-            walls = [w for w, _, _ in low] + pw
+            walls = [w for w, _, _ in low]
             pad = 1.30 if len(low) >= 2 else 1.45
             cpu_hi = max(cpus) * pad + 0.4
             wall_hi = max(walls) * (1.30 if len(walls) >= 2 else 1.45) + 0.15
             cpu_lo, wall_lo = min(cpus) * 0.6, min(walls) * 0.6
             basis = (f"merge: suite({len(low)} @load<{BAND_LOAD_CUT:g})"
-                     + (f"+probe({len(pw)})" if pw else ""))
+                     + (f"+probe({len(pw)}: recorded, not pooled)" if pw else ""))
         else:
             # probe-only: walls are suite-comparable, probe CPU is not
             # (isolated JVM charges all JIT to one entry) — the CPU hi
