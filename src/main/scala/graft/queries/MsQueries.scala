@@ -66,19 +66,37 @@ object MsQueries {
   /** The (chan, corr)-exploded integer-lifted sample cells the A1/A2
     * kernel aggregates — shared by the batch/st2 grain (BIN in
     * `carry`) and the st10 event-time grain (TS in `carry`).
+    *
+    * r18 optimization (guide §2.3 "project before the exchange",
+    * applied to the Generate): the previous shape posexploded DATA and
+    * then CA while carrying the FULL nested FLAG and WEIGHT_SPECTRUM
+    * arrays through BOTH Generates so the final projection could index
+    * `FLAG[CHAN][CORR]` — every (row,chan,corr) output row copied both
+    * nchan×ncorr arrays (~64× width amplification at the fixture
+    * shapes, dominating the kernel's CPU in st2/st10). Now the three
+    * outer arrays are zipped BEFORE the first explode, so Generate #1
+    * carries only the per-chan slice (ncorr cells) and Generate #2 only
+    * scalars; the per-cell values come out of the zipped struct instead
+    * of re-walking the nested arrays. arrays_zip/posexplode/struct
+    * access all stay inside whole-stage codegen. Values are identical:
+    * the fixture/MS shape contract keeps DATA, FLAG and WEIGHT_SPECTRUM
+    * congruent (same nchan, ncorr), so zip never pads and the iteration
+    * order is exactly the old posexplode order. Oracle-gated (ms_a1/a2,
+    * ms_p5, st2, st10 hashes unchanged).
     */
   private[graft] def visCells(p: DataFrame, dataCol: String,
       chanBin: Int, carry: Seq[String]): DataFrame =
     p.select((carry :+ "FROW").map(col) ++ Seq(
-        col("FLAG"), col("WEIGHT_SPECTRUM"),
-        posexplode(col(dataCol)).as(Seq("CHAN", "CA"))): _*)
+        posexplode(arrays_zip(col(dataCol).as("CA"), col("FLAG").as("FLC"),
+          col("WEIGHT_SPECTRUM").as("WSC"))).as(Seq("CHAN", "Z"))): _*)
       .select((carry :+ "FROW").map(col) ++ Seq(
-        col("FLAG"), col("WEIGHT_SPECTRUM"), col("CHAN"),
-        posexplode(col("CA")).as(Seq("CORR", "V"))): _*)
-      .withColumn("FL", expr("FLAG[CHAN][CORR]"))
-      .withColumn("WI", expr("CAST(round(WEIGHT_SPECTRUM[CHAN][CORR] * 100) AS BIGINT)"))
-      .withColumn("VR", expr("CAST(round(V.re * 1000) AS BIGINT)"))
-      .withColumn("VI", expr("CAST(round(V.im * 1000) AS BIGINT)"))
+        col("CHAN"),
+        posexplode(arrays_zip(col("Z.CA").as("V"), col("Z.FLC").as("FL"),
+          col("Z.WSC").as("WS"))).as(Seq("CORR", "C"))): _*)
+      .withColumn("FL", col("C.FL"))
+      .withColumn("WI", expr("CAST(round(C.WS * 100) AS BIGINT)"))
+      .withColumn("VR", expr("CAST(round(C.V.re * 1000) AS BIGINT)"))
+      .withColumn("VI", expr("CAST(round(C.V.im * 1000) AS BIGINT)"))
       .withColumn("EFF", !col("FROW") && !col("FL"))
       .withColumn("CHAN_BIN", expr(s"CAST(CHAN div $chanBin AS INT)"))
 
