@@ -780,13 +780,25 @@ object Dedup {
         .join(hop, Seq("rep"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nb_rep"), col("rep")),
-            coalesce(col("hop_rep"), col("rep"))).as("rep"))
+            coalesce(col("hop_rep"), col("rep"))).as("new_rep"),
+          col("rep").as("old_rep"))
+        // r18 optimization: the convergence check used to be a SEPARATE
+        // join of `next` back onto `old` — one extra shuffle join per
+        // round whose only product was a changed-row count. The old rep
+        // is already in hand in this projection, so the change flag
+        // rides the checkpointed row instead and the count below scans
+        // the checkpoint RDD join-free. Same recurrence, same per-round
+        // count values, bit-identical fixed point (pl_d3/pl_p6 oracle-
+        // gated); measured isolated at sf0.1: pl_d3 warm cpu 23.3 →
+        // see OPTIMIZATION_r18.md.
+        .select(col("id"), col("new_rep").as("rep"),
+          (col("new_rep") =!= col("old_rep")).as("_ch"))
         // localCheckpoint truncates the per-round lineage chain so plan
         // size stays O(1) across rounds; it materializes under this
         // round's convergence count job
         .localCheckpoint(false)
       val old = labels
-      labels = next
+      labels = next.drop("_ch")
       // Convergence is checked EVERY round — r17 reverts the r16
       // every-2-rounds batching after measuring it: deferring the
       // check leaves the odd round's checkpoint LAZY while the even
@@ -799,10 +811,7 @@ object Dedup {
       // materializes each round's checkpoint BEFORE the next round's
       // stages read it, so every round computes exactly once; the
       // fixed point — hence pl_d3 — is bit-identical either way.
-      changed = next.withColumnRenamed("rep", "new_rep")
-        .join(old, "id")
-        .filter(col("new_rep") =!= col("rep"))
-        .count()
+      changed = next.filter(col("_ch")).count()
       // `next` is materialized now — the superseded round's storage is
       // unreachable from any live plan
       release(old)
