@@ -239,7 +239,7 @@ object Graph {
     * performs).
     */
   final case class PprState(layers: DataFrame, iterations: Int,
-      scale: Long) {
+      scale: Long, nSeeds: Long = 0L) {
     def release(): Unit = Caches.release(layers)
   }
 
@@ -296,7 +296,11 @@ object Graph {
         .select(col("id"), lit(scale).as("d")))
     val deltas = scala.collection.mutable.ArrayBuffer[DataFrame](delta0)
     try {
-      val nSeeds = st.layers.filter(col("is_seed")).count() + delta0.count()
+      // r18: the standing seed count rides the state (pprInit starts it
+      // at 0, every fold adds its genuinely-new count) instead of a
+      // full layers re-scan per batch — the count is definitionally
+      // equal to the is_seed population (flags are set only here).
+      val nSeeds = st.nSeeds + delta0.count()
       require(
         BigInt(DampNum) * math.max(nSeeds, 1L) * scale <= Long.MaxValue,
         s"ppr int64 bound exceeded (seeds=$nSeeds, scale=$scale): " +
@@ -333,7 +337,7 @@ object Graph {
         col("id") +: col("outdeg") +:
           (col("is_seed") || col("_d0").isNotNull).as("is_seed") +:
           rCols: _*))
-      PprState(newLayers, st.iterations, scale)
+      PprState(newLayers, st.iterations, scale, nSeeds)
     } finally deltas.foreach(Caches.release)
   }
 

@@ -288,8 +288,13 @@ object StreamingQueries {
       val name = "graft_st2_sink"
       val main = graft.ms.MsTables.main(s) // ensures the fixture exists
       val groupKey = Seq("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER")
+      // persist the static side (st12's rule, applied here in r18): a
+      // stream-static join re-executes the static plan EVERY micro-batch
+      // — unpersisted, each trigger re-scans the full MS main table and
+      // re-aggregates T0 (group-count rows; the scan is the cost)
       val t0 = Flags.filterAutocorr(main)
         .groupBy(groupKey.map(col): _*).agg(min("TIME").as("T0"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val src = s.readStream.schema(main.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"${graft.ms.SyntheticMs.root}/main")
@@ -303,7 +308,9 @@ object StreamingQueries {
       // main row at the fixture shapes), window-keyed buffers ~256 B
       val nParts = graft.streaming.StateSizing.forFrame(
         main, keysPerRow = 16, bytesPerKey = 256)
-      withStatePartitions(s, nParts)(sinkToLocal(s, name, avg, "complete"))
+      try withStatePartitions(s, nParts)(
+        sinkToLocal(s, name, avg, "complete"))
+      finally t0.unpersist(blocking = false)
     }),
 
     // Stateful sessionization via flatMapGroupsWithState: the real
