@@ -752,6 +752,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"absolute grid must not plan a join:\n$p")
     assert(mainScans(p) == 1, s"expected ONE main-table scan:\n$p")
     assertNoGlobalSort(p, "st10 kernel")
+    // r18 visCells shape lock: the nested FLAG/WEIGHT_SPECTRUM arrays
+    // are zipped into the FIRST generator's input (arrays_zip) and may
+    // not ride any Generate as pass-through columns. Old shape: both
+    // Generates carried the full arrays (2 mentioning lines, plus
+    // per-cell FLAG[CHAN][CORR] walks downstream); new shape: exactly
+    // one mention — inside Generate #1's arrays_zip argument.
+    assert(p.contains("arrays_zip"),
+      s"visCells no longer zips before exploding:\n$p")
+    val wsGenLines = p.linesIterator
+      .filter(l => l.contains("Generate") && l.contains("WEIGHT_SPECTRUM"))
+      .size
+    assert(wsGenLines <= 1,
+      s"a Generate carries the full WEIGHT_SPECTRUM array ($wsGenLines lines):\n$p")
   }
 
   test("UVW synthesis is pure codegen: no UDF on the per-row path") {

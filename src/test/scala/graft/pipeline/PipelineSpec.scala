@@ -438,6 +438,24 @@ class PipelineSpec extends SparkSpec {
       Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (7L, 7L, 2L), (8L, 7L, 2L)))
   }
 
+  test("dup clusters: the in-row convergence flag never leaks into the output") {
+    // r18: the per-round convergence count rides the checkpointed round
+    // projection as a `_ch` column instead of a separate next⋈old join —
+    // the result schema must still be exactly (doc_id, cluster_rep,
+    // cluster_size), and a graph that needs several pointer-jumping
+    // rounds (star + tail: label 0 must cross 5 hops) must converge to
+    // the same min-label fixed point the one-join-per-round form produced.
+    val pairs = Seq((0L, 10L), (10L, 20L), (20L, 30L), (30L, 40L), (40L, 50L))
+      .toDF("doc1", "doc2")
+    val cl = Dedup.dupClusters(pairs)
+    assert(cl.columns.toSeq == Seq("doc_id", "cluster_rep", "cluster_size"),
+      s"internal round columns leaked: ${cl.columns.mkString(",")}")
+    val rows = cl.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(0L, 10L, 20L, 30L, 40L, 50L).map(id => (id, 0L, 6L)))
+    Caches.release(cl)
+  }
+
   test("simhash: identical docs hash identically; hamming to unrelated doc > 0") {
     val df = Seq((1L, "one two three four five"), (2L, "one two three four five"),
       (3L, "six seven eight nine ten eleven twelve"))
